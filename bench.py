@@ -1,0 +1,179 @@
+"""Headline benchmark: VAE-HMM ELBO training throughput (seqs/sec/chip).
+
+Config: the reference README recipe — VAE_HMM(input_dim=5, hidden_dim=64,
+K=3, hidden_dim2=32, u_dim=4), B=64, T=200 (reference README.md:117-124,
+configs/config.yaml:3-17).
+
+vs_baseline: ratio against a CPU-PyTorch implementation of the reference
+train step (the reference publishes no numbers — BASELINE.md — so the
+anchor is measured in-process with functional torch ops implementing
+VQ_VAE_HMM_fixed.py's exact forward+loss+Adam step).
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+B, C, T, K, U = 64, 5, 200, 3, 4
+HIDDEN, HIDDEN2, TRANS_HIDDEN = 64, 32, 128
+LR = 1e-3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, C, T)).astype(np.float32)
+    u = rng.normal(size=(B, U, T)).astype(np.float32)
+    lengths = rng.integers(T // 2, T + 1, size=B).astype(np.int32)
+    lengths[0] = T
+    return x, u, lengths
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import TrainState, make_model, make_train_step
+    from vqvaehmm_tpu.train.trainer import make_optimizer
+
+    model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
+                       trans_hidden=TRANS_HIDDEN)
+    tx = make_optimizer(LR)
+    params = model.init(jax.random.PRNGKey(0))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, donate=True)
+
+    x, u, lengths = make_batch()
+    x, u, lengths = jnp.asarray(x), jnp.asarray(u), jnp.asarray(lengths)
+    beta = jnp.float32(1.0)
+
+    # warmup / compile
+    for _ in range(3):
+        state, loss = step(state, x, u, lengths, beta)
+    loss.block_until_ready()
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, x, u, lengths, beta)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    sps = iters * B / dt
+    log(f"jax: {iters} steps in {dt:.3f}s -> {sps:.1f} seqs/s "
+        f"({jax.devices()[0].platform})")
+    return sps
+
+
+def bench_torch_cpu() -> float:
+    """Functional-torch reference train step (forward + backward + Adam)."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    dev = "cpu"
+
+    def conv_p(i, o, k):
+        fan = i * k
+        b = 1.0 / math.sqrt(fan)
+        return (torch.empty(o, i, k).uniform_(-b, b).requires_grad_(),
+                torch.empty(o).uniform_(-b, b).requires_grad_())
+
+    def lin_p(i, o):
+        b = 1.0 / math.sqrt(i)
+        return (torch.empty(o, i).uniform_(-b, b).requires_grad_(),
+                torch.empty(o).uniform_(-b, b).requires_grad_())
+
+    e1w, e1b = conv_p(C, HIDDEN, 3)
+    e2w, e2b = conv_p(HIDDEN, HIDDEN2, 3)
+    elw, elb = conv_p(HIDDEN2, K, 1)
+    log_prior = torch.zeros(K, requires_grad=True)
+    p1w, p1b = lin_p(U, TRANS_HIDDEN)
+    p2w, p2b = lin_p(TRANS_HIDDEN, K * K)
+    emb = torch.randn(K, HIDDEN, requires_grad=True)
+    d1w, d1b = conv_p(HIDDEN, HIDDEN, 3)
+    d2w, d2b = conv_p(HIDDEN, HIDDEN, 3)
+    dpw, dpb = conv_p(HIDDEN, C * 2, 1)
+    params = [e1w, e1b, e2w, e2b, elw, elb, log_prior, p1w, p1b, p2w, p2b,
+              emb, d1w, d1b, d2w, d2b, dpw, dpb]
+    opt = torch.optim.Adam(params, lr=LR)
+
+    xb, ub, lb = make_batch()
+    x = torch.from_numpy(xb)
+    u = torch.from_numpy(ub)
+    lengths = torch.from_numpy(lb.astype(np.int64))
+
+    def loss_fn():
+        mask = torch.arange(T)[None, :] < lengths[:, None]
+        ut = u.permute(0, 2, 1).reshape(B * T, U)
+        h = F.relu(F.linear(ut, p1w, p1b))
+        log_A = F.log_softmax(F.linear(h, p2w, p2b).view(B, T, K, K), dim=-1)
+        log_pi = F.log_softmax(log_prior, dim=-1)
+        h = F.relu(F.conv1d(x, e1w, e1b, padding=1))
+        h = F.relu(F.conv1d(h, e2w, e2b, padding=1))
+        logits = F.conv1d(h, elw, elb)
+        q = F.softmax(logits, dim=1)
+        e = torch.matmul(q.permute(0, 2, 1), emb).permute(0, 2, 1)
+        h = F.relu(F.conv1d(e, d1w, d1b, padding=1))
+        h = F.relu(F.conv1d(h, d2w, d2b, padding=1))
+        out = F.conv1d(h, dpw, dpb)
+        mu, logvar = out[:, :C], out[:, C:]
+        var = logvar.exp().clamp(min=1e-8)
+        nll = 0.5 * (torch.log(2 * math.pi * var) + (mu - x) ** 2 / var)
+        recon = (nll * mask.unsqueeze(1).float()).sum() / \
+            (mask.sum() * C).clamp(min=1.0)
+        init_t = (q[:, :, 0] * log_pi.unsqueeze(0)).sum(1)
+        qp = q[:, :, :-1].permute(0, 2, 1).unsqueeze(-1)
+        qn = q[:, :, 1:].permute(0, 2, 1).unsqueeze(-2)
+        trans = (qp * qn * log_A[:, 1:]).sum(dim=(2, 3))
+        tm = (mask[:, 1:] & mask[:, :-1]).float()
+        prior_l = -(init_t + (trans * tm).sum(1)).mean()
+        ent = -(q * F.log_softmax(logits, dim=1)).sum(1)
+        ent = (ent * mask.float()).sum() / B
+        return recon + (prior_l - ent)
+
+    def step():
+        opt.zero_grad()
+        loss = loss_fn()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warmup
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    sps = iters * B / dt
+    log(f"torch-cpu: {iters} steps in {dt:.3f}s -> {sps:.1f} seqs/s")
+    return sps
+
+
+def main():
+    jax_sps = bench_jax()
+    try:
+        torch_sps = bench_torch_cpu()
+    except Exception as e:  # torch baseline is an anchor, not a dependency
+        log(f"torch baseline failed: {e}")
+        torch_sps = None
+    vs = jax_sps / torch_sps if torch_sps else None
+    print(json.dumps({
+        "metric": "vae_hmm_elbo_train_seqs_per_sec_per_chip",
+        "value": round(jax_sps, 2),
+        "unit": "seqs/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+#!/bin/sh
+# MODE-switch entrypoint (reference: entrypoint.sh:4-15)
+set -e
+MODE="${MODE:-serve}"
+case "$MODE" in
+  train)
+    exec python -m vqvaehmm_tpu.train.pipeline "${TRAIN_CONFIG:-configs/train_config.json}"
+    ;;
+  serve)
+    exec python -m vqvaehmm_tpu.serve.httpd --config "${VQHMM_INFERENCE_CONFIG:-inference_config.json}" --port "${PORT:-8000}"
+    ;;
+  serve-prod)
+    exec gunicorn -k uvicorn.workers.UvicornWorker -w "${WORKERS:-4}" -b "0.0.0.0:${PORT:-8000}" vqvaehmm_tpu.serve.app:app
+    ;;
+  *)
+    echo "unknown MODE=$MODE (train|serve|serve-prod)" >&2
+    exit 1
+    ;;
+esac

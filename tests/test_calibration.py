@@ -1,0 +1,91 @@
+"""Calibration module (reference: calibration.py) — behavior tests with
+known-answer threshold problems."""
+
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu.calibration import (EmpiricalStoppingCriteria,
+                                      EvaluationLoop,
+                                      PrecisionRecallOptimizer,
+                                      SignalNoiseController,
+                                      ThresholdCalibrator,
+                                      evaluate_with_tradeoffs)
+
+
+@pytest.fixture
+def separable(rng):
+    """Perfectly separable: positives score ~0.9, negatives ~0.1."""
+    n = 400
+    targets = rng.integers(0, 2, n)
+    preds = np.where(targets == 1, 0.9, 0.1) + rng.normal(0, 0.02, n)
+    return preds, targets
+
+
+def test_threshold_calibrator_finds_separator(separable):
+    preds, targets = separable
+    cal = ThresholdCalibrator(min_precision=0.7, min_recall=0.5)
+    best = cal.calibrate(preds, targets)
+    # any threshold strictly between the two clusters is a perfect separator
+    assert 0.15 < best.threshold < 0.85
+    assert best.f1_score > 0.99
+    prec, rec, thr = cal.get_pr_curve()
+    assert len(prec) == len(rec) == len(thr) == 100
+
+
+def test_calibrator_falls_back_when_constraints_unreachable(rng):
+    preds = rng.uniform(0, 1, 200)
+    targets = rng.integers(0, 2, 200)  # no signal
+    cal = ThresholdCalibrator(min_precision=0.99, min_recall=0.99)
+    best = cal.calibrate(preds, targets)
+    assert best is not None  # falls back to best-F1 (reference :42-44)
+
+
+def test_signal_noise_controller(separable):
+    preds, targets = separable
+    ctrl = SignalNoiseController(target_signal_ratio=0.3)
+    thresh = ctrl.find_threshold(preds)
+    q = ctrl.evaluate_quality(preds, targets, thresh)
+    assert abs(q["signal_ratio"] - 0.3) < 0.1
+    assert 0 <= q["overall_quality"] <= 1
+
+
+def test_empirical_stopping():
+    stop = EmpiricalStoppingCriteria(patience=3, min_delta=0.01)
+    vals = [0.5, 0.6, 0.7, 0.7, 0.7, 0.7]
+    fired = [stop.should_stop({"f1_score": v}) for v in vals]
+    assert fired[-1] is True
+    assert not any(fired[:4])
+    assert stop.is_converged(window=3)
+
+
+def test_precision_recall_optimizer(separable):
+    preds, targets = separable
+    # precision-heavy: prefers high thresholds
+    t_hi, m_hi = PrecisionRecallOptimizer(precision_weight=1.0).optimize(
+        preds, targets)
+    assert m_hi["precision"] >= 0.99
+    t_lo, m_lo = PrecisionRecallOptimizer(precision_weight=0.0).optimize(
+        preds, targets)
+    assert m_lo["recall"] >= 0.99
+
+
+def test_evaluation_loop(separable):
+    preds, targets = separable
+
+    def predict_fn(x):
+        return x  # identity: batches already carry scores
+
+    batches = [(preds[:200], targets[:200]), (preds[200:], targets[200:])]
+    loop = EvaluationLoop(ThresholdCalibrator(),
+                          EmpiricalStoppingCriteria(patience=2))
+    out = loop.run(predict_fn, batches, max_iter=10)
+    assert out["best_result"].f1_score > 0.95
+    assert out["iterations"] <= 10
+
+
+def test_evaluate_with_tradeoffs(separable):
+    preds, targets = separable
+    df = evaluate_with_tradeoffs(preds, targets)
+    assert len(df) == 11
+    assert {"precision", "recall", "threshold",
+            "precision_weight"} <= set(df.columns)

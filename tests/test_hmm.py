@@ -1,0 +1,140 @@
+"""Exact HMM inference vs brute-force chain enumeration (float64 numpy).
+
+The oracle enumerates all K^T hidden paths, so any systematic error in the
+scans (indexing convention, masking, log-space numerics) shows up
+immediately.  Covers: forward likelihood, posterior marginals, pairwise
+marginals, Viterbi, associative-scan variants, ragged lengths.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu.ops import hmm
+
+
+def brute_force(log_pi, log_A, log_obs):
+    """All-paths enumeration. log_A: (T,K,K) (entry t used *into* step t);
+    returns (ll, gamma:(T,K), xi:(T-1,K,K), viterbi_path, viterbi_score)."""
+    T, K = log_obs.shape
+    paths = list(itertools.product(range(K), repeat=T))
+    lps = np.empty(len(paths))
+    for i, z in enumerate(paths):
+        lp = log_pi[z[0]] + log_obs[0, z[0]]
+        for t in range(1, T):
+            lp += log_A[t, z[t - 1], z[t]] + log_obs[t, z[t]]
+        lps[i] = lp
+    m = lps.max()
+    ll = m + np.log(np.exp(lps - m).sum())
+    post = np.exp(lps - ll)
+    gamma = np.zeros((T, K))
+    xi = np.zeros((T - 1, K, K))
+    for p, w in zip(paths, post):
+        for t, z in enumerate(p):
+            gamma[t, z] += w
+        for t in range(T - 1):
+            xi[t, p[t], p[t + 1]] += w
+    best = int(np.argmax(lps))
+    return ll, gamma, xi, np.array(paths[best]), lps[best]
+
+
+def _random_hmm(B, T, K, seed=0, time_varying=True):
+    rng = np.random.default_rng(seed)
+    log_pi = np.log(rng.dirichlet(np.ones(K))).astype(np.float32)
+    if time_varying:
+        A = rng.dirichlet(np.ones(K), size=(B, T, K)).astype(np.float32)
+        log_A = np.log(A)
+    else:
+        A = rng.dirichlet(np.ones(K), size=K).astype(np.float32)
+        log_A = np.log(A)
+    log_obs = rng.normal(-1.0, 1.0, size=(B, T, K)).astype(np.float32)
+    return log_pi, log_A, log_obs
+
+
+@pytest.mark.parametrize("K,T", [(2, 5), (3, 4)])
+@pytest.mark.parametrize("time_varying", [True, False])
+def test_forward_backward_viterbi_vs_bruteforce(K, T, time_varying):
+    B = 3
+    log_pi, log_A, log_obs = _random_hmm(B, T, K, seed=K * 10 + T,
+                                         time_varying=time_varying)
+    fwd = hmm.forward(log_pi, jnp.asarray(log_A), jnp.asarray(log_obs))
+    gamma = hmm.posterior_marginals(log_pi, jnp.asarray(log_A),
+                                    jnp.asarray(log_obs))
+    xi = hmm.pairwise_marginals(log_pi, jnp.asarray(log_A),
+                                jnp.asarray(log_obs))
+    vit = hmm.viterbi(log_pi, jnp.asarray(log_A), jnp.asarray(log_obs))
+    fwd_a = hmm.forward_assoc(log_pi, jnp.asarray(log_A),
+                              jnp.asarray(log_obs))
+    _, vscore_a = hmm.viterbi_assoc_scores(log_pi, jnp.asarray(log_A),
+                                           jnp.asarray(log_obs))
+
+    for b in range(B):
+        lA_b = log_A[b] if time_varying else \
+            np.broadcast_to(log_A, (T, K, K))
+        ll, g, x, path, score = brute_force(
+            log_pi.astype(np.float64), lA_b.astype(np.float64),
+            log_obs[b].astype(np.float64))
+        assert abs(float(fwd.log_likelihood[b]) - ll) < 1e-4
+        assert abs(float(fwd_a.log_likelihood[b]) - ll) < 1e-4
+        np.testing.assert_allclose(np.asarray(gamma[b]), g, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(xi[b]), x, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vit.states[b]), path)
+        assert abs(float(vit.score[b]) - score) < 1e-4
+        assert abs(float(vscore_a[b]) - score) < 1e-4
+        np.testing.assert_allclose(
+            np.asarray(fwd.log_alpha[b]), np.asarray(fwd_a.log_alpha[b]),
+            atol=1e-4)
+
+
+def test_ragged_lengths_match_truncated():
+    """With lengths, results at valid steps must equal running each sequence
+    at its true length — proving identity-transition masking is exact."""
+    B, T, K = 2, 6, 3
+    log_pi, log_A, log_obs = _random_hmm(B, T, K, seed=7)
+    lengths = np.array([6, 4], np.int32)
+
+    fwd = hmm.forward(log_pi, jnp.asarray(log_A), jnp.asarray(log_obs),
+                      jnp.asarray(lengths))
+    gamma = hmm.posterior_marginals(log_pi, jnp.asarray(log_A),
+                                    jnp.asarray(log_obs),
+                                    jnp.asarray(lengths))
+    vit = hmm.viterbi(log_pi, jnp.asarray(log_A), jnp.asarray(log_obs),
+                      jnp.asarray(lengths))
+
+    for b, L in enumerate(lengths):
+        ll, g, _, path, score = brute_force(
+            log_pi.astype(np.float64),
+            log_A[b, :L].astype(np.float64),
+            log_obs[b, :L].astype(np.float64))
+        assert abs(float(fwd.log_likelihood[b]) - ll) < 1e-4
+        np.testing.assert_allclose(np.asarray(gamma[b, :L]), g, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vit.states[b, :L]), path)
+        assert abs(float(vit.score[b]) - score) < 1e-4
+
+
+def test_sample_statistics():
+    """Empirical transition frequencies approach the true kernel."""
+    K = 3
+    rng = np.random.default_rng(0)
+    A = rng.dirichlet(np.full(K, 5.0), size=K).astype(np.float32)
+    log_pi = np.log(np.full(K, 1.0 / K, np.float32))
+    paths = hmm.sample(jax.random.PRNGKey(0), jnp.asarray(log_pi),
+                       jnp.asarray(np.log(A)), num_steps=200, batch=200)
+    paths = np.asarray(paths)
+    assert paths.shape == (200, 200)
+    counts = np.zeros((K, K))
+    for b in range(paths.shape[0]):
+        for t in range(1, paths.shape[1]):
+            counts[paths[b, t - 1], paths[b, t]] += 1
+    emp = counts / counts.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(emp, A, atol=0.02)
+
+
+def test_posterior_rows_normalize():
+    log_pi, log_A, log_obs = _random_hmm(4, 16, 3, seed=3)
+    gamma = hmm.posterior_marginals(log_pi, jnp.asarray(log_A),
+                                    jnp.asarray(log_obs))
+    np.testing.assert_allclose(np.asarray(gamma).sum(-1), 1.0, atol=1e-5)

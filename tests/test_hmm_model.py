@@ -1,0 +1,103 @@
+"""HiddenMarkovModel class: covers the reference's TFP weather-model demo
+(reference hmm.py:11-42) natively, plus Baum-Welch EM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvaehmm_tpu.models.hmm import (CategoricalEmission, GaussianEmission,
+                                     HiddenMarkovModel, fit_categorical_em)
+from vqvaehmm_tpu.ops import hmm as ops
+
+
+def weather_model():
+    """The exact model from reference hmm.py:11-34."""
+    return HiddenMarkovModel(
+        initial_probs=[0.8, 0.2],
+        transition_probs=[[0.7, 0.3], [0.2, 0.8]],
+        emission=GaussianEmission(loc=jnp.array([0.0, 15.0]),
+                                  scale=jnp.array([5.0, 10.0])),
+        num_steps=7)
+
+
+def test_mean_matches_tfp_docs():
+    """tfd.HiddenMarkovModel docs: elements approach 9.0 (hmm.py:38)."""
+    m = np.asarray(weather_model().mean())
+    assert m.shape == (7,)
+    # closed form: E[x_t] = (pi A^t) . loc
+    pi = np.array([0.8, 0.2])
+    A = np.array([[0.7, 0.3], [0.2, 0.8]])
+    loc = np.array([0.0, 15.0])
+    expect = []
+    p = pi
+    for _ in range(7):
+        expect.append(p @ loc)
+        p = p @ A
+    np.testing.assert_allclose(m, expect, atol=1e-5)
+    assert abs(m[-1] - 9.0) < 1.0  # approaches stationary value 9.0
+
+
+def test_log_prob_matches_bruteforce():
+    """model.log_prob(zeros(7)) (hmm.py:42) vs exact enumeration."""
+    model = weather_model()
+    x = np.zeros(7, np.float32)
+    got = float(model.log_prob(x))
+
+    import itertools
+    pi = np.array([0.8, 0.2])
+    A = np.array([[0.7, 0.3], [0.2, 0.8]])
+    loc = np.array([0.0, 15.0])
+    scale = np.array([5.0, 10.0])
+    tot = -np.inf
+    for path in itertools.product(range(2), repeat=7):
+        lp = np.log(pi[path[0]])
+        for t in range(1, 7):
+            lp += np.log(A[path[t - 1], path[t]])
+        for t, z in enumerate(path):
+            lp += (-0.5 * ((0.0 - loc[z]) / scale[z]) ** 2
+                   - np.log(scale[z]) - 0.5 * np.log(2 * np.pi))
+        tot = np.logaddexp(tot, lp)
+    assert abs(got - tot) < 1e-4
+
+
+def test_posterior_mode_and_marginals_shapes():
+    model = weather_model()
+    x = np.array([0.0, 1.0, 14.0, 16.0, 15.0, 0.0, -1.0], np.float32)
+    mode = np.asarray(model.posterior_mode(x))
+    marg = np.asarray(model.posterior_marginals(x))
+    assert mode.shape == (7,)
+    assert marg.shape == (7, 2)
+    # hot observations in the middle decode to the hot state
+    assert mode[2] == 1 and mode[3] == 1
+    assert mode[0] == 0
+    np.testing.assert_allclose(marg.sum(-1), 1.0, atol=1e-5)
+    # batched input works too
+    mb = np.asarray(model.posterior_mode(np.stack([x, x])))
+    np.testing.assert_array_equal(mb[0], mode)
+
+
+def test_sample_shapes_and_em_recovery():
+    """EM on sampled code sequences recovers a sticky transition kernel."""
+    K = 3
+    A = np.full((K, K), 0.05, np.float32)
+    np.fill_diagonal(A, 0.9)
+    # near-deterministic emission: state k emits code k
+    B_em = np.full((K, K), 0.025, np.float32)
+    np.fill_diagonal(B_em, 0.95)
+    model = HiddenMarkovModel(np.full(K, 1 / 3), A,
+                              CategoricalEmission(jnp.log(jnp.asarray(B_em))))
+    states, obs = model.sample(jax.random.PRNGKey(0), num_steps=120,
+                               batch=24)
+    assert states.shape == (24, 120) and obs.shape == (24, 120)
+
+    res = fit_categorical_em(obs, K=K, V=K, n_iters=40, seed=1)
+    lls = np.asarray(res.log_likelihoods)
+    assert lls[-1] >= lls[0]  # EM monotone (up to numeric noise)
+    # learned transition should be sticky (diagonal-dominant up to relabel)
+    A_hat = np.exp(np.asarray(res.model.log_A))
+    perm_best = 0.0
+    import itertools
+    for perm in itertools.permutations(range(K)):
+        p = np.asarray(perm)
+        perm_best = max(perm_best, np.trace(A_hat[np.ix_(p, p)]) / K)
+    assert perm_best > 0.7

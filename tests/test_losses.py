@@ -1,0 +1,197 @@
+"""Loss-function parity vs straightforward numpy implementations of the
+reference formulas (loss_functions.py, VQ_VAE_HMM_fixed.py:198-228,
+delta_hedger.py:95-200)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu.losses import (calmar_loss, delta_hedge_loss,
+                                 minimum_variance_hedge_ratio,
+                                 optimal_hedge_frequency, portfolio_loss,
+                                 regime_aware_sharpe_loss,
+                                 regime_conditional_loss, risk_parity_loss,
+                                 sharpe_loss, sortino_loss,
+                                 transition_aware_loss)
+
+
+@pytest.fixture
+def data(rng):
+    B, T, A, K = 6, 40, 4, 3
+    w = rng.dirichlet(np.ones(A), size=B).astype(np.float32)
+    r = rng.normal(5e-4, 0.01, size=(B, T, A)).astype(np.float32)
+    q = rng.dirichlet(np.ones(K), size=(B, T)).astype(np.float32)
+    q_kt = np.transpose(q, (0, 2, 1))  # (B,K,T)
+    Amat = rng.dirichlet(np.ones(K), size=(B, T, K)).astype(np.float32)
+    return w, r, q_kt, Amat
+
+
+def np_sharpe(w, r, rf=0.0):
+    pr = (w[:, None, :] * r).sum(-1).astype(np.float64)
+    mu = pr.mean(1)
+    sd = pr.std(1, ddof=1)
+    return -((mu - rf) / np.maximum(sd, 1e-8)).mean()
+
+
+def test_sharpe_loss(data):
+    w, r, _, _ = data
+    ours = float(sharpe_loss(jnp.asarray(w), jnp.asarray(r)))
+    assert abs(ours - np_sharpe(w, r)) < 1e-5
+
+
+def test_sortino_loss(data):
+    w, r, _, _ = data
+    pr = (w[:, None, :] * r).sum(-1).astype(np.float64)
+    mu = pr.mean(1)
+    downside = np.minimum(pr, 0.0)
+    dstd = np.maximum(np.sqrt((downside ** 2).mean(1)), 1e-8)
+    ref = -(mu / dstd).mean()
+    ours = float(sortino_loss(jnp.asarray(w), jnp.asarray(r)))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_calmar_loss(data):
+    w, r, _, _ = data
+    pr = (w[:, None, :] * r).sum(-1).astype(np.float64)
+    cum = np.cumsum(pr, 1)
+    runmax = np.maximum.accumulate(cum, 1)
+    mdd = np.maximum((runmax - cum).max(1), 1e-8)
+    ref = -(pr.mean(1) / mdd).mean()
+    ours = float(calmar_loss(jnp.asarray(w), jnp.asarray(r)))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_portfolio_loss_components(data):
+    """Full multi-objective loss vs numpy reference implementation."""
+    w, r, q, _ = data
+    B, T, A = r.shape
+    prev = np.roll(w, 1, axis=0)
+
+    pr = (w[:, None, :] * r).sum(-1).astype(np.float64)
+    sharpe = ((pr.mean(1)) / np.maximum(pr.std(1, ddof=1), 1e-8))
+    turnover = 0.001 * np.abs(w - prev).sum(-1).mean()
+    pos_pen = np.maximum(w - 0.3, 0).sum(-1).mean()
+    lev_pen = np.maximum(w.sum(-1) - 1.0, 0).mean()
+    cum = np.cumsum(pr, 1)
+    mdd = (np.maximum.accumulate(cum, 1) - cum).max(1).mean()
+    var_idx = int(0.05 * T)
+    srt = np.sort(pr, 1)
+    cvar = -srt[:, :var_idx].mean()
+    ref = (-sharpe.mean() + 0.1 * turnover + pos_pen + lev_pen
+           + 0.1 * mdd + 0.1 * cvar)
+
+    ours = float(portfolio_loss(jnp.asarray(w), jnp.asarray(r),
+                                prev_weights=jnp.asarray(prev)))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_risk_parity_loss_nonnegative_and_finite(data):
+    w, r, _, _ = data
+    v = float(risk_parity_loss(jnp.asarray(w), jnp.asarray(r)))
+    assert np.isfinite(v) and v >= 0
+
+
+def test_regime_conditional_loss_matches_loop(data):
+    """Vectorized einsum version vs a literal per-K loop in numpy."""
+    w, r, q_kt, _ = data
+    K = q_kt.shape[1]
+    B, T, A = r.shape
+    rp = np.transpose(q_kt, (0, 2, 1)).astype(np.float64)  # (B,T,K)
+    r64 = r.astype(np.float64)
+    w64 = w.astype(np.float64)
+    total = 0.0
+    for k in range(K):
+        wt = rp[:, :, k][:, :, None]
+        wr = r64 * wt
+        cen = wr - wr.mean(1, keepdims=True)
+        cov = np.einsum("bta,btc->bac", cen, cen) / T
+        pv = np.einsum("ba,bac,bc->b", w64, cov, w64)
+        prt = (w64[:, None, :] * wr).sum(-1)
+        sharpe_k = prt.mean(1) / np.sqrt(np.maximum(pv, 1e-8))
+        total -= sharpe_k.mean() * rp[:, -1, k].mean()
+    ours = float(regime_conditional_loss(jnp.asarray(w), jnp.asarray(r),
+                                         jnp.asarray(q_kt), K))
+    assert abs(ours - total) < 1e-4
+
+
+def test_transition_aware_loss(data):
+    w, r, q_kt, Amat = data
+    ours = float(transition_aware_loss(jnp.asarray(w), jnp.asarray(r),
+                                       jnp.asarray(q_kt), jnp.asarray(Amat)))
+    # numpy reference
+    cur = q_kt[:, :, -1].astype(np.float64)
+    A_last = Amat[:, -1].astype(np.float64)
+    fut = cur.copy()
+    for _ in range(5):
+        fut = np.einsum("bk,bkj->bj", fut, A_last)
+    change = 1 - (cur * fut).sum(-1)
+    pr = (w[:, None, :] * r).sum(-1).astype(np.float64)
+    sharpe = pr.mean(1) / np.maximum(pr.std(1, ddof=1), 1e-8)
+    ref = -(sharpe - 0.001 * change).mean()
+    assert abs(ours - ref) < 1e-5
+
+
+def test_regime_aware_sharpe_loss(data):
+    """Vs numpy reference: per-step confidence weighting + duration penalty
+    (reference: VQ_VAE_HMM_fixed.py:214-228)."""
+    w, r, q_kt, Amat = data
+    v = float(regime_aware_sharpe_loss(jnp.asarray(w), jnp.asarray(r),
+                                       jnp.asarray(q_kt),
+                                       jnp.asarray(Amat[:, -1])))
+    rp = np.transpose(q_kt, (0, 2, 1)).astype(np.float64)  # (B,T,K)
+    conf = rp.max(-1)
+    pr = (w[:, None, :] * r).sum(-1).astype(np.float64) * conf
+    diag = np.diagonal(Amat[:, -1], axis1=-2, axis2=-1).mean(-1)
+    duration = 1.0 / (1.0 - diag + 1e-8)
+    penalty = 0.01 / np.maximum(duration, 1.0)
+    sharpe = pr.mean(1) / np.maximum(pr.std(1, ddof=1), 1e-8)
+    ref = -(sharpe.mean() - penalty.mean())
+    assert abs(v - ref) < 1e-5
+
+
+def test_delta_hedge_loss(rng):
+    B, T, A = 4, 30, 3
+    h = rng.normal(size=(B, A)).astype(np.float32)
+    spot = rng.normal(0, 0.01, size=(B, T, A)).astype(np.float32)
+    fut = rng.normal(0, 0.01, size=(B, T, A)).astype(np.float32)
+    ours = float(delta_hedge_loss(jnp.asarray(h), jnp.asarray(spot),
+                                  jnp.asarray(fut)))
+    hedged = spot + h[:, None, :] * fut
+    ref = hedged.astype(np.float64).var(1, ddof=1).mean()
+    assert abs(ours - ref) < 1e-6
+
+
+def test_minimum_variance_hedge_ratio_regime_weighted(rng):
+    B, T, A, K = 3, 25, 2, 3
+    spot = rng.normal(0, 0.01, size=(B, T, A)).astype(np.float32)
+    fut = rng.normal(0, 0.01, size=(B, T, A)).astype(np.float32)
+    q = rng.dirichlet(np.ones(K), size=(B, T)).astype(np.float32)
+    q_kt = np.transpose(q, (0, 2, 1))
+    ours = np.asarray(minimum_variance_hedge_ratio(
+        jnp.asarray(spot), jnp.asarray(fut), jnp.asarray(q_kt), K))
+    # literal loop reference
+    rp = q.astype(np.float64)
+    ratios = []
+    for k in range(K):
+        wt = rp[:, :, k][:, :, None]
+        sw = spot * wt
+        fw = fut * wt
+        cov = (sw * fw).sum(1) / np.maximum(wt.sum(1), 1e-8)
+        var = (fw ** 2).sum(1) / np.maximum(wt.sum(1), 1e-8)
+        ratios.append(cov / np.maximum(var, 1e-8))
+    ratios = np.stack(ratios, 1)  # (B,K,A)
+    ref = (ratios * rp[:, -1, :][:, :, None]).sum(1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+    # unweighted path
+    u = np.asarray(minimum_variance_hedge_ratio(jnp.asarray(spot),
+                                                jnp.asarray(fut)))
+    ref_u = (spot * fut).mean(1) / np.maximum((fut ** 2).mean(1), 1e-8)
+    np.testing.assert_allclose(u, ref_u, rtol=1e-4)
+
+
+def test_optimal_hedge_frequency():
+    v = np.asarray(optimal_hedge_frequency(
+        jnp.asarray(0.2), jnp.asarray(0.001), jnp.asarray(2.0)))
+    ref = np.sqrt(8 * 0.001 / (np.pi * 0.04)) / 2.0
+    assert abs(float(v) - ref) < 1e-6

@@ -1,0 +1,74 @@
+"""Model-surface tests, including the reference smoke test's exact shapes
+(reference: tests/smoke_test.py:16-40)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu import ModelConfig, VAEHMM, make_model
+
+
+def test_reference_smoke_shapes():
+    """VAE_HMM(input_dim=5, hidden=8, K=3, hidden2=4, u_dim=2) on x:(1,5,16):
+    mu and logvar must match x's shape."""
+    model = make_model(5, 8, 3, 4, u_dim=2, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 16)),
+                    dtype=jnp.float32)
+    logits = model.encode(params, x)
+    q = jax.nn.softmax(logits, axis=1)
+    mu, logvar = model.decode(params, q)
+    assert mu.shape == x.shape
+    assert logvar.shape == x.shape
+    assert logits.shape == (1, 3, 16)
+
+
+def test_prior_accepts_both_layouts():
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    u_but = jnp.asarray(rng.normal(size=(2, 4, 9)), dtype=jnp.float32)
+    log_pi, log_A = model.prior(params, u_but)  # (B, U, T)
+    log_pi2, log_A2 = model.prior(params, jnp.transpose(u_but, (0, 2, 1)))
+    assert log_A.shape == (2, 9, 3, 3)
+    np.testing.assert_allclose(np.asarray(log_A), np.asarray(log_A2),
+                               atol=1e-6)
+    # rows of A normalize; pi normalizes
+    np.testing.assert_allclose(np.exp(np.asarray(log_A)).sum(-1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.exp(np.asarray(log_pi)).sum(), 1.0,
+                               atol=1e-6)
+
+
+def test_stationary_raises():
+    """u_dim=None raises, matching reference VQ_VAE_HMM_fixed.py:50-51."""
+    with pytest.raises(ValueError):
+        VAEHMM(ModelConfig(u_dim=None))
+
+
+def test_loss_requires_lengths():
+    model = make_model(5, 8, 3, 4, u_dim=2, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 5, 8))
+    u = jnp.zeros((1, 2, 8))
+    with pytest.raises(ValueError):
+        model.compute_loss(params, x, u, None)
+
+
+def test_jit_and_grad_compose():
+    model = make_model(5, 8, 3, 4, u_dim=2, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 5, 12)), dtype=jnp.float32)
+    u = jnp.asarray(rng.normal(size=(2, 2, 12)), dtype=jnp.float32)
+    lengths = jnp.array([12, 7])
+
+    fn = jax.jit(jax.value_and_grad(
+        lambda p: model.compute_loss(p, x, u, lengths, 0.5)))
+    loss, grads = fn(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # every parameter receives gradient signal
+    assert all(np.any(np.asarray(g) != 0) for g in leaves)

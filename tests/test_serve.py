@@ -1,0 +1,98 @@
+"""Serving contract tests (reference contract: inference_api/app.py:51-75).
+
+Drives the stdlib HTTP server end-to-end over a real socket: GET /health,
+POST /infer with [C][T] payload -> mu/logvar/regime_probs, plus error
+paths (wrong shape -> 400, missing field -> 400, unknown route -> 404).
+"""
+
+import json
+import os
+import socket
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = {
+        "model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                  "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+        "checkpoint_path": str(tmp / "nonexistent"),
+    }
+    cfg_path = tmp / "inference_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from vqvaehmm_tpu.serve.httpd import serve
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(str(cfg_path), host="127.0.0.1", port=port,
+                  background=True)
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health") as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read()) == {"status": "ok"}
+
+
+def test_infer_contract(server):
+    x = np.random.default_rng(0).normal(size=(5, 37)).tolist()
+    status, out = _post(server + "/infer", {"x": x})
+    assert status == 200
+    assert set(out) == {"mu", "logvar", "regime_probs"}
+    mu = np.array(out["mu"])
+    q = np.array(out["regime_probs"])
+    assert mu.shape == (5, 37)
+    assert q.shape == (3, 37)
+    np.testing.assert_allclose(q.sum(axis=0), 1.0, atol=1e-4)
+
+
+def test_infer_padding_invariance(server):
+    """Bucketed padding must not change results for the same sequence.
+
+    Comparing a T=40 request against its T=33 prefix: positions within the
+    2-conv receptive field of the cut (t >= 31) legitimately differ (the
+    conv sees real data vs the sequence end — same as the reference on
+    differently-truncated inputs); everything before must match exactly.
+    """
+    rng = np.random.default_rng(1)
+    x_long = rng.normal(size=(5, 40))
+    _, out1 = _post(server + "/infer", {"x": x_long.tolist()})
+    _, out2 = _post(server + "/infer", {"x": x_long[:, :33].tolist()})
+    q1 = np.array(out1["regime_probs"])[:, :31]
+    q2 = np.array(out2["regime_probs"])[:, :31]
+    np.testing.assert_allclose(q1, q2, atol=1e-5)
+
+
+def test_infer_wrong_shape_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/infer", {"x": [[1.0, 2.0]]})  # C=1, not 5
+    assert e.value.code == 400
+
+
+def test_infer_missing_field_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/infer", {"y": []})
+    assert e.value.code == 400
+
+
+def test_unknown_route_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope")
+    assert e.value.code == 404

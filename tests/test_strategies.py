@@ -1,0 +1,142 @@
+"""Training strategies: MAML meta-learning, online EMA, walk-forward, and
+the two-stage frozen-posterior head trainers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu import make_model
+from vqvaehmm_tpu.data.synthetic import synthetic_returns, synthetic_sequences
+from vqvaehmm_tpu.losses import sharpe_loss
+from vqvaehmm_tpu.models import HeadConfig, RegimePortfolioOptimizer
+from vqvaehmm_tpu.train import (MetaPortfolioOptimizer,
+                                OnlinePortfolioOptimizer, WalkForwardTrainer,
+                                train_delta_hedger, train_portfolio,
+                                train_portfolio_optimizer)
+
+CFG = HeadConfig(K=3, n_assets=4, hidden_dim=8)
+
+
+def _head():
+    m = RegimePortfolioOptimizer(CFG)
+    return m, m.init(jax.random.PRNGKey(0))
+
+
+def _task(rng, B=8, T=10):
+    q = rng.dirichlet(np.ones(3), size=B).astype(np.float32)
+    r = rng.normal(1e-3, 0.01, size=(B, T, 4)).astype(np.float32)
+    return q, r
+
+
+def test_meta_optimizer_adapts(rng):
+    model, params = _head()
+    meta = MetaPortfolioOptimizer(model, params, inner_lr=0.05,
+                                  outer_lr=0.01, n_inner=3)
+    support = _task(rng)
+    adapted = meta.adapt(support, sharpe_loss)
+    # adapted params differ from originals
+    diffs = [float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(adapted),
+        jax.tree_util.tree_leaves(meta.params))]
+    assert max(diffs) > 0
+
+    tasks = [(_task(rng, 8), _task(rng, 8)) for _ in range(2)]
+    l0 = meta.meta_update(tasks, sharpe_loss)
+    for _ in range(5):
+        l1 = meta.meta_update(tasks, sharpe_loss)
+    assert np.isfinite(l1)
+    assert l1 <= l0 + 0.5  # improving or at least not exploding
+
+
+def test_online_optimizer_ema(rng):
+    model, params = _head()
+    opt = OnlinePortfolioOptimizer(model, params, lr=0.01, ema_decay=0.5)
+    q, r = _task(rng)
+    losses = [opt.update(q, r) for _ in range(10)]
+    assert all(np.isfinite(l) for l in losses)
+    # EMA differs from live params until use_ema() swaps them in
+    d = [float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(opt.params),
+        jax.tree_util.tree_leaves(opt.ema_params))]
+    assert max(d) > 0
+    opt.use_ema()
+    d = [float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(opt.params),
+        jax.tree_util.tree_leaves(opt.ema_params))]
+    assert max(d) == 0
+
+
+def test_walk_forward_trainer(rng):
+    model, params = _head()
+    n = 400
+    q = rng.dirichlet(np.ones(3), size=n).astype(np.float32)
+    r = rng.normal(1e-3, 0.01, size=(n, 5, 4)).astype(np.float32)
+    wf = WalkForwardTrainer(model, params, sharpe_loss, train_window=100,
+                            test_window=20, retrain_freq=50, lr=0.01)
+    results = wf.run((q, r), n_periods=3)
+    assert len(results) == 3
+    for res in results:
+        assert np.isfinite(res["train_loss"])
+        assert np.isfinite(res["test_sharpe"])
+
+
+@pytest.fixture
+def frozen_vae():
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(1))
+    return model, params
+
+
+def _batches(rng, n_batches=2, B=8, T=24):
+    out = []
+    for _ in range(n_batches):
+        x = rng.normal(size=(B, 5, T)).astype(np.float32)
+        u = rng.normal(size=(B, 4, T)).astype(np.float32)
+        lengths = np.full(B, T, np.int32)
+        out.append((x, u, lengths))
+    return out
+
+
+def test_train_portfolio_full(frozen_vae, rng):
+    vae, vae_params = frozen_vae
+    head, head_params = _head()
+    batches = _batches(rng)
+    rets = synthetic_returns(2, 8, horizon=20, n_assets=4, seed=0)
+    res = train_portfolio(head, head_params, vae, vae_params, batches, rets,
+                          num_epochs=3, lr=0.01, log_fn=None)
+    assert len(res.history) == 3
+    assert all(np.isfinite(h) for h in res.history)
+    # frozen VAE: vae params must be untouched (pure functions, trivially
+    # true, but the head must have moved)
+    moved = [float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(res.params),
+        jax.tree_util.tree_leaves(head_params))]
+    assert max(moved) > 0
+
+
+def test_train_portfolio_optimizer_simple(frozen_vae, rng):
+    vae, vae_params = frozen_vae
+    head, head_params = _head()
+    batches = _batches(rng)
+    rets = synthetic_returns(2, 8, horizon=20, n_assets=4, seed=1)
+    res = train_portfolio_optimizer(head, head_params, vae, vae_params,
+                                    batches, rets, num_epochs=3, lr=0.01,
+                                    log_fn=None)
+    assert len(res.history) == 3
+
+
+def test_train_delta_hedger(frozen_vae, rng):
+    from vqvaehmm_tpu.models import RegimeDeltaHedger
+
+    vae, vae_params = frozen_vae
+    cfg = HeadConfig(K=3, n_assets=5, hidden_dim=8)
+    hedger = RegimeDeltaHedger(cfg)
+    hp = hedger.init(jax.random.PRNGKey(2))
+    batches = _batches(rng, B=4, T=16)
+    futures = [rng.normal(0, 0.01, size=(4, 15, 5)).astype(np.float32)
+               for _ in range(2)]
+    res = train_delta_hedger(hedger, hp, vae, vae_params, batches, futures,
+                             num_epochs=3, lr=0.01, log_fn=None)
+    assert len(res.history) == 3
+    assert res.history[-1] <= res.history[0] * 1.5

@@ -1,0 +1,193 @@
+"""Typed configuration for the TPU-native VQ-VAE-HMM framework.
+
+One dataclass-based config system replacing the reference's three ad-hoc
+mechanisms (YAML dicts in configs/config.yaml, JSON dicts in
+training_pipeline/train_config.json + inference_config.json, and module-level
+constants in train.py:7-28).  Field names and defaults are the union of the
+reference keys (reference: configs/config.yaml:1-34,
+training_pipeline/train_config.json, inference_config.json).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """VAE_HMM architecture hyperparameters.
+
+    Matches the reference constructor signature
+    VAE_HMM(input_dim, hidden_dim, K, hidden_dim2, u_dim, trans_hidden)
+    (reference: VQ_VAE_HMM_fixed.py:93).
+    """
+
+    input_dim: int = 5
+    hidden_dim: int = 64
+    K: int = 3
+    hidden_dim2: int = 32
+    u_dim: Optional[int] = 4
+    trans_hidden: int = 128
+    # --- TPU-native extensions (not in reference) ---
+    # Compute dtype for the fast path; parity path always runs f32/highest.
+    compute_dtype: str = "float32"
+    # Matmul precision: "default" | "float32" | "highest".
+    matmul_precision: str = "highest"
+    # True VQ codebook (pseudocode.txt capability upgrade); latent dim of the
+    # codebook.  None => soft mean-field lookup only (reference behaviour).
+    vq_latent_dim: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Chunking / padding (reference: VQ_VAE_HMM_fixed.py:10-29, config.yaml:27-30)."""
+
+    min_len: int = 20
+    max_len: int = 200
+    # Pad every batch to a length from this bucket ladder instead of the batch
+    # max, so XLA compiles a handful of shapes instead of one per batch.
+    # () or None => always pad to max_len (single compilation).
+    length_buckets: Tuple[int, ...] = ()
+    samples_per_epoch: int = 1000  # reference __len__ hardcodes 1000 (:17-18)
+    x_sequences_path: str = "data/x_sequences.npy"
+    u_sequences_path: str = "data/u_sequences.npy"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop hyperparameters (reference: configs/config.yaml:10-16)."""
+
+    batch_size: int = 64
+    num_epochs: int = 150
+    learning_rate: float = 1e-5
+    beta_warmup: bool = True
+    gradient_clip: Optional[float] = None  # reference train_model does not clip
+    seed: int = 42
+    checkpoint_dir: str = "checkpoints"
+    save_freq: int = 10
+    # Fuse this many optimizer steps into one jitted lax.scan (removes the
+    # per-step host dispatch + loss.item() sync the reference pays).
+    steps_per_call: int = 0  # 0 => whole epoch in one scan
+
+
+@dataclass(frozen=True)
+class PortfolioConfig:
+    """Downstream head hyperparameters (reference: configs/config.yaml:18-24)."""
+
+    n_assets: int = 10
+    hidden_dim: int = 64
+    transaction_cost: float = 0.001
+    max_weight: float = 0.3
+    risk_free_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD execution. The reference is single-device
+    (SURVEY.md section 2.9); here data-parallelism over ICI is first-class."""
+
+    data_axis: str = "data"
+    # None => use all visible devices on the data axis.
+    num_devices: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    training: TrainConfig = field(default_factory=TrainConfig)
+    portfolio: PortfolioConfig = field(default_factory=PortfolioConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    checkpoint_path: str = "checkpoints/vae_hmm_trained"
+
+
+# ---------------------------------------------------------------------------
+# Loading / merging
+# ---------------------------------------------------------------------------
+
+_SECTION_TYPES = {
+    "model": ModelConfig,
+    "data": DataConfig,
+    "training": TrainConfig,
+    "portfolio": PortfolioConfig,
+    "mesh": MeshConfig,
+}
+
+# Reference configs use a few alternative key spellings; accept them all.
+_KEY_ALIASES = {
+    "training": {"epochs": "num_epochs", "lr": "learning_rate"},
+}
+
+
+def _coerce_section(name: str, cls, raw: Dict[str, Any]):
+    aliases = _KEY_ALIASES.get(name, {})
+    known = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in raw.items():
+        k = aliases.get(k, k)
+        if k in known:
+            if k == "length_buckets" and v is not None:
+                v = tuple(v)
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    """Build a Config from a nested dict (JSON/YAML payload).
+
+    Unknown keys are ignored so reference train_config.json /
+    inference_config.json files load unchanged.
+    """
+    sections = {}
+    for name, cls in _SECTION_TYPES.items():
+        if name in raw and isinstance(raw[name], dict):
+            sections[name] = _coerce_section(name, cls, raw[name])
+    top = {}
+    if "checkpoint_path" in raw:
+        top["checkpoint_path"] = raw["checkpoint_path"]
+    return Config(**sections, **top)
+
+
+def load_config(path: str) -> Config:
+    """Load a Config from a .json or .yaml/.yml file.
+
+    Replaces the reference's load_config variants
+    (training_pipeline/train.py:24-34, inference_api/app.py:29-39).
+    """
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+    elif path.endswith(".json"):
+        with open(path) as f:
+            raw = json.load(f)
+    else:
+        raise ValueError(f"Unsupported config format: {path}")
+    return config_from_dict(raw or {})
+
+
+def config_to_dict(cfg: Config) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply CLI 'section.key=value' overrides, e.g. 'training.lr=1e-4'."""
+    raw = config_to_dict(cfg)
+    for item in overrides:
+        key, _, value = item.partition("=")
+        parts = key.strip().split(".")
+        node = raw
+        for p in parts[:-1]:
+            node = node[p]
+        leaf = parts[-1]
+        section = parts[0] if len(parts) > 1 else None
+        leaf = _KEY_ALIASES.get(section, {}).get(leaf, leaf)
+        try:
+            node[leaf] = json.loads(value)
+        except json.JSONDecodeError:
+            node[leaf] = value
+    return config_from_dict(raw)

@@ -1,0 +1,81 @@
+"""Checkpointing with true resume: params + optimizer state + step + PRNG.
+
+Upgrade over the reference, which only saves bare state_dicts at the end of
+training (train.py:91-92, training_pipeline/train.py:134-137) and ships an
+unused full-state helper (src/utils/data.py:47-60); config mentions
+periodic save_freq but nothing implements it (SURVEY.md section 5).
+
+Orbax handles the on-disk format; save/load operate on the whole TrainState
+pytree so training resumes exactly (including Adam moments).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover - orbax is in the image, but be safe
+    _HAVE_ORBAX = False
+
+
+def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
+    """Save a TrainState (or any pytree) + optional metadata dict."""
+    path = os.path.abspath(path)
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        payload = {"state": state}
+        if metadata:
+            payload["metadata"] = metadata
+        ckptr.save(path, payload, force=True)
+    else:
+        flat, treedef = jax.tree_util.tree_flatten(state)
+        np.savez(path + ".npz", *[np.asarray(a) for a in flat])
+
+
+def load_checkpoint(path: str, target=None) -> Any:
+    """Load; with `target` (a template pytree) restores exact structure."""
+    path = os.path.abspath(path)
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        if target is not None:
+            restored = ckptr.restore(path, item={"state": target})
+            return restored["state"]
+        return ckptr.restore(path)["state"]
+    raise RuntimeError("orbax unavailable and no fallback written")
+
+
+def save_params_npz(path: str, params):
+    """Portable flat-npz export of a param pytree (keys are /-joined)."""
+    flat = _flatten("", params)
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_params_npz(path: str) -> Dict:
+    data = np.load(path)
+    out: Dict = {}
+    for key in data.files:
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return out
+
+
+def _flatten(prefix: str, tree) -> Dict[str, Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(f"{prefix}/{k}" if prefix else str(k), v))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(f"{prefix}/{i}", v))
+    else:
+        out[prefix] = tree
+    return out

@@ -1,0 +1,133 @@
+"""Host-side data pipeline: random chunk sampling + static-shape batching.
+
+Reference semantics (VQ_VAE_HMM_fixed.py:10-29, 164-179): RandomChunkDataset
+draws a random source sequence, a random chunk length in [min_len,
+min(max_len, seq_len)] and a random start; collate_fn zero-pads the batch to
+the batch max length and returns (x, u, lengths).
+
+TPU-native differences (SURVEY.md section 7 "Variable-length batching"):
+
+* Sampling runs in numpy on the host; batches are materialized as numpy
+  arrays and transferred once per step (or once per epoch for the scan
+  trainer) — no per-item tensor creation on device like the reference's
+  device-pinned collate (VQ_VAE_HMM_fixed.py:172-173).
+* Batches are padded to a *fixed* length (max_len, or the smallest bucket
+  >= the batch max when `length_buckets` is set) instead of the batch max,
+  so XLA compiles one (or a handful of) shapes instead of one per batch.
+  Because every ELBO term is masked and every normalizer depends only on
+  `lengths` (VQ_VAE_HMM_fixed.py:120,131,135), padding farther than the
+  batch max provably does not change the loss — see
+  tests/test_elbo_parity.py::test_padding_invariance.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class RandomChunkDataset:
+    """Random variable-length chunks from a pool of (C, T_i) sequences.
+
+    API-compatible with the reference class (VQ_VAE_HMM_fixed.py:10-29):
+    len() == samples_per_epoch (reference hardcodes 1000), __getitem__
+    ignores idx and samples randomly.
+    """
+
+    def __init__(self, x_sequences, u_sequences, min_len: int = 20,
+                 max_len: int = 200, samples_per_epoch: int = 1000,
+                 seed: Optional[int] = None):
+        self.x_seqs = [np.asarray(x, dtype=np.float32) for x in x_sequences]
+        self.u_seqs = [np.asarray(u, dtype=np.float32) for u in u_sequences]
+        if len(self.x_seqs) != len(self.u_seqs):
+            raise ValueError("x_sequences and u_sequences must align")
+        self.min_len = min_len
+        self.max_len = max_len
+        self.samples_per_epoch = samples_per_epoch
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.samples_per_epoch
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        seq_idx = int(self.rng.integers(0, len(self.x_seqs)))
+        x_seq = self.x_seqs[seq_idx]
+        u_seq = self.u_seqs[seq_idx]
+        seq_len = x_seq.shape[1]
+        hi = min(self.max_len, seq_len)
+        chunk_len = int(self.rng.integers(self.min_len, hi + 1))
+        start = int(self.rng.integers(0, seq_len - chunk_len + 1))
+        return (x_seq[:, start:start + chunk_len],
+                u_seq[:, start:start + chunk_len], chunk_len)
+
+
+def pick_bucket(batch_max: int, buckets: Sequence[int],
+                max_len: int) -> int:
+    """Smallest bucket >= batch_max, else max_len."""
+    for b in sorted(buckets):
+        if b >= batch_max:
+            return b
+    return max_len
+
+
+def collate_fn(batch: List[Tuple[np.ndarray, np.ndarray, int]],
+               pad_to: Optional[int] = None):
+    """Zero-pad a list of (x:(C,L), u:(U,L), L) to (B,C,T),(B,U,T),(B,).
+
+    With pad_to=None this matches the reference collate exactly (pad to the
+    batch max, VQ_VAE_HMM_fixed.py:164-179) but returns host numpy arrays
+    instead of device-pinned tensors.  Pass pad_to for static-shape batches.
+    """
+    lengths = np.array([item[2] for item in batch], dtype=np.int32)
+    T = int(pad_to) if pad_to is not None else int(lengths.max())
+    B = len(batch)
+    C = batch[0][0].shape[0]
+    U = batch[0][1].shape[0]
+    x = np.zeros((B, C, T), dtype=np.float32)
+    u = np.zeros((B, U, T), dtype=np.float32)
+    for i, (xi, ui, L) in enumerate(batch):
+        x[i, :, :L] = xi
+        u[i, :, :L] = ui
+    return x, u, lengths
+
+
+def batch_iterator(dataset: RandomChunkDataset, batch_size: int,
+                   length_buckets: Sequence[int] = (),
+                   drop_last: bool = True
+                   ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield statically-shaped (x, u, lengths) batches for one epoch."""
+    n = len(dataset)
+    items: List[Tuple[np.ndarray, np.ndarray, int]] = []
+    for i in range(n):
+        items.append(dataset[i])
+        if len(items) == batch_size:
+            yield _pad_batch(items, dataset.max_len, length_buckets)
+            items = []
+    if items and not drop_last:
+        yield _pad_batch(items, dataset.max_len, length_buckets)
+
+
+def _pad_batch(items, max_len, buckets):
+    batch_max = max(it[2] for it in items)
+    pad_to = pick_bucket(batch_max, buckets, max_len) if buckets else max_len
+    return collate_fn(items, pad_to=pad_to)
+
+
+def epoch_arrays(dataset: RandomChunkDataset, batch_size: int,
+                 num_batches: Optional[int] = None):
+    """Materialize a whole epoch as stacked arrays for the scan trainer.
+
+    Returns (x:(N,B,C,T), u:(N,B,U,T), lengths:(N,B)) padded to max_len so a
+    single jitted lax.scan consumes the epoch without host round-trips.
+    """
+    if num_batches is None:
+        num_batches = len(dataset) // batch_size
+    xs, us, ls = [], [], []
+    for _ in range(num_batches):
+        items = [dataset[i] for i in range(batch_size)]
+        x, u, l = collate_fn(items, pad_to=dataset.max_len)
+        xs.append(x)
+        us.append(u)
+        ls.append(l)
+    return np.stack(xs), np.stack(us), np.stack(ls)

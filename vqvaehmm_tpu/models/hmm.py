@@ -1,0 +1,211 @@
+"""Stationary hidden Markov model with exact native inference.
+
+Covers — natively, without TensorFlow Probability — everything the
+reference's `hmm.py` delegates to `tfd.HiddenMarkovModel` (reference:
+hmm.py:30-42: construction from initial/transition/observation
+distributions, `mean()`, `log_prob()`), and fills the reference's
+deliberately-unimplemented stationary-transition hole
+(VQ_VAE_HMM_fixed.py:50-51).  Also provides Baum-Welch EM over discrete
+code-index sequences, the `hmm.train_em` step of the reference's VQ design
+sketch (pseudocode.txt:26-27).
+
+All inference runs through the log-space scan kernels in ops/hmm.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import hmm as ops
+from ..ops.precise import pexp, plog, plogsumexp
+
+
+class GaussianEmission(NamedTuple):
+    loc: jnp.ndarray    # (K,) or (K, D)
+    scale: jnp.ndarray  # same shape
+
+    def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B,T) scalar or (B,T,D) -> (B,T,K)."""
+        loc, scale = self.loc, self.scale
+        if loc.ndim == 1:
+            z = (x[..., None] - loc) / scale
+            return -0.5 * z * z - plog(scale) - 0.5 * math.log(2 * math.pi)
+        z = (x[..., None, :] - loc) / scale  # (B,T,K,D)
+        lp = -0.5 * z * z - plog(scale) - 0.5 * math.log(2 * math.pi)
+        return lp.sum(-1)
+
+    def mean_per_state(self) -> jnp.ndarray:
+        return self.loc
+
+
+class CategoricalEmission(NamedTuple):
+    logits: jnp.ndarray  # (K, V) observation log-prob per state
+
+    def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B,T) int observations -> (B,T,K)."""
+        log_B = self.logits - plogsumexp(self.logits, axis=-1, keepdims=True)
+        return log_B.T[x]  # (B,T,K) via (V,K) lookup
+
+    def mean_per_state(self) -> jnp.ndarray:
+        probs = pexp(self.logits - plogsumexp(self.logits, -1, keepdims=True))
+        v = jnp.arange(self.logits.shape[-1], dtype=probs.dtype)
+        return (probs * v).sum(-1)
+
+
+class HiddenMarkovModel:
+    """Stationary HMM over K states.
+
+    Construction mirrors the reference's TFP call
+    (initial/transition/observation; reference hmm.py:30-34) but from plain
+    arrays; `num_steps` fixes the horizon for `mean()`/`sample()` defaults.
+    """
+
+    def __init__(self, initial_probs, transition_probs, emission,
+                 num_steps: Optional[int] = None):
+        self.log_pi = plog(jnp.asarray(initial_probs, jnp.float32))
+        self.log_A = plog(jnp.asarray(transition_probs, jnp.float32))
+        self.emission = emission
+        self.num_steps = num_steps
+        self.K = self.log_pi.shape[0]
+
+    # -- state-marginal utilities ------------------------------------
+
+    def state_marginals(self, num_steps: Optional[int] = None) -> jnp.ndarray:
+        """(T, K) marginal state distributions pi @ A^t."""
+        T = num_steps or self.num_steps
+        A = pexp(self.log_A)
+
+        def step(p, _):
+            p = p @ A
+            return p, p
+
+        p0 = pexp(self.log_pi)
+        _, ps = jax.lax.scan(step, p0, None, length=T - 1)
+        return jnp.concatenate([p0[None], ps], axis=0)
+
+    def mean(self, num_steps: Optional[int] = None) -> jnp.ndarray:
+        """E[x_t] per step (reference hmm.py:38: model.mean())."""
+        marg = self.state_marginals(num_steps)
+        mps = self.emission.mean_per_state()
+        if mps.ndim == 1:
+            return marg @ mps
+        return marg @ mps  # (T, D)
+
+    # -- inference ----------------------------------------------------
+
+    def _log_obs(self, x) -> Tuple[jnp.ndarray, bool]:
+        """Emission log-probs (B,T,K); accepts unbatched sequences too."""
+        x = jnp.asarray(x)
+        if isinstance(self.emission, CategoricalEmission) or \
+                self.emission.loc.ndim == 1:
+            unbatched = x.ndim == 1   # obs are scalars / ints per step
+        else:
+            unbatched = x.ndim == 2   # obs are (T, D)
+        if unbatched:
+            x = x[None]
+        return self.emission.log_prob(x), unbatched
+
+    def log_prob(self, x, lengths=None) -> jnp.ndarray:
+        """Sequence log-likelihood (reference hmm.py:42: model.log_prob)."""
+        log_obs, squeeze = self._log_obs(x)
+        ll = ops.forward(self.log_pi, self.log_A, log_obs, lengths
+                         ).log_likelihood
+        return ll[0] if squeeze else ll
+
+    def posterior_marginals(self, x, lengths=None) -> jnp.ndarray:
+        log_obs, squeeze = self._log_obs(x)
+        g = ops.posterior_marginals(self.log_pi, self.log_A, log_obs, lengths)
+        return g[0] if squeeze else g
+
+    def posterior_mode(self, x, lengths=None) -> jnp.ndarray:
+        """Viterbi MAP state path."""
+        log_obs, squeeze = self._log_obs(x)
+        v = ops.viterbi(self.log_pi, self.log_A, log_obs, lengths)
+        return v.states[0] if squeeze else v.states
+
+    def sample(self, key: jax.Array, num_steps: Optional[int] = None,
+               batch: int = 1):
+        """Ancestral sample of (states, observations)."""
+        T = num_steps or self.num_steps
+        kz, kx = jax.random.split(key)
+        states = ops.sample(kz, self.log_pi, self.log_A, T, batch)
+        if isinstance(self.emission, CategoricalEmission):
+            logits = self.emission.logits[states]
+            obs = jax.random.categorical(kx, logits)
+        else:
+            loc = self.emission.loc[states]
+            scale = self.emission.scale[states]
+            obs = loc + scale * jax.random.normal(kx, loc.shape)
+        return states, obs
+
+
+class EMResult(NamedTuple):
+    model: "HiddenMarkovModel"
+    log_likelihoods: jnp.ndarray  # (n_iters,) total data log-likelihood
+
+
+def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
+                       n_iters: int = 50, seed: int = 0,
+                       lengths: Optional[jnp.ndarray] = None,
+                       pseudocount: float = 1e-3,
+                       n_init: int = 4) -> EMResult:
+    """Baum-Welch EM for an HMM with categorical emissions over code indices.
+
+    This is `hmm.train_em(all_code_indices)` from the reference design
+    sketch (pseudocode.txt:26-27), fully batched: E-step = forward-backward
+    scans over all sequences at once; M-step = masked expected-count
+    updates.  codes: (B, T) int in [0, V).
+
+    EM is multimodal; `n_init` random restarts run *in parallel* via vmap
+    (one batched program, not n sequential fits) and the best final
+    log-likelihood wins.
+    """
+    codes = jnp.asarray(codes, jnp.int32)
+    B, T = codes.shape
+
+    valid = (jnp.arange(T)[None, :] < lengths[:, None]) if lengths is not None \
+        else jnp.ones((B, T), bool)
+    onehot = jax.nn.one_hot(codes, V) * valid[..., None]  # (B,T,V)
+
+    def init_one(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return (plog(jax.random.dirichlet(k1, jnp.ones(K))),
+                plog(jax.random.dirichlet(k2, jnp.full(K, 2.0), shape=(K,))),
+                plog(jax.random.dirichlet(k3, jnp.ones(V), shape=(K,))))
+
+    def em_step(carry, _):
+        log_pi, log_A, log_Bm = carry
+        log_obs = log_Bm.T[codes]  # (B,T,K)
+        fwd = ops.forward(log_pi, log_A, log_obs, lengths)
+        gamma = ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
+        xi = ops.pairwise_marginals(log_pi, log_A, log_obs, lengths)
+        if lengths is not None:
+            pair_valid = valid[:, 1:] & valid[:, :-1]
+            xi = xi * pair_valid[:, :, None, None]
+        gamma_m = gamma * valid[..., None]
+
+        pi_new = gamma[:, 0].sum(0) + pseudocount
+        A_new = xi.sum((0, 1)) + pseudocount
+        B_new = jnp.einsum("btk,btv->kv", gamma_m, onehot) + pseudocount
+
+        new = (plog(pi_new / pi_new.sum()),
+               plog(A_new / A_new.sum(-1, keepdims=True)),
+               plog(B_new / B_new.sum(-1, keepdims=True)))
+        return new, fwd.log_likelihood.sum()
+
+    def run_one(key):
+        return jax.lax.scan(em_step, init_one(key), None, length=n_iters)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_init)
+    (log_pis, log_As, log_Bms), lls = jax.vmap(run_one)(keys)  # lls (R, I)
+    best = jnp.argmax(lls[:, -1])
+    log_pi = log_pis[best]
+    log_A = log_As[best]
+    log_Bm = log_Bms[best]
+    model = HiddenMarkovModel(pexp(log_pi), pexp(log_A),
+                              CategoricalEmission(log_Bm), num_steps=T)
+    return EMResult(model, lls[best])

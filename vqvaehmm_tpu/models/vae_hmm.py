@@ -1,0 +1,234 @@
+"""Canonical VAE-HMM regime-detection model, TPU-native.
+
+This is the single canonical implementation replacing the reference's three
+generations of the same model (VQ_VAE_HMM_fixed.py:31-143 — canonical;
+src/models/vae_hmm.py:8-126 and VI_HMM.py:7-153 — duplicates; see SURVEY.md
+"Duplicate-code topology").  Semantics follow VQ_VAE_HMM_fixed.py exactly:
+
+* Encoder: Conv1d(k=3, SAME) + ReLU x2 -> 1x1 Conv to K regime logits over
+  time; x:(B,C,T) -> logits:(B,K,T)          (reference :31-41)
+* Prior: learnable initial logits + MLP u_t -> KxK row-log-softmax giving a
+  time-varying transition tensor log_A:(B,T,K,K)   (reference :43-71)
+* Decoder: soft codebook lookup e = q^T E, Conv1d stack -> (mu, logvar)
+  Gaussian emission parameters                 (reference :73-90)
+* compute_loss: masked negative ELBO with the reference's exact three
+  normalizations (recon / (mask.sum()*C); prior batch-mean; entropy / B)
+  (reference :106-137) — parity target <=1e-4 per BASELINE.json.
+
+Design is functional: a `VAEHMM` object holds only the static ModelConfig;
+parameters live in an explicit pytree, so every method is jit/pjit/vmap/grad
+transparent.  Arrays keep the reference's public (B, C, T) layout; XLA picks
+TPU-internal layouts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..core.masking import length_mask, pairwise_mask
+from ..ops import nn as ops
+from ..ops.precise import pexp, plog, plog_softmax, psoftmax
+
+Params = Dict
+
+
+class VAEHMM:
+    """Mean-field VAE with an input-conditioned HMM prior over K regimes."""
+
+    def __init__(self, cfg: ModelConfig):
+        if cfg.u_dim is None:
+            # The reference deliberately raises here
+            # (VQ_VAE_HMM_fixed.py:50-51).  Stationary transitions are
+            # supported by the standalone HMM module (models/hmm.py) instead.
+            raise ValueError(
+                "Stationary transitions not implemented in VAEHMM; use "
+                "vqvaehmm_tpu.models.hmm.HiddenMarkovModel for stationary "
+                "chains, or pass u_dim.")
+        self.cfg = cfg
+        self.precision = ops.resolve_precision(cfg.matmul_precision)
+
+    # ------------------------------------------------------------------
+    # Parameters
+    # ------------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, 9)
+        enc = {
+            "conv1": ops.init_conv1d(keys[0], cfg.input_dim, cfg.hidden_dim, 3),
+            "conv2": ops.init_conv1d(keys[1], cfg.hidden_dim, cfg.hidden_dim2, 3),
+            "to_logits": ops.init_conv1d(keys[2], cfg.hidden_dim2, cfg.K, 1),
+        }
+        prior = {
+            "log_prior": jnp.zeros((cfg.K,), jnp.float32),
+            "fc1": ops.init_linear(keys[3], cfg.u_dim, cfg.trans_hidden),
+            "fc2": ops.init_linear(keys[4], cfg.trans_hidden, cfg.K * cfg.K),
+        }
+        # Decoder latent dim == hidden_dim (reference ctor wires
+        # Decoder(K, hidden_dim, hidden_dim, input_dim) at :98).
+        dec = {
+            "embeddings": ops.init_embedding(keys[5], cfg.K, cfg.hidden_dim),
+            "conv1": ops.init_conv1d(keys[6], cfg.hidden_dim, cfg.hidden_dim, 3),
+            "conv2": ops.init_conv1d(keys[7], cfg.hidden_dim, cfg.hidden_dim, 3),
+            "to_params": ops.init_conv1d(keys[8], cfg.hidden_dim,
+                                         cfg.input_dim * 2, 1),
+        }
+        return {"encoder": enc, "prior": prior, "decoder": dec}
+
+    # ------------------------------------------------------------------
+    # Sub-modules
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _time_bound_mask(T: int, valid_to, dtype):
+        """(1,1,T) mask zeroing t >= valid_to.
+
+        Why this exists: the reference pads each batch to the *batch max*
+        length, so the longest row's conv stack sees the array boundary at
+        t = max(lengths).  Under fixed-length padding (our static-shape
+        batching), stacked SAME convs would otherwise leak activations from
+        t >= max(lengths) back into t = max(lengths)-1 via the second
+        conv's receptive field, breaking exact (<=1e-4) parity.  Masking
+        intermediate activations at t >= valid_to makes fixed-length
+        padding bit-equivalent to the reference's batch-max padding.
+        """
+        return (jnp.arange(T) < valid_to).astype(dtype)[None, None, :]
+
+    def encode(self, params: Params, x: jnp.ndarray,
+               valid_to=None) -> jnp.ndarray:
+        """x:(B,C,T) -> regime logits (B,K,T).
+
+        valid_to (optional scalar): treat the time axis as ending there
+        (see _time_bound_mask).  Without it the full array is the sequence,
+        matching reference behaviour for exactly-sized inputs.
+        """
+        p = params["encoder"]
+        h = jax.nn.relu(ops.conv1d_same(p["conv1"], x, precision=self.precision))
+        if valid_to is not None:
+            h = h * self._time_bound_mask(h.shape[-1], valid_to, h.dtype)
+        h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision))
+        return ops.conv1d_same(p["to_logits"], h, precision=self.precision)
+
+    def prior(self, params: Params,
+              u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """u:(B,U,T) or (B,T,U) -> (log_pi:(K,), log_A:(B,T,K,K)).
+
+        Accepts both layouts via the reference's dim-sniffing rule
+        (VQ_VAE_HMM_fixed.py:64-65): if dim 1 equals u_dim, treat as (B,U,T).
+        """
+        cfg = self.cfg
+        p = params["prior"]
+        if u is None:
+            raise ValueError("u required for non-stationary transitions")
+        if u.ndim == 3 and u.shape[1] == cfg.u_dim:
+            u = jnp.transpose(u, (0, 2, 1))
+        B, T, _ = u.shape
+        logits = ops.mlp2(p["fc1"], p["fc2"], u, precision=self.precision)
+        # plog_softmax, not jax.nn.log_softmax: this XLA build's fast-math
+        # log costs ~1.2e-4 of accuracy, which alone breaks the <=1e-4
+        # parity bar (see ops/precise.py).
+        log_A = plog_softmax(logits.reshape(B, T, cfg.K, cfg.K), axis=-1)
+        log_pi = plog_softmax(p["log_prior"])
+        return log_pi, log_A
+
+    def decode(self, params: Params, q: jnp.ndarray,
+               valid_to=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """q:(B,K,T) soft assignments -> Gaussian (mu, logvar), each (B,C,T).
+
+        valid_to: see encode — zeroes e and intermediate activations at
+        t >= valid_to so fixed-length padding matches batch-max padding.
+        """
+        p = params["decoder"]
+        # Soft codebook lookup e = q^T E  (reference :83); contraction over K.
+        e = jnp.einsum("bkt,kd->bdt", q, p["embeddings"]["weight"],
+                       precision=self.precision)
+        if valid_to is not None:
+            tmask = self._time_bound_mask(e.shape[-1], valid_to, e.dtype)
+            e = e * tmask
+        h = jax.nn.relu(ops.conv1d_same(p["conv1"], e, precision=self.precision))
+        if valid_to is not None:
+            h = h * tmask
+        h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision))
+        out = ops.conv1d_same(p["to_params"], h, precision=self.precision)
+        mid = out.shape[1] // 2
+        return out[:, :mid, :], out[:, mid:, :]
+
+    # ------------------------------------------------------------------
+    # Loss / forward
+    # ------------------------------------------------------------------
+
+    def compute_loss(self, params: Params, x: jnp.ndarray,
+                     u: Optional[jnp.ndarray] = None,
+                     lengths: Optional[jnp.ndarray] = None,
+                     beta: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+        """Masked negative ELBO (reference: VQ_VAE_HMM_fixed.py:106-137).
+
+        Identical term-by-term normalization:
+          recon    = sum(masked Gaussian NLL) / max(mask.sum()*C, 1)
+          prior    = -mean_B(init + masked transition cross terms)
+          entropy  = sum(masked q-entropy) / B
+          loss     = recon + beta * (prior - entropy)
+        """
+        if lengths is None:
+            raise ValueError("lengths required")
+        B, C, T = x.shape
+        mask = length_mask(lengths, T)  # (B,T) bool
+
+        # Emulate the reference's batch-max padding exactly under our
+        # fixed-length batching (see _time_bound_mask).
+        valid_to = jnp.max(lengths)
+        log_pi, log_A = self.prior(params, u)
+        logits = self.encode(params, x, valid_to=valid_to)
+        log_q = plog_softmax(logits, axis=1)
+        q = pexp(log_q)
+        mu, logvar = self.decode(params, q, valid_to=valid_to)
+
+        # Reconstruction: Gaussian NLL with var clamp (reference :118-120).
+        var = jnp.maximum(pexp(logvar), 1e-8)
+        nll = 0.5 * (plog(2.0 * math.pi * var) + (mu - x) ** 2 / var)
+        maskf = mask.astype(x.dtype)
+        denom = jnp.maximum(maskf.sum() * C, 1.0)
+        recon_loss = (nll * maskf[:, None, :]).sum() / denom
+
+        # HMM prior expectation under the mean-field posterior
+        # (reference :123-131).
+        init_loss = (q[:, :, 0] * log_pi[None, :]).sum(axis=1)  # (B,)
+        trans = jnp.einsum("bit,bjt,btij->bt",
+                           q[:, :, :-1], q[:, :, 1:], log_A[:, 1:],
+                           precision=self.precision)  # (B,T-1)
+        tmask = pairwise_mask(mask).astype(x.dtype)
+        trans_loss = (trans * tmask).sum(axis=1)
+        prior_loss = -(init_loss + trans_loss).mean()
+
+        # Entropy of q, masked, divided by B (reference :134-135).
+        entropy = -(q * log_q).sum(axis=1)  # (B,T)
+        entropy = (entropy * maskf).sum() / B
+
+        return recon_loss + beta * (prior_loss - entropy)
+
+    def __call__(self, params: Params, x: jnp.ndarray):
+        """Forward pass: ((mu, logvar), q)  (reference :139-143)."""
+        logits = self.encode(params, x)
+        q = psoftmax(logits, axis=1)
+        mu, logvar = self.decode(params, q)
+        return (mu, logvar), q
+
+    forward = __call__
+
+    def posterior(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Mean-field regime posterior q:(B,K,T) = softmax(encode(x))."""
+        return psoftmax(self.encode(params, x), axis=1)
+
+
+def make_model(input_dim=5, hidden_dim=64, K=3, hidden_dim2=32, u_dim=4,
+               trans_hidden=128, **kw) -> VAEHMM:
+    """Positional-compatible factory mirroring the reference constructor
+    VAE_HMM(input_dim, hidden_dim, K, hidden_dim2, u_dim, trans_hidden)."""
+    return VAEHMM(ModelConfig(input_dim=input_dim, hidden_dim=hidden_dim, K=K,
+                              hidden_dim2=hidden_dim2, u_dim=u_dim,
+                              trans_hidden=trans_hidden, **kw))

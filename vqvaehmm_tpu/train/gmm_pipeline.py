@@ -1,0 +1,140 @@
+"""GMM-stack training: the reference's alternative pipeline
+(train_simple.py:63-219) — engineered features -> GMM regimes ->
+per-regime-expert portfolio optimizer trained on Sharpe with a
+diversification penalty and early stopping.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.gmm import SimpleRegimeDetector, prepare_regime_features
+from ..models.portfolio import HeadConfig, ImprovedPortfolioOptimizer
+
+
+class ImprovedSystem(NamedTuple):
+    detector: SimpleRegimeDetector
+    optimizer: ImprovedPortfolioOptimizer
+    params: Dict
+    history: list
+
+
+def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
+                          hidden_dim: int = 64, num_epochs: int = 200,
+                          lr: float = 1e-3, lookback: int = 20,
+                          diversification_weight: float = 0.1,
+                          patience: int = 20, seed: int = 0,
+                          log_fn=print) -> ImprovedSystem:
+    """End-to-end GMM stack (reference: train_simple.py:103-182).
+
+    returns: (T, A) daily asset returns.  Fits the GMM on engineered
+    features, then trains the per-regime MLP mixture on
+    -Sharpe + diversification penalty (squared deviation from equal
+    weight), with patience-based early stopping.
+    """
+    returns = np.asarray(returns, np.float32)
+    T, A = returns.shape
+
+    feats = prepare_regime_features(returns, lookback=lookback)
+    detector = SimpleRegimeDetector(n_regimes=n_regimes, seed=seed)
+    detector.fit(feats)
+    probs = detector.predict_proba(feats)              # (Tf, K)
+    aligned_returns = returns[-len(probs):]            # align tails
+
+    opt_model = ImprovedPortfolioOptimizer(
+        HeadConfig(K=n_regimes, n_assets=A, hidden_dim=hidden_dim))
+    params = opt_model.init(jax.random.PRNGKey(seed))
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    # training windows: every step t predicts weights from q_t and is
+    # scored on the following `horizon` days of returns
+    horizon = 20
+    n = len(probs) - horizon
+    q_all = jnp.asarray(probs[:n])                     # (N, K)
+    fwd_rets = jnp.asarray(np.stack(
+        [aligned_returns[t + 1:t + 1 + horizon] for t in range(n)]))  # (N,H,A)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            w = opt_model(p, q_all)                   # (N, A)
+            pr = (w[:, None, :] * fwd_rets).sum(-1)   # (N, H)
+            mu = pr.mean(axis=1)
+            sd = jnp.maximum(jnp.std(pr, axis=1, ddof=1), 1e-8)
+            sharpe = (mu / sd).mean()
+            # diversification penalty (reference :146-149): distance from
+            # equal weight
+            div = ((w - 1.0 / A) ** 2).sum(-1).mean()
+            return -sharpe + diversification_weight * div
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history = []
+    best = np.inf
+    wait = 0
+    best_params = params
+    for ep in range(num_epochs):
+        params, opt_state, loss = step(params, opt_state)
+        loss = float(loss)
+        history.append(loss)
+        if loss < best - 1e-5:
+            best = loss
+            best_params = params
+            wait = 0
+        else:
+            wait += 1
+        if wait >= patience:
+            if log_fn:
+                log_fn(f"early stop at epoch {ep + 1} (best {best:.4f})")
+            break
+        if log_fn and (ep + 1) % 50 == 0:
+            log_fn(f"Epoch {ep + 1}/{num_epochs}, Loss: {loss:.4f}")
+    return ImprovedSystem(detector, opt_model, best_params, history)
+
+
+def benchmark_equal_weight(returns: np.ndarray,
+                           initial_capital: float = 100000.0,
+                           tx_cost: float = 0.001,
+                           rebalance_freq: int = 21) -> Dict[str, float]:
+    """Equal-weight benchmark with periodic rebalancing costs
+    (reference: backtest.py:295-305 — minus its dead duplicated tail)."""
+    returns = np.asarray(returns, np.float64)
+    T, A = returns.shape
+    w = np.full(A, 1.0 / A)
+    value = initial_capital
+    values = [value]
+    hold = w.copy()
+    for t in range(T):
+        day_ret = float((hold * returns[t]).sum())
+        value *= 1.0 + day_ret
+        # drift
+        hold = hold * (1.0 + returns[t])
+        s = hold.sum()
+        hold = hold / s if s > 0 else np.full(A, 1.0 / A)
+        if (t + 1) % rebalance_freq == 0:
+            cost = tx_cost * np.abs(hold - w).sum()
+            value *= 1.0 - cost
+            hold = w.copy()
+        values.append(value)
+    values = np.asarray(values)
+    rets = np.diff(values) / values[:-1]
+    ann = (values[-1] / values[0]) ** (252 / max(T, 1)) - 1
+    vol = rets.std() * np.sqrt(252)
+    cummax = np.maximum.accumulate(values)
+    mdd = ((values - cummax) / cummax).min()
+    return {
+        "total_return": float(values[-1] / values[0] - 1),
+        "annual_return": float(ann),
+        "annual_volatility": float(vol),
+        "sharpe_ratio": float(ann / vol) if vol > 0 else 0.0,
+        "max_drawdown": float(mdd),
+        "final_value": float(values[-1]),
+    }

