@@ -38,8 +38,11 @@ class RandomChunkDataset:
     def __init__(self, x_sequences, u_sequences, min_len: int = 20,
                  max_len: int = 200, samples_per_epoch: int = 1000,
                  seed: Optional[int] = None):
-        self.x_seqs = [np.asarray(x, dtype=np.float32) for x in x_sequences]
-        self.u_seqs = [np.asarray(u, dtype=np.float32) for u in u_sequences]
+        # contiguity required by the native sampler (native/fastdata.c)
+        self.x_seqs = [np.ascontiguousarray(x, dtype=np.float32)
+                       for x in x_sequences]
+        self.u_seqs = [np.ascontiguousarray(u, dtype=np.float32)
+                       for u in u_sequences]
         if len(self.x_seqs) != len(self.u_seqs):
             raise ValueError("x_sequences and u_sequences must align")
         self.min_len = min_len
@@ -114,15 +117,34 @@ def _pad_batch(items, max_len, buckets):
     return collate_fn(items, pad_to=pad_to)
 
 
+try:
+    from .. import _fastdata  # native batch assembly (native/fastdata.c)
+except ImportError:  # pure-Python fallback; build with `setup.py build_ext`
+    _fastdata = None
+
+
 def epoch_arrays(dataset: RandomChunkDataset, batch_size: int,
-                 num_batches: Optional[int] = None):
+                 num_batches: Optional[int] = None,
+                 use_native: Optional[bool] = None):
     """Materialize a whole epoch as stacked arrays for the scan trainer.
 
     Returns (x:(N,B,C,T), u:(N,B,U,T), lengths:(N,B)) padded to max_len so a
     single jitted lax.scan consumes the epoch without host round-trips.
+
+    When the native extension is built (native/fastdata.c), sampling +
+    padded assembly run in C with the GIL released — the sampling stream
+    differs from the numpy path but has the same distribution; pass
+    use_native=False for the numpy stream.
     """
     if num_batches is None:
         num_batches = len(dataset) // batch_size
+    if use_native is None:
+        use_native = _fastdata is not None
+    if use_native and _fastdata is not None:
+        seed = int(dataset.rng.integers(0, 2 ** 63 - 1))
+        return _fastdata.sample_epoch(
+            dataset.x_seqs, dataset.u_seqs, num_batches, batch_size,
+            dataset.min_len, dataset.max_len, dataset.max_len, seed)
     xs, us, ls = [], [], []
     for _ in range(num_batches):
         items = [dataset[i] for i in range(batch_size)]
