@@ -40,36 +40,41 @@ def make_batch(seed=0):
 
 
 def bench_jax() -> float:
+    """Times the real training path (epoch-fused lax.scan, as used by
+    train_model), synced by a host fetch of the final loss so async
+    dispatch cannot under-report."""
     import jax
     import jax.numpy as jnp
 
-    from vqvaehmm_tpu import TrainState, make_model, make_train_step
-    from vqvaehmm_tpu.train.trainer import make_optimizer
+    from vqvaehmm_tpu import TrainState, make_model
+    from vqvaehmm_tpu.train.trainer import make_epoch_step, make_optimizer
 
     model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
                        trans_hidden=TRANS_HIDDEN)
     tx = make_optimizer(LR)
     params = model.init(jax.random.PRNGKey(0))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step = make_train_step(model, tx, donate=True)
+    epoch_step = make_epoch_step(model, tx, donate=True)
 
+    steps_per_call = 200
     x, u, lengths = make_batch()
-    x, u, lengths = jnp.asarray(x), jnp.asarray(u), jnp.asarray(lengths)
+    xs = jnp.asarray(np.stack([x] * steps_per_call))
+    us = jnp.asarray(np.stack([u] * steps_per_call))
+    lns = jnp.asarray(np.stack([lengths] * steps_per_call))
     beta = jnp.float32(1.0)
 
-    # warmup / compile
-    for _ in range(3):
-        state, loss = step(state, x, u, lengths, beta)
-    loss.block_until_ready()
+    state, loss = epoch_step(state, xs, us, lns, beta)  # compile
+    float(loss)
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = step(state, x, u, lengths, beta)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-    sps = iters * B / dt
-    log(f"jax: {iters} steps in {dt:.3f}s -> {sps:.1f} seqs/s "
+    trials = 3
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        state, loss = epoch_step(state, xs, us, lns, beta)
+        float(loss)  # host fetch = true sync
+        best = min(best, time.perf_counter() - t0)
+    sps = steps_per_call * B / best
+    log(f"jax: {steps_per_call} steps in {best:.4f}s -> {sps:.1f} seqs/s "
         f"({jax.devices()[0].platform})")
     return sps
 

@@ -139,3 +139,15 @@ def test_regime_statistics():
     assert means.shape == (K, A) and covs.shape == (K, A, A)
     # higher-regime rows have larger variance
     assert np.trace(covs[2]) > np.trace(covs[0])
+
+
+def test_trade_log_and_cost_metrics():
+    data, prices, returns = _fixture()
+    bt = Backtester()
+    res = bt.run(fake_model, fake_posterior, data, prices, returns,
+                 rebalance_freq=10)
+    assert "num_trades" in res.metrics and "cost_ratio" in res.metrics
+    assert res.metrics["cost_ratio"] >= 0
+    assert res.trade_log is not None
+    for entry in res.trade_log:
+        assert set(entry) == {"t", "trade_value", "cost", "weights"}

@@ -101,3 +101,37 @@ def test_sample_shapes_and_em_recovery():
         p = np.asarray(perm)
         perm_best = max(perm_best, np.trace(A_hat[np.ix_(p, p)]) / K)
     assert perm_best > 0.7
+
+
+def test_multivariate_gaussian_emission():
+    """Vector-observation HMM: log_prob/posterior over (T, D) sequences."""
+    import itertools
+
+    K, D, T = 2, 3, 5
+    rng = np.random.default_rng(4)
+    loc = rng.normal(size=(K, D)).astype(np.float32)
+    scale = (0.5 + rng.uniform(0, 1, size=(K, D))).astype(np.float32)
+    model = HiddenMarkovModel([0.6, 0.4], [[0.8, 0.2], [0.3, 0.7]],
+                              GaussianEmission(loc=jnp.asarray(loc),
+                                               scale=jnp.asarray(scale)))
+    x = rng.normal(size=(T, D)).astype(np.float32)
+    got = float(model.log_prob(x))
+
+    pi = np.array([0.6, 0.4])
+    A = np.array([[0.8, 0.2], [0.3, 0.7]])
+    tot = -np.inf
+    for path in itertools.product(range(K), repeat=T):
+        lp = np.log(pi[path[0]])
+        for t in range(1, T):
+            lp += np.log(A[path[t - 1], path[t]])
+        for t, z in enumerate(path):
+            lp += float(np.sum(-0.5 * ((x[t] - loc[z]) / scale[z]) ** 2
+                               - np.log(scale[z])
+                               - 0.5 * np.log(2 * np.pi)))
+        tot = np.logaddexp(tot, lp)
+    assert abs(got - tot) < 1e-3
+
+    mode = model.posterior_mode(x)
+    assert mode.shape == (T,)
+    marg = model.posterior_marginals(np.stack([x, x]))
+    assert marg.shape == (2, T, K)

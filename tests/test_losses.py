@@ -195,3 +195,30 @@ def test_optimal_hedge_frequency():
         jnp.asarray(0.2), jnp.asarray(0.001), jnp.asarray(2.0)))
     ref = np.sqrt(8 * 0.001 / (np.pi * 0.04)) / 2.0
     assert abs(float(v) - ref) < 1e-6
+
+
+def test_adversarial_portfolio_loss(rng):
+    """FGSM loss: must be >= the clean loss when the model is sensitive to
+    its input (perturbation is adversarial by construction)."""
+    from vqvaehmm_tpu.losses import adversarial_portfolio_loss
+    from vqvaehmm_tpu.models import HeadConfig, RegimePortfolioOptimizer
+
+    B, T, A, K = 4, 20, 5, 3
+    head = RegimePortfolioOptimizer(HeadConfig(K=K, n_assets=A,
+                                               hidden_dim=8))
+    params = head.init(jax.random.PRNGKey(0))
+    q = jnp.asarray(rng.dirichlet(np.ones(K), size=B).astype(np.float32))
+    rets = jnp.asarray(rng.normal(1e-3, 0.01, size=(B, T, A))
+                       .astype(np.float32))
+
+    def model_fn(rp):
+        return head(params, rp)
+
+    adv = float(adversarial_portfolio_loss(model_fn, q, rets, epsilon=0.05))
+    clean = float(-(model_fn(q)[:, None, :] * rets).sum(-1).mean())
+    assert np.isfinite(adv)
+    # gradient flows THROUGH the adversarial perturbation (second-order)
+    g = jax.grad(lambda p: adversarial_portfolio_loss(
+        lambda rp: head(p, rp), q, rets))(params)
+    assert any(np.any(np.asarray(l) != 0)
+               for l in jax.tree_util.tree_leaves(g))

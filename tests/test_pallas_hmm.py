@@ -1,0 +1,59 @@
+"""Fused Pallas Viterbi vs the scan implementation (interpret on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu.ops import hmm as hops
+from vqvaehmm_tpu.ops.pallas_hmm import viterbi_pallas
+
+
+def _inputs(B, T, K, seed=0):
+    rng = np.random.default_rng(seed)
+    log_pi = np.log(rng.dirichlet(np.ones(K))).astype(np.float32)
+    log_A = np.log(rng.dirichlet(np.ones(K), size=(B, T, K))
+                   ).astype(np.float32)
+    log_obs = rng.normal(size=(B, T, K)).astype(np.float32)
+    return log_pi, log_A, log_obs
+
+
+@pytest.mark.parametrize("B,T,K", [(5, 24, 3), (130, 16, 3), (3, 50, 4)])
+def test_matches_scan(B, T, K):
+    log_pi, log_A, log_obs = _inputs(B, T, K, seed=B)
+    ref = hops.viterbi(jnp.asarray(log_pi), jnp.asarray(log_A),
+                       jnp.asarray(log_obs))
+    got = viterbi_pallas(jnp.asarray(log_pi), jnp.asarray(log_A),
+                         jnp.asarray(log_obs))
+    np.testing.assert_array_equal(np.asarray(got.states),
+                                  np.asarray(ref.states))
+    np.testing.assert_allclose(np.asarray(got.score), np.asarray(ref.score),
+                               atol=1e-5)
+
+
+def test_matches_scan_ragged():
+    log_pi, log_A, log_obs = _inputs(6, 20, 3, seed=9)
+    lengths = np.array([20, 7, 13, 20, 4, 19], np.int32)
+    ref = hops.viterbi(jnp.asarray(log_pi), jnp.asarray(log_A),
+                       jnp.asarray(log_obs), jnp.asarray(lengths))
+    got = viterbi_pallas(jnp.asarray(log_pi), jnp.asarray(log_A),
+                         jnp.asarray(log_obs), jnp.asarray(lengths))
+    for b, L in enumerate(lengths):
+        np.testing.assert_array_equal(np.asarray(got.states)[b, :L],
+                                      np.asarray(ref.states)[b, :L])
+    np.testing.assert_allclose(np.asarray(got.score), np.asarray(ref.score),
+                               atol=1e-5)
+
+
+def test_stationary_transition_broadcast():
+    rng = np.random.default_rng(2)
+    K = 3
+    log_pi = np.log(rng.dirichlet(np.ones(K))).astype(np.float32)
+    log_A = np.log(rng.dirichlet(np.ones(K), size=K)).astype(np.float32)
+    log_obs = rng.normal(size=(4, 30, K)).astype(np.float32)
+    ref = hops.viterbi(jnp.asarray(log_pi), jnp.asarray(log_A),
+                       jnp.asarray(log_obs))
+    got = viterbi_pallas(jnp.asarray(log_pi), jnp.asarray(log_A),
+                         jnp.asarray(log_obs))
+    np.testing.assert_array_equal(np.asarray(got.states),
+                                  np.asarray(ref.states))

@@ -1,0 +1,112 @@
+"""Config-driven pipeline + evaluation CLIs end-to-end (tmp dirs, real
+files), plus checkpoint resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    xs, us, _ = synthetic_sequences(4, 120, 5, 4, 3, seed=0)
+    np.save(tmp_path / "x.npy", xs)
+    np.save(tmp_path / "u.npy", us)
+    cfg = {
+        "model": {"input_dim": 5, "hidden_dim": 8, "K": 3, "hidden_dim2": 4,
+                  "u_dim": 4, "trans_hidden": 8},
+        "data": {"x_sequences_path": str(tmp_path / "x.npy"),
+                 "u_sequences_path": str(tmp_path / "u.npy"),
+                 "min_len": 16, "max_len": 48, "samples_per_epoch": 32},
+        "training": {"epochs": 2, "lr": 1e-3, "batch_size": 8,
+                     "checkpoint_dir": str(tmp_path / "ckpt"), "seed": 1},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    return str(p), tmp_path
+
+
+def test_train_pipeline_end_to_end(tiny_config):
+    cfg_path, tmp = tiny_config
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    state = TrainPipeline(load_config(cfg_path)).train(log_fn=None)
+    assert int(state.step) == 2 * (32 // 8)
+    assert (tmp / "ckpt" / "vae_hmm_trained.npz").exists()
+
+
+def test_pipeline_cli_with_overrides(tiny_config):
+    cfg_path, tmp = tiny_config
+    from vqvaehmm_tpu.train.pipeline import main
+
+    rc = main([cfg_path, "training.epochs=1"])
+    assert rc == 0
+
+
+def test_eval_cli(tiny_config):
+    cfg_path, tmp = tiny_config
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.eval.evaluate import evaluate
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    TrainPipeline(load_config(cfg_path)).train(log_fn=None)
+    xs, us, _ = synthetic_sequences(2, 80, 5, 4, 3, seed=1)
+    out = str(tmp / "eval.txt")
+    mse = evaluate(cfg_path, str(tmp / "ckpt" / "vae_hmm_trained.npz"),
+                   data=(xs, us), batch_size=8, output=out, log_fn=None)
+    assert np.isfinite(mse) and mse > 0
+    assert "Mean Recon MSE" in open(out).read()
+
+
+def test_checkpoint_resume(tiny_config):
+    """Training resumes exactly: params + optimizer state + step."""
+    cfg_path, tmp = tiny_config
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.data.checkpoint import load_checkpoint, save_checkpoint
+    from vqvaehmm_tpu.models.vae_hmm import VAEHMM
+    from vqvaehmm_tpu.train.trainer import TrainState, make_optimizer
+
+    cfg = load_config(cfg_path)
+    model = VAEHMM(cfg.model)
+    tx = make_optimizer(1e-3)
+    params = model.init(jax.random.PRNGKey(0))
+    state = TrainState(params, tx.init(params), jnp.asarray(7, jnp.int32))
+
+    path = str(tmp / "resume_ckpt")
+    save_checkpoint(path, state, metadata={"note": "test"})
+    template = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    restored = load_checkpoint(path, template)
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gmm_pipeline(rng):
+    from vqvaehmm_tpu.train.gmm_pipeline import (benchmark_equal_weight,
+                                                 train_improved_system)
+
+    T, A = 300, 4
+    returns = rng.normal(5e-4, 0.01, size=(T, A)).astype(np.float32)
+    sys = train_improved_system(returns, n_regimes=3, hidden_dim=8,
+                                num_epochs=30, patience=10, log_fn=None)
+    assert sys.detector.fitted
+    assert len(sys.history) >= 1
+    probs = sys.detector.predict_proba(
+        np.random.default_rng(1).normal(size=(10, 13)).astype(np.float32))
+    assert probs.shape == (10, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    bench = benchmark_equal_weight(returns)
+    assert np.isfinite(bench["sharpe_ratio"])
+    assert bench["final_value"] > 0

@@ -96,3 +96,15 @@ def test_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope")
     assert e.value.code == 404
+
+
+def test_predict_endpoint(server):
+    """Working /predict (the reference's Flask twin is dead code —
+    api.py:18 calls a nonexistent method)."""
+    x = np.random.default_rng(2).normal(size=(5, 25)).tolist()
+    status, out = _post(server + "/predict", {"x": x})
+    assert status == 200
+    assert set(out) == {"weights", "regime_probs"}
+    w = np.array(out["weights"])
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-4)
+    assert len(out["regime_probs"]) == 3

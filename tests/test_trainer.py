@@ -104,3 +104,27 @@ def test_dataset_chunk_bounds():
         assert 16 <= L <= 48
         assert x.shape == (5, L)
         assert u.shape == (4, L)
+
+
+def test_trainer_class_api():
+    """Object-style Trainer mirrors the reference Trainer surface."""
+    from vqvaehmm_tpu.train.trainer import Trainer
+
+    model = make_model(5, 12, 3, 6, u_dim=4, trans_hidden=12)
+    tr = Trainer(model, lr=1e-3, gradient_clip=1.0, seed=0)
+    ds = _dataset()
+    hist = tr.train(ds, num_epochs=2, batch_size=16, log_fn=None)
+    assert len(hist) == 2
+    assert all(np.isfinite(h) for h in hist)
+    assert int(tr.state.step) == 2 * (64 // 16)
+
+
+def test_prefetch_epochs_yields_all():
+    from vqvaehmm_tpu.data.prefetch import prefetch_epochs
+
+    ds = _dataset()
+    epochs = list(prefetch_epochs(ds, batch_size=16, num_epochs=3))
+    assert len(epochs) == 3
+    for xs, us, lens in epochs:
+        assert xs.shape == (4, 16, 5, 48)
+        assert lens.shape == (4, 16)

@@ -27,7 +27,7 @@ from jax import lax
 @dataclass
 class BacktestResult:
     """Results container (reference: backtesting.py:8-16 + the src variant's
-    summary/to_dataframe, src/backtesting.py:16-37)."""
+    summary/to_dataframe/trade log, src/backtesting.py:16-37,139-145)."""
 
     returns: np.ndarray
     positions: np.ndarray
@@ -35,6 +35,7 @@ class BacktestResult:
     metrics: Dict[str, float]
     equity_curve: np.ndarray
     drawdowns: np.ndarray
+    trade_log: Optional[List[Dict]] = None
 
     def summary(self) -> str:
         lines = [f"{k}: {v:.4f}" for k, v in self.metrics.items()]
@@ -109,6 +110,8 @@ class Backtester:
         trades = np.zeros((n_periods, n_assets))
         values = np.zeros(n_periods)
         values[0] = self.initial_capital
+        trade_log: List[Dict] = []
+        total_costs = 0.0
 
         for t in range(1, n_periods):
             if rebalance[t]:
@@ -119,15 +122,27 @@ class Backtester:
                 positions[t] = positions[t - 1]
             trade_value = np.abs(trades[t] * prices[t]).sum()
             costs = trade_value * (self.tx_cost + self.slippage)
+            total_costs += costs
             position_value = (positions[t] * prices[t]).sum()
             cash = values[t - 1] - (positions[t - 1] * prices[t - 1]).sum()
             values[t] = position_value + cash - costs
+            # trade log when the rebalance moves >1% of portfolio value
+            # (src variant semantics, src/backtesting.py:139-145)
+            if rebalance[t] and trade_value > 0.01 * values[t - 1]:
+                trade_log.append({
+                    "t": t,
+                    "trade_value": float(trade_value),
+                    "cost": float(costs),
+                    "weights": weights_t[t].tolist(),
+                })
 
         port_returns = np.diff(values) / values[:-1]
         metrics = self._calculate_metrics(port_returns, values)
+        metrics["num_trades"] = len(trade_log)
+        metrics["cost_ratio"] = float(total_costs / self.initial_capital)
         drawdowns = self._calculate_drawdowns(values)
         return BacktestResult(port_returns, positions, trades, metrics,
-                              values, drawdowns)
+                              values, drawdowns, trade_log)
 
     def _calculate_metrics(self, returns: np.ndarray,
                            equity: np.ndarray) -> Dict[str, float]:

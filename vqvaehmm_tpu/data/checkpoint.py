@@ -25,17 +25,20 @@ except Exception:  # pragma: no cover - orbax is in the image, but be safe
 
 
 def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
-    """Save a TrainState (or any pytree) + optional metadata dict."""
+    """Save a TrainState (or any pytree); metadata goes to a sidecar JSON
+    (kept out of the array tree so restore templates stay clean)."""
+    import json
+
     path = os.path.abspath(path)
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
-        payload = {"state": state}
-        if metadata:
-            payload["metadata"] = metadata
-        ckptr.save(path, payload, force=True)
+        ckptr.save(path, state, force=True)
     else:
         flat, treedef = jax.tree_util.tree_flatten(state)
         np.savez(path + ".npz", *[np.asarray(a) for a in flat])
+    if metadata:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(metadata, f)
 
 
 def load_checkpoint(path: str, target=None) -> Any:
@@ -44,10 +47,19 @@ def load_checkpoint(path: str, target=None) -> Any:
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         if target is not None:
-            restored = ckptr.restore(path, item={"state": target})
-            return restored["state"]
-        return ckptr.restore(path)["state"]
+            return ckptr.restore(path, item=target)
+        return ckptr.restore(path)
     raise RuntimeError("orbax unavailable and no fallback written")
+
+
+def load_metadata(path: str) -> Optional[Dict]:
+    import json
+
+    p = os.path.abspath(path) + ".meta.json"
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
 
 
 def save_params_npz(path: str, params):

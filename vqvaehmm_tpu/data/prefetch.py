@@ -1,0 +1,51 @@
+"""Double-buffered host -> device prefetch.
+
+The trainer consumes whole stacked epochs (one lax.scan per epoch); this
+iterator assembles the NEXT epoch on a background thread (native sampler
+when built) and ships it to device while the current epoch is still
+executing, so the accelerator never waits on the host (the reference's
+DataLoader runs with num_workers=0 — fully synchronous).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .dataset import RandomChunkDataset, epoch_arrays
+
+
+def prefetch_epochs(dataset: RandomChunkDataset, batch_size: int,
+                    num_epochs: int, num_batches: Optional[int] = None,
+                    buffer_size: int = 2, device=None
+                    ) -> Iterator[Tuple]:
+    """Yields (xs, us, lengths) device arrays for each epoch, produced
+    ahead of consumption on a daemon thread."""
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for _ in range(num_epochs):
+                if stop.is_set():
+                    return
+                arrays = epoch_arrays(dataset, batch_size, num_batches)
+                arrays = tuple(jax.device_put(a, device) for a in arrays)
+                q.put(arrays)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()

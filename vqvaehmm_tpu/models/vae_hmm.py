@@ -100,13 +100,20 @@ class VAEHMM:
         return (jnp.arange(T) < valid_to).astype(dtype)[None, None, :]
 
     def encode(self, params: Params, x: jnp.ndarray,
-               valid_to=None) -> jnp.ndarray:
+               valid_to=None, fused: bool = False) -> jnp.ndarray:
         """x:(B,C,T) -> regime logits (B,K,T).
 
         valid_to (optional scalar): treat the time axis as ending there
         (see _time_bound_mask).  Without it the full array is the sequence,
         matching reference behaviour for exactly-sized inputs.
+
+        fused=True runs the whole conv stack as one VMEM-resident Pallas
+        kernel (ops/pallas_encoder.py) — inference path only (no grads).
         """
+        if fused:
+            from ..ops.pallas_encoder import fused_encode
+
+            return fused_encode(params, x, valid_to=valid_to)
         p = params["encoder"]
         h = jax.nn.relu(ops.conv1d_same(p["conv1"], x, precision=self.precision))
         if valid_to is not None:
@@ -220,9 +227,10 @@ class VAEHMM:
 
     forward = __call__
 
-    def posterior(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    def posterior(self, params: Params, x: jnp.ndarray,
+                  fused: bool = False) -> jnp.ndarray:
         """Mean-field regime posterior q:(B,K,T) = softmax(encode(x))."""
-        return psoftmax(self.encode(params, x), axis=1)
+        return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
 
 def make_model(input_dim=5, hidden_dim=64, K=3, hidden_dim2=32, u_dim=4,

@@ -1,1 +1,1 @@
-from . import attention, hmm, nn, precise, rnn, vq
+from . import attention, hmm, nn, pallas_encoder, pallas_hmm, precise, rnn, vq

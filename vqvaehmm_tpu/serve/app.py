@@ -65,8 +65,7 @@ class InferenceModel:
 
         self._infer = jax.jit(_infer)
 
-    def infer(self, x: List[List[float]]):
-        jnp = self._jnp
+    def _padded(self, x: List[List[float]]):
         arr = np.asarray(x, np.float32)
         if arr.ndim != 2 or arr.shape[0] != self.cfg.model.input_dim:
             raise ValueError(
@@ -76,12 +75,51 @@ class InferenceModel:
         pad_to = next((b for b in DEFAULT_BUCKETS if b >= T), T)
         padded = np.zeros((1, C, pad_to), np.float32)
         padded[0, :, :T] = arr
+        return padded, T
+
+    def infer(self, x: List[List[float]]):
+        jnp = self._jnp
+        padded, T = self._padded(x)
         mu, logvar, q = self._infer(jnp.asarray(padded), T)
         return {
             "mu": np.asarray(mu)[0, :, :T].tolist(),
             "logvar": np.asarray(logvar)[0, :, :T].tolist(),
             "regime_probs": np.asarray(q)[0, :, :T].tolist(),
         }
+
+    def predict(self, x: List[List[float]]):
+        """Portfolio weights from the regime posterior — the working
+        equivalent of the reference's broken Flask /predict (api.py:18
+        calls a method that does not exist; SURVEY.md section 4.1).
+
+        Uses the configured portfolio head; without a head checkpoint the
+        head is deterministic-random (documented demo behaviour)."""
+        jnp = self._jnp
+        padded, T = self._padded(x)
+        _, _, q = self._infer(jnp.asarray(padded), T)
+        head, head_params = self._get_head()
+        weights = head(head_params, jnp.asarray(np.asarray(q)[:, :, :T]))
+        return {"weights": np.asarray(weights)[0].tolist(),
+                "regime_probs": np.asarray(q)[0, :, T - 1].tolist()}
+
+    def _get_head(self):
+        if not hasattr(self, "_head"):
+            import jax
+
+            from ..models.portfolio import (HeadConfig,
+                                            RegimePortfolioOptimizer)
+
+            self._head = RegimePortfolioOptimizer(HeadConfig(
+                K=self.cfg.model.K, n_assets=self.cfg.portfolio.n_assets,
+                hidden_dim=self.cfg.portfolio.hidden_dim))
+            head_ckpt = getattr(self.cfg, "head_checkpoint_path", None)
+            if head_ckpt and os.path.exists(str(head_ckpt) + ".npz"):
+                from ..data.checkpoint import load_params_npz
+
+                self._head_params = load_params_npz(str(head_ckpt) + ".npz")
+            else:
+                self._head_params = self._head.init(jax.random.PRNGKey(0))
+        return self._head, self._head_params
 
 
 @lru_cache(maxsize=1)
@@ -111,6 +149,15 @@ def create_app(config_path: str = "inference_config.json"):
         except ValueError as e:
             raise HTTPException(status_code=400, detail=str(e))
         except Exception as e:  # parity with reference's 500 (:74-75)
+            raise HTTPException(status_code=500, detail=str(e))
+
+    @app.post("/predict")
+    def predict(req: InferRequest):
+        try:
+            return get_model(config_path).predict(req.x)
+        except ValueError as e:
+            raise HTTPException(status_code=400, detail=str(e))
+        except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
 
     return app

@@ -33,7 +33,7 @@ def _make_handler(model: InferenceModel):
                 self._send(404, {"detail": "not found"})
 
         def do_POST(self):
-            if self.path != "/infer":
+            if self.path not in ("/infer", "/predict"):
                 self._send(404, {"detail": "not found"})
                 return
             try:
@@ -42,7 +42,8 @@ def _make_handler(model: InferenceModel):
                 if "x" not in req:
                     self._send(400, {"detail": "missing field 'x'"})
                     return
-                self._send(200, model.infer(req["x"]))
+                fn = model.infer if self.path == "/infer" else model.predict
+                self._send(200, fn(req["x"]))
             except ValueError as e:
                 self._send(400, {"detail": str(e)})
             except Exception as e:  # noqa: BLE001 (parity: reference 500s)

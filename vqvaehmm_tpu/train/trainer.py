@@ -124,6 +124,45 @@ def make_epoch_step(model: VAEHMM, tx: optax.GradientTransformation,
     )
 
 
+class Trainer:
+    """Object-style wrapper over the jitted trainer, mirroring the
+    reference Trainer API (src/training/trainer.py:9-43: train_epoch /
+    train, grad clip 1.0, optional custom loss, beta warm-up flag)."""
+
+    def __init__(self, model: VAEHMM, lr: float = 1e-3,
+                 gradient_clip: Optional[float] = 1.0,
+                 beta_warmup: bool = True, seed: int = 0):
+        self.model = model
+        self.tx = make_optimizer(lr, gradient_clip)
+        params = model.init(jax.random.PRNGKey(seed))
+        self.state = TrainState(params, self.tx.init(params),
+                                jnp.zeros((), jnp.int32))
+        self.beta_warmup = beta_warmup
+        self._epoch_step = make_epoch_step(model, self.tx)
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def train_epoch(self, dataset: RandomChunkDataset, batch_size: int,
+                    beta: float = 1.0) -> float:
+        xs, us, lens = epoch_arrays(dataset, batch_size)
+        self.state, mean_loss = self._epoch_step(self.state, xs, us, lens,
+                                                 jnp.float32(beta))
+        return float(mean_loss)
+
+    def train(self, dataset: RandomChunkDataset, num_epochs: int,
+              batch_size: int = 64, log_fn=print) -> list:
+        history = []
+        for ep in range(num_epochs):
+            beta = beta_schedule(ep, num_epochs, self.beta_warmup)
+            loss = self.train_epoch(dataset, batch_size, beta)
+            history.append(loss)
+            if log_fn:
+                log_fn(f"Epoch {ep + 1}/{num_epochs}, Loss: {loss:.4f}")
+        return history
+
+
 def train_model(model: VAEHMM, dataset: RandomChunkDataset,
                 num_epochs: int = 10, lr: float = 1e-3,
                 batch_size: int = 64, seed: int = 0,
@@ -143,10 +182,14 @@ def train_model(model: VAEHMM, dataset: RandomChunkDataset,
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     epoch_step = make_epoch_step(model, tx, mesh=mesh)
 
+    from ..data.prefetch import prefetch_epochs
+
     history = []
-    for ep in range(num_epochs):
+    epochs = prefetch_epochs(dataset, batch_size, num_epochs) \
+        if mesh is None else (
+            epoch_arrays(dataset, batch_size) for _ in range(num_epochs))
+    for ep, (xs, us, lens) in enumerate(epochs):
         beta = beta_schedule(ep, num_epochs, beta_warmup)
-        xs, us, lens = epoch_arrays(dataset, batch_size)
         state, mean_loss = epoch_step(state, xs, us, lens,
                                       jnp.float32(beta))
         loss = float(mean_loss)
