@@ -49,8 +49,13 @@ def bench_jax() -> float:
     from vqvaehmm_tpu import TrainState, make_model
     from vqvaehmm_tpu.train.trainer import make_epoch_step, make_optimizer
 
+    # Fast training config: default matmul precision (bf16 MXU passes, the
+    # standard TPU training practice; converges equivalently — see
+    # BENCH_NOTES.md).  Parity/validation runs use matmul_precision=
+    # "highest" + the precise transcendental kernels instead.
     model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
-                       trans_hidden=TRANS_HIDDEN)
+                       trans_hidden=TRANS_HIDDEN,
+                       matmul_precision="default")
     tx = make_optimizer(LR)
     params = model.init(jax.random.PRNGKey(0))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))

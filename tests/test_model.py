@@ -72,3 +72,34 @@ def test_jit_and_grad_compose():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     # every parameter receives gradient signal
     assert all(np.any(np.asarray(g) != 0) for g in leaves)
+
+
+def test_conv_impl_matmul_matches_conv():
+    """The shifted-matmul conv lowering must match lax.conv exactly, and
+    gradients must flow through it."""
+    from vqvaehmm_tpu import ModelConfig, VAEHMM
+
+    cfg_conv = ModelConfig(input_dim=5, hidden_dim=16, K=3, hidden_dim2=8,
+                           u_dim=4, trans_hidden=16, conv_impl="conv")
+    cfg_mm = ModelConfig(input_dim=5, hidden_dim=16, K=3, hidden_dim2=8,
+                         u_dim=4, trans_hidden=16, conv_impl="matmul")
+    m1, m2 = VAEHMM(cfg_conv), VAEHMM(cfg_mm)
+    params = m1.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 5, 25)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(3, 4, 25)).astype(np.float32))
+    lengths = jnp.asarray(np.array([25, 12, 20], np.int32))
+
+    with jax.default_matmul_precision("float32"):
+        np.testing.assert_allclose(np.asarray(m1.encode(params, x)),
+                                   np.asarray(m2.encode(params, x)),
+                                   atol=2e-5)
+        l1 = float(m1.compute_loss(params, x, u, lengths, 1.0))
+        l2 = float(m2.compute_loss(params, x, u, lengths, 1.0))
+        assert abs(l1 - l2) < 1e-4
+
+        g1 = jax.grad(lambda p: m1.compute_loss(p, x, u, lengths, 1.0))(params)
+        g2 = jax.grad(lambda p: m2.compute_loss(p, x, u, lengths, 1.0))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -110,3 +110,30 @@ def test_gmm_pipeline(rng):
     bench = benchmark_equal_weight(returns)
     assert np.isfinite(bench["sharpe_ratio"])
     assert bench["final_value"] > 0
+
+
+def test_periodic_save_and_auto_resume(tiny_config):
+    """save_freq checkpoints are written and training resumes from them
+    (the reference configures save_freq but never implements it)."""
+    cfg_path, tmp = tiny_config
+    import json as _json
+
+    raw = _json.loads(open(cfg_path).read())
+    raw["training"]["epochs"] = 4
+    raw["training"]["save_freq"] = 2
+    p = tmp / "cfg2.json"
+    p.write_text(_json.dumps(raw))
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.data.checkpoint import load_metadata
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg = load_config(str(p))
+    state1 = TrainPipeline(cfg).train(log_fn=None)
+    periodic = str(tmp / "ckpt" / "vae_hmm_periodic")
+    meta = load_metadata(periodic)
+    assert meta is not None and meta["epoch"] == 4
+
+    # a fresh pipeline resumes at epoch 4 == num_epochs -> no extra steps
+    state2 = TrainPipeline(cfg).train(log_fn=None)
+    assert int(state2.step) == int(state1.step)

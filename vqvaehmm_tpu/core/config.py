@@ -36,6 +36,9 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Matmul precision: "default" | "float32" | "highest".
     matmul_precision: str = "highest"
+    # Conv lowering: "conv" (lax.conv) | "matmul" (shifted MXU matmuls;
+    # usually faster for this model's tiny channel counts).
+    conv_impl: str = "conv"
     # True VQ codebook (pseudocode.txt capability upgrade); latent dim of the
     # codebook.  None => soft mean-field lookup only (reference behaviour).
     vq_latent_dim: Optional[int] = None

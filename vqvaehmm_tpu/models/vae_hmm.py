@@ -51,6 +51,7 @@ class VAEHMM:
                 "chains, or pass u_dim.")
         self.cfg = cfg
         self.precision = ops.resolve_precision(cfg.matmul_precision)
+        self.conv_impl = getattr(cfg, "conv_impl", "conv")
 
     # ------------------------------------------------------------------
     # Parameters
@@ -115,11 +116,11 @@ class VAEHMM:
 
             return fused_encode(params, x, valid_to=valid_to)
         p = params["encoder"]
-        h = jax.nn.relu(ops.conv1d_same(p["conv1"], x, precision=self.precision))
+        h = jax.nn.relu(ops.conv1d_same(p["conv1"], x, precision=self.precision, impl=self.conv_impl))
         if valid_to is not None:
             h = h * self._time_bound_mask(h.shape[-1], valid_to, h.dtype)
-        h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision))
-        return ops.conv1d_same(p["to_logits"], h, precision=self.precision)
+        h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision, impl=self.conv_impl))
+        return ops.conv1d_same(p["to_logits"], h, precision=self.precision, impl=self.conv_impl)
 
     def prior(self, params: Params,
               u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -157,11 +158,11 @@ class VAEHMM:
         if valid_to is not None:
             tmask = self._time_bound_mask(e.shape[-1], valid_to, e.dtype)
             e = e * tmask
-        h = jax.nn.relu(ops.conv1d_same(p["conv1"], e, precision=self.precision))
+        h = jax.nn.relu(ops.conv1d_same(p["conv1"], e, precision=self.precision, impl=self.conv_impl))
         if valid_to is not None:
             h = h * tmask
-        h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision))
-        out = ops.conv1d_same(p["to_params"], h, precision=self.precision)
+        h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision, impl=self.conv_impl))
+        out = ops.conv1d_same(p["to_params"], h, precision=self.precision, impl=self.conv_impl)
         mid = out.shape[1] // 2
         return out[:, :mid, :], out[:, mid:, :]
 

@@ -78,16 +78,38 @@ def init_embedding(key, num: int, dim: int, dtype=jnp.float32) -> Params:
 
 
 def conv1d_same(params: Params, x: jnp.ndarray, *,
-                precision=None) -> jnp.ndarray:
+                precision=None, impl: str = "conv") -> jnp.ndarray:
     """1D convolution, stride 1, SAME (zero) padding.
 
     x: (B, C_in, T) -> (B, C_out, T).  Semantics of
     nn.Conv1d(C_in, C_out, k, padding=k//2) (reference:
     VQ_VAE_HMM_fixed.py:34-36).
+
+    impl="conv": lax.conv_general_dilated.
+    impl="matmul": k shifted (C_out, C_in) @ (C_in, B*T) products — the
+    MXU-native shape for this model's tiny channel counts (the same
+    formulation the fused Pallas encoder uses), autodiff-transparent.
     """
     w = params["weight"]  # (O, I, W)
     k = w.shape[-1]
     pad = k // 2
+    if impl == "matmul":
+        B, C, T = x.shape
+        xt = jnp.transpose(x, (1, 0, 2)).reshape(C, B * T)
+        col = jnp.arange(B * T) % T
+        acc = None
+        for tap in range(k):
+            dt = tap - pad  # offset of the input sample read for output t
+            if dt < 0:
+                shifted = jnp.roll(xt, -dt, axis=1) * (col >= -dt)
+            elif dt > 0:
+                shifted = jnp.roll(xt, -dt, axis=1) * (col < T - dt)
+            else:
+                shifted = xt
+            term = jnp.matmul(w[:, :, tap], shifted, precision=precision)
+            acc = term if acc is None else acc + term
+        y = acc.reshape(w.shape[0], B, T).transpose(1, 0, 2)
+        return y + params["bias"][None, :, None]
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(1,),

@@ -75,20 +75,60 @@ class TrainPipeline:
                                   samples_per_epoch=d.samples_per_epoch,
                                   seed=self.cfg.training.seed)
 
-    def train(self, log_fn=print) -> TrainState:
+    def train(self, log_fn=print, resume: bool = True) -> TrainState:
+        """Train with periodic checkpointing every `save_freq` epochs and
+        automatic resume from the latest periodic checkpoint.
+
+        Implements what the reference only configures (save_freq in
+        configs/config.yaml:32-34 has no implementing code — SURVEY.md
+        section 5); resume restores params + optimizer state + epoch.
+        """
+        import jax.numpy as jnp
+
+        from ..data.checkpoint import load_checkpoint, load_metadata
+        from .trainer import (TrainState, beta_schedule, make_epoch_step,
+                              make_optimizer)
+        from ..data.dataset import epoch_arrays
+
         t = self.cfg.training
         model = self.build_model()
         dataset = self.load_data()
-        state, history = train_model(
-            model, dataset, num_epochs=t.num_epochs, lr=t.learning_rate,
-            batch_size=t.batch_size, seed=t.seed,
-            gradient_clip=t.gradient_clip, beta_warmup=t.beta_warmup,
-            mesh=self.mesh, log_fn=log_fn)
         os.makedirs(t.checkpoint_dir, exist_ok=True)
+        periodic = os.path.join(t.checkpoint_dir, "vae_hmm_periodic")
+
+        tx = make_optimizer(t.learning_rate, t.gradient_clip)
+        params = model.init(jax.random.PRNGKey(t.seed))
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32))
+        start_epoch = 0
+        meta = load_metadata(periodic) if resume else None
+        if meta is not None and os.path.exists(periodic):
+            state = load_checkpoint(periodic, state)
+            start_epoch = int(meta.get("epoch", 0))
+            if log_fn:
+                log_fn(f"Resumed from epoch {start_epoch} "
+                       f"(step {int(state.step)})")
+
+        epoch_step = make_epoch_step(model, tx, mesh=self.mesh)
+        history = []
+        for ep in range(start_epoch, t.num_epochs):
+            beta = beta_schedule(ep, t.num_epochs, t.beta_warmup)
+            xs, us, lens = epoch_arrays(dataset, t.batch_size)
+            state, mean_loss = epoch_step(state, xs, us, lens,
+                                          jnp.float32(beta))
+            loss = float(mean_loss)
+            history.append(loss)
+            if log_fn:
+                log_fn(f"Epoch {ep + 1}/{t.num_epochs}, Loss: {loss:.4f}")
+            if t.save_freq and (ep + 1) % t.save_freq == 0:
+                save_checkpoint(periodic, state,
+                                metadata={"epoch": ep + 1, "loss": loss})
+
         ckpt_path = os.path.join(t.checkpoint_dir, "vae_hmm_trained")
         save_checkpoint(ckpt_path, state,
                         metadata={"epochs": t.num_epochs,
-                                  "final_loss": history[-1]})
+                                  "final_loss": history[-1]
+                                  if history else None})
         save_params_npz(os.path.join(t.checkpoint_dir,
                                      "vae_hmm_trained.npz"), state.params)
         if log_fn:
