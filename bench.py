@@ -55,7 +55,8 @@ def bench_jax() -> float:
     # "highest" + the precise transcendental kernels instead.
     model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
                        trans_hidden=TRANS_HIDDEN,
-                       matmul_precision="default")
+                       matmul_precision="default",
+                       compute_dtype="bfloat16")
     tx = make_optimizer(LR)
     params = model.init(jax.random.PRNGKey(0))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))

@@ -1,0 +1,37 @@
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+print("backend:", jax.default_backend())
+from vqvaehmm_tpu import make_model
+from vqvaehmm_tpu.ops.pallas_encoder import fused_encode
+from vqvaehmm_tpu.ops.pallas_hmm import viterbi_pallas
+from vqvaehmm_tpu.ops import hmm as hops
+from vqvaehmm_tpu.ops.vq import vq_lookup, vq_pallas
+
+rng = np.random.default_rng(0)
+
+# 1. fused encoder on TPU
+model = make_model(5, 64, 3, 32, u_dim=4, trans_hidden=128)
+params = model.init(jax.random.PRNGKey(0))
+x = jnp.asarray(rng.normal(size=(8, 5, 64)).astype(np.float32))
+ref = model.encode(params, x)
+got = fused_encode(params, x, interpret=False)
+print("fused_encode TPU maxdiff:", float(jnp.abs(ref - got).max()))
+
+# 2. pallas viterbi on TPU
+B, T, K = 20, 50, 3
+log_pi = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K)).astype(np.float32)))
+log_A = jnp.log(jnp.asarray(rng.dirichlet(np.ones(K), size=(B,T,K)).astype(np.float32)))
+log_obs = jnp.asarray(rng.normal(size=(B,T,K)).astype(np.float32))
+r = hops.viterbi(log_pi, log_A, log_obs)
+g = viterbi_pallas(log_pi, log_A, log_obs, interpret=False)
+print("viterbi TPU paths equal:", bool((np.asarray(r.states)==np.asarray(g.states)).all()),
+      "score maxdiff:", float(jnp.abs(r.score-g.score).max()))
+
+# 3. pallas VQ on TPU
+z = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+cb = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+zq_r, idx_r = vq_lookup(z, cb)
+zq_p, idx_p = vq_pallas(z, cb, block_rows=128, interpret=False)
+print("vq TPU idx equal:", bool((np.asarray(idx_r)==np.asarray(idx_p)).all()),
+      "zq maxdiff:", float(jnp.abs(zq_r-zq_p).max()))
+print("ALL TPU KERNELS OK")

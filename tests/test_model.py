@@ -103,3 +103,42 @@ def test_conv_impl_matmul_matches_conv():
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_bf16_compute_dtype():
+    """bf16-activation fast path: loss close to f32, finite f32 grads, and
+    training still converges."""
+    from vqvaehmm_tpu import ModelConfig, VAEHMM
+
+    cfg16 = ModelConfig(input_dim=5, hidden_dim=16, K=3, hidden_dim2=8,
+                        u_dim=4, trans_hidden=16,
+                        compute_dtype="bfloat16",
+                        matmul_precision="default")
+    cfg32 = ModelConfig(input_dim=5, hidden_dim=16, K=3, hidden_dim2=8,
+                        u_dim=4, trans_hidden=16)
+    m16, m32 = VAEHMM(cfg16), VAEHMM(cfg32)
+    params = m32.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 5, 32)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(4, 4, 32)).astype(np.float32))
+    lens = jnp.asarray(np.full(4, 32, np.int32))
+
+    l32 = float(m32.compute_loss(params, x, u, lens, 1.0))
+    l16 = float(m16.compute_loss(params, x, u, lens, 1.0))
+    assert abs(l32 - l16) / abs(l32) < 5e-3
+
+    g = jax.grad(lambda p: m16.compute_loss(p, x, u, lens, 1.0))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    # short training run converges in bf16 too
+    from vqvaehmm_tpu import RandomChunkDataset, train_model
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+
+    xs, us_, _ = synthetic_sequences(4, 100, seed=3)
+    ds = RandomChunkDataset(xs, us_, min_len=16, max_len=48,
+                            samples_per_epoch=48, seed=3)
+    _, hist = train_model(m16, ds, num_epochs=6, lr=3e-3, batch_size=16,
+                          log_fn=None)
+    assert hist[-1] < hist[2]

@@ -52,6 +52,22 @@ class VAEHMM:
         self.cfg = cfg
         self.precision = ops.resolve_precision(cfg.matmul_precision)
         self.conv_impl = getattr(cfg, "conv_impl", "conv")
+        # bf16 activations halve the activation traffic of the
+        # memory-bound train step (params/optimizer/loss math stay f32);
+        # parity mode keeps float32.
+        self.compute_dtype = jnp.bfloat16 \
+            if getattr(cfg, "compute_dtype", "float32") == "bfloat16" \
+            else jnp.float32
+
+    def _cast_in(self, a):
+        return a.astype(self.compute_dtype) \
+            if a.dtype != self.compute_dtype else a
+
+    def _cast_params(self, p):
+        if self.compute_dtype == jnp.float32:
+            return p
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(self.compute_dtype), p)
 
     # ------------------------------------------------------------------
     # Parameters
@@ -115,12 +131,14 @@ class VAEHMM:
             from ..ops.pallas_encoder import fused_encode
 
             return fused_encode(params, x, valid_to=valid_to)
-        p = params["encoder"]
+        p = self._cast_params(params["encoder"])
+        x = self._cast_in(x)
         h = jax.nn.relu(ops.conv1d_same(p["conv1"], x, precision=self.precision, impl=self.conv_impl))
         if valid_to is not None:
             h = h * self._time_bound_mask(h.shape[-1], valid_to, h.dtype)
         h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision, impl=self.conv_impl))
-        return ops.conv1d_same(p["to_logits"], h, precision=self.precision, impl=self.conv_impl)
+        out = ops.conv1d_same(p["to_logits"], h, precision=self.precision, impl=self.conv_impl)
+        return out.astype(jnp.float32)
 
     def prior(self, params: Params,
               u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -130,18 +148,20 @@ class VAEHMM:
         (VQ_VAE_HMM_fixed.py:64-65): if dim 1 equals u_dim, treat as (B,U,T).
         """
         cfg = self.cfg
-        p = params["prior"]
+        p = self._cast_params(params["prior"])
         if u is None:
             raise ValueError("u required for non-stationary transitions")
         if u.ndim == 3 and u.shape[1] == cfg.u_dim:
             u = jnp.transpose(u, (0, 2, 1))
+        u = self._cast_in(u)
         B, T, _ = u.shape
-        logits = ops.mlp2(p["fc1"], p["fc2"], u, precision=self.precision)
+        logits = ops.mlp2(p["fc1"], p["fc2"], u,
+                          precision=self.precision).astype(jnp.float32)
         # plog_softmax, not jax.nn.log_softmax: this XLA build's fast-math
         # log costs ~1.2e-4 of accuracy, which alone breaks the <=1e-4
         # parity bar (see ops/precise.py).
         log_A = plog_softmax(logits.reshape(B, T, cfg.K, cfg.K), axis=-1)
-        log_pi = plog_softmax(p["log_prior"])
+        log_pi = plog_softmax(p["log_prior"].astype(jnp.float32))
         return log_pi, log_A
 
     def decode(self, params: Params, q: jnp.ndarray,
@@ -151,7 +171,8 @@ class VAEHMM:
         valid_to: see encode — zeroes e and intermediate activations at
         t >= valid_to so fixed-length padding matches batch-max padding.
         """
-        p = params["decoder"]
+        p = self._cast_params(params["decoder"])
+        q = self._cast_in(q)
         # Soft codebook lookup e = q^T E  (reference :83); contraction over K.
         e = jnp.einsum("bkt,kd->bdt", q, p["embeddings"]["weight"],
                        precision=self.precision)
@@ -162,7 +183,8 @@ class VAEHMM:
         if valid_to is not None:
             h = h * tmask
         h = jax.nn.relu(ops.conv1d_same(p["conv2"], h, precision=self.precision, impl=self.conv_impl))
-        out = ops.conv1d_same(p["to_params"], h, precision=self.precision, impl=self.conv_impl)
+        out = ops.conv1d_same(p["to_params"], h, precision=self.precision,
+                              impl=self.conv_impl).astype(jnp.float32)
         mid = out.shape[1] // 2
         return out[:, :mid, :], out[:, mid:, :]
 
