@@ -84,3 +84,31 @@ def test_forward_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(q), q_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(logvar), logvar_t.numpy(), atol=1e-4)
+
+
+@pytest.mark.parametrize("seed,B,C,T,K,U,hidden,hidden2,beta", [
+    (10, 2, 3, 16, 2, 2, 8, 4, 0.5),
+    (11, 8, 7, 64, 4, 3, 24, 12, 1.0),
+    (12, 1, 5, 200, 3, 4, 64, 32, 0.25),   # reference benchmark shape
+    (13, 5, 4, 33, 5, 6, 16, 8, 0.9),
+    (14, 3, 6, 48, 2, 1, 12, 6, 0.1),
+])
+def test_elbo_parity_fuzz(seed, B, C, T, K, U, hidden, hidden2, beta):
+    """Parity sweep over random architectures/shapes: the <=1e-4 agreement
+    must hold across the config space, not just the default shapes."""
+    model = make_model(C, hidden, K, hidden2, u_dim=U,
+                       trans_hidden=max(8, 4 * U))
+    params = model.init(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    x = rng.normal(scale=rng.uniform(0.5, 2.0),
+                   size=(B, C, T)).astype(np.float32)
+    u = rng.normal(size=(B, U, T)).astype(np.float32)
+    lengths = rng.integers(max(2, T // 4), T + 1, size=B).astype(np.int32)
+    lengths[0] = T
+    with jax.default_matmul_precision("float32"):
+        ours = float(model.compute_loss(params, jnp.asarray(x),
+                                        jnp.asarray(u),
+                                        jnp.asarray(lengths), beta))
+    ref = torch_elbo(jax_params_to_numpy(params), x, u, lengths, beta,
+                     K=K, u_dim=U)
+    assert abs(ours - ref) <= 1e-4 * max(1.0, abs(ref)), (ours, ref)

@@ -135,3 +135,33 @@ def test_multivariate_gaussian_emission():
     assert mode.shape == (T,)
     marg = model.posterior_marginals(np.stack([x, x]))
     assert marg.shape == (2, T, K)
+
+
+def test_gaussian_em_recovers_regimes():
+    """Baum-Welch with Gaussian emissions recovers sticky dynamics and
+    separated means from sampled data."""
+    from vqvaehmm_tpu.models import fit_gaussian_em
+
+    K = 2
+    A = np.array([[0.92, 0.08], [0.1, 0.9]], np.float32)
+    true = HiddenMarkovModel([0.5, 0.5], A,
+                             GaussianEmission(loc=jnp.array([-2.0, 2.0]),
+                                              scale=jnp.array([0.7, 0.7])))
+    states, obs = true.sample(jax.random.PRNGKey(0), num_steps=150,
+                              batch=16)
+    res = fit_gaussian_em(obs, K=K, n_iters=40, seed=1)
+    lls = np.asarray(res.log_likelihoods)
+    assert lls[-1] >= lls[0]
+
+    loc = np.sort(np.asarray(res.model.emission.loc).ravel())
+    np.testing.assert_allclose(loc, [-2.0, 2.0], atol=0.3)
+    A_hat = np.exp(np.asarray(res.model.log_A))
+    # diagonal-dominant up to state relabeling
+    best = max(np.trace(A_hat) / K, np.trace(A_hat[::-1][:, ::-1]) / K)
+    assert best > 0.8
+
+    # decode accuracy vs ground truth (up to label permutation)
+    decoded = np.asarray(res.model.posterior_mode(obs))
+    s_np = np.asarray(states)
+    acc = max((decoded == s_np).mean(), (1 - decoded == s_np).mean())
+    assert acc > 0.85

@@ -209,3 +209,76 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
     model = HiddenMarkovModel(pexp(log_pi), pexp(log_A),
                               CategoricalEmission(log_Bm), num_steps=T)
     return EMResult(model, lls[best])
+
+
+def fit_gaussian_em(x: jnp.ndarray, K: int, n_iters: int = 50,
+                    seed: int = 0,
+                    lengths: Optional[jnp.ndarray] = None,
+                    min_scale: float = 1e-3,
+                    n_init: int = 4) -> EMResult:
+    """Baum-Welch EM for an HMM with diagonal-Gaussian emissions.
+
+    The classic regime-switching model the reference approximates with a
+    GMM (train_simple.py) but with real temporal dynamics.  x: (B, T) or
+    (B, T, D) observations; returns a fitted HiddenMarkovModel with
+    GaussianEmission.  Multi-restart via vmap, best log-likelihood wins.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 2:
+        x = x[..., None]
+    B, T, D = x.shape
+
+    valid = (jnp.arange(T)[None, :] < lengths[:, None]) if lengths is not None \
+        else jnp.ones((B, T), bool)
+    validf = valid.astype(jnp.float32)
+
+    flat = x.reshape(-1, D)
+    data_mean = (flat * validf.reshape(-1, 1)).sum(0) / validf.sum()
+    data_std = jnp.sqrt(((flat - data_mean) ** 2
+                         * validf.reshape(-1, 1)).sum(0) / validf.sum())
+
+    def init_one(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        log_pi = plog(jax.random.dirichlet(k1, jnp.ones(K)))
+        log_A = plog(jax.random.dirichlet(k2, jnp.full(K, 2.0), shape=(K,)))
+        # means spread around the data distribution
+        loc = data_mean + data_std * jax.random.normal(k3, (K, D))
+        scale = jnp.broadcast_to(data_std, (K, D)) + min_scale
+        return log_pi, log_A, loc, scale
+
+    def em_step(carry, _):
+        log_pi, log_A, loc, scale = carry
+        em = GaussianEmission(loc, scale)
+        log_obs = em.log_prob(x)
+        fwd = ops.forward(log_pi, log_A, log_obs, lengths)
+        gamma = ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
+        xi = ops.pairwise_marginals(log_pi, log_A, log_obs, lengths)
+        if lengths is not None:
+            pair_valid = valid[:, 1:] & valid[:, :-1]
+            xi = xi * pair_valid[:, :, None, None]
+        g = gamma * validf[..., None]  # (B,T,K)
+
+        nk = jnp.maximum(g.sum((0, 1)), 1e-6)  # (K,)
+        pi_new = gamma[:, 0].sum(0) + 1e-3
+        A_new = xi.sum((0, 1)) + 1e-3
+        loc_new = jnp.einsum("btk,btd->kd", g, x) / nk[:, None]
+        var_new = jnp.einsum("btk,btkd->kd", g,
+                             (x[:, :, None, :] - loc_new) ** 2) / nk[:, None]
+        scale_new = jnp.sqrt(var_new) + min_scale
+        new = (plog(pi_new / pi_new.sum()),
+               plog(A_new / A_new.sum(-1, keepdims=True)),
+               loc_new, scale_new)
+        return new, fwd.log_likelihood.sum()
+
+    def run_one(key):
+        return jax.lax.scan(em_step, init_one(key), None, length=n_iters)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_init)
+    (log_pis, log_As, locs, scales), lls = jax.vmap(run_one)(keys)
+    best = jnp.argmax(lls[:, -1])
+    model = HiddenMarkovModel(
+        pexp(log_pis[best]), pexp(log_As[best]),
+        GaussianEmission(locs[best] if D > 1 else locs[best][:, 0],
+                         scales[best] if D > 1 else scales[best][:, 0]),
+        num_steps=T)
+    return EMResult(model, lls[best])

@@ -255,6 +255,46 @@ class VAEHMM:
         """Mean-field regime posterior q:(B,K,T) = softmax(encode(x))."""
         return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
+    def smoothed_posterior(self, params: Params, x: jnp.ndarray,
+                           u: jnp.ndarray,
+                           lengths: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+        """Temporally-smoothed regime posterior (B,K,T): forward-backward
+        over the Prior's input-conditioned transitions with the encoder's
+        log-softmax evidence as emissions.
+
+        Capability upgrade the reference lacks entirely (its posterior is
+        the mean-field q and its decode is argmax(q) — SURVEY.md 'HMM
+        inference — critical finding').  Smoothing injects the learned
+        temporal dynamics into the per-step posterior, suppressing
+        single-step regime flickers.
+        """
+        from ..ops import hmm as hmm_ops
+
+        log_pi, log_A = self.prior(params, u)
+        log_obs = jnp.transpose(
+            plog_softmax(self.encode(params, x), axis=1), (0, 2, 1))
+        gamma = hmm_ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
+        return jnp.transpose(gamma, (0, 2, 1))
+
+    def viterbi_decode(self, params: Params, x: jnp.ndarray,
+                       u: jnp.ndarray,
+                       lengths: Optional[jnp.ndarray] = None,
+                       use_pallas: bool = False) -> jnp.ndarray:
+        """MAP regime path (B, T) under the Prior's transition dynamics —
+        exact Viterbi instead of the reference's argmax(q) hard decode
+        (reference: backtesting.py:155)."""
+        from ..ops import hmm as hmm_ops
+
+        log_pi, log_A = self.prior(params, u)
+        log_obs = jnp.transpose(
+            plog_softmax(self.encode(params, x), axis=1), (0, 2, 1))
+        if use_pallas:
+            from ..ops.pallas_hmm import viterbi_pallas
+
+            return viterbi_pallas(log_pi, log_A, log_obs, lengths).states
+        return hmm_ops.viterbi(log_pi, log_A, log_obs, lengths).states
+
 
 def make_model(input_dim=5, hidden_dim=64, K=3, hidden_dim2=32, u_dim=4,
                trans_hidden=128, **kw) -> VAEHMM:
