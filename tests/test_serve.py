@@ -108,3 +108,24 @@ def test_predict_endpoint(server):
     w = np.array(out["weights"])
     np.testing.assert_allclose(w.sum(), 1.0, atol=1e-4)
     assert len(out["regime_probs"]) == 3
+
+
+def test_concurrent_requests(server):
+    """8 threads hammering /infer concurrently: all succeed and agree with
+    the serial result (thread-safety of the jitted serving path)."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(5, 20)).tolist()
+    _, serial = _post(server + "/infer", {"x": x})
+
+    def hit(_):
+        return _post(server + "/infer", {"x": x})
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(hit, range(16)))
+    for status, out in results:
+        assert status == 200
+        np.testing.assert_allclose(np.array(out["regime_probs"]),
+                                   np.array(serial["regime_probs"]),
+                                   atol=1e-6)
