@@ -138,3 +138,36 @@ def test_posterior_rows_normalize():
     gamma = hmm.posterior_marginals(log_pi, jnp.asarray(log_A),
                                     jnp.asarray(log_obs))
     np.testing.assert_allclose(np.asarray(gamma).sum(-1), 1.0, atol=1e-5)
+
+
+def test_long_sequence_associative_scan():
+    """O(log T) associative scan stays exact and stable at T=4096."""
+    rng = np.random.default_rng(0)
+    B, T, K = 2, 4096, 3
+    log_pi = np.log(rng.dirichlet(np.ones(K))).astype(np.float32)
+    A = np.full((K, K), 0.05, np.float32)
+    np.fill_diagonal(A, 0.9)
+    log_obs = rng.normal(-1, 1, size=(B, T, K)).astype(np.float32)
+    f_scan = hmm.forward(jnp.asarray(log_pi), jnp.asarray(np.log(A)),
+                         jnp.asarray(log_obs))
+    f_assoc = hmm.forward_assoc(jnp.asarray(log_pi), jnp.asarray(np.log(A)),
+                                jnp.asarray(log_obs))
+    # f32 accumulation order differs between the sequential and the tree
+    # reduction; drift is O(T * eps * |ll|) — observed ~4e-5 relative at
+    # T=4096, bound it at 1e-4 relative.
+    np.testing.assert_allclose(np.asarray(f_scan.log_likelihood),
+                               np.asarray(f_assoc.log_likelihood),
+                               rtol=1e-4)
+    assert np.isfinite(np.asarray(f_assoc.log_alpha)).all()
+
+
+def test_length_one_sequences():
+    """Degenerate T=1: likelihood is just pi + obs."""
+    log_pi = jnp.log(jnp.asarray([0.25, 0.75]))
+    log_A = jnp.log(jnp.asarray([[0.5, 0.5], [0.5, 0.5]]))
+    log_obs = jnp.asarray(np.array([[[0.1, -0.3]]], np.float32))  # (1,1,2)
+    f = hmm.forward(log_pi, log_A, log_obs)
+    expect = np.logaddexp(np.log(0.25) + 0.1, np.log(0.75) - 0.3)
+    assert abs(float(f.log_likelihood[0]) - expect) < 1e-5
+    v = hmm.viterbi(log_pi, log_A, log_obs)
+    assert v.states.shape == (1, 1)

@@ -83,3 +83,48 @@ def test_ragged_smoothing():
                                atol=1e-4)
     path = model.viterbi_decode(params, x, u, lengths)
     assert path.shape == (2, 64)
+
+
+def test_filtered_posterior_is_causal():
+    """p(z_t | x_{1:t}): changing FUTURE observations must not change the
+    filtered posterior at earlier steps (while smoothing does)."""
+    model, params, xs, us, zs = _trained(seed=3)
+    x = jnp.asarray(xs[:2, :, :60])
+    u = jnp.asarray(us[:2, :, :60])
+
+    f1 = np.asarray(model.filtered_posterior(params, x, u))
+    s1 = np.asarray(model.smoothed_posterior(params, x, u))
+    np.testing.assert_allclose(f1.sum(axis=1), 1.0, atol=1e-4)
+
+    # perturb the tail beyond t=40
+    x2 = np.asarray(x).copy()
+    x2[:, :, 45:] += 3.0
+    u2 = np.asarray(u).copy()
+    u2[:, :, 45:] -= 2.0
+    f2 = np.asarray(model.filtered_posterior(params, jnp.asarray(x2),
+                                             jnp.asarray(u2)))
+    s2 = np.asarray(model.smoothed_posterior(params, jnp.asarray(x2),
+                                             jnp.asarray(u2)))
+
+    # causal: earlier steps unaffected (conv receptive field reaches back
+    # 2 steps, so compare strictly before t=43)
+    np.testing.assert_allclose(f1[:, :, :43], f2[:, :, :43], atol=1e-5)
+
+    # smoothing DOES propagate future evidence backward — measurable only
+    # under informative dynamics, so pin sticky transitions (with learned
+    # near-uniform transitions the backward signal decays to ~1e-6 within
+    # a few steps, which is itself correct behaviour).
+    K = 3
+    sticky = jax.tree_util.tree_map(lambda a: a, params)
+    sticky["prior"]["fc2"]["weight"] = jnp.zeros_like(
+        params["prior"]["fc2"]["weight"])
+    sticky["prior"]["fc2"]["bias"] = jnp.asarray(
+        (np.eye(K) * 4.0).reshape(-1), jnp.float32)
+    s1s = np.asarray(model.smoothed_posterior(sticky, x, u))
+    s2s = np.asarray(model.smoothed_posterior(sticky, jnp.asarray(x2),
+                                              jnp.asarray(u2)))
+    f1s = np.asarray(model.filtered_posterior(sticky, x, u))
+    f2s = np.asarray(model.filtered_posterior(sticky, jnp.asarray(x2),
+                                              jnp.asarray(u2)))
+    np.testing.assert_allclose(f1s[:, :, :43], f2s[:, :, :43], atol=1e-5)
+    assert np.abs(s1s[:, :, :43] - s2s[:, :, :43]).max() > 1e-3

@@ -102,3 +102,16 @@ def test_vqvae_hmm_end_to_end(rng):
     out = model.sample(params, em.model, jax.random.PRNGKey(1),
                        seq_len=16, batch=2)
     assert out.shape == (2, 5, 16)
+
+
+def test_quantize_st_pallas_path(rng):
+    """quantize_st(use_pallas=True) matches the XLA path (interpret mode)."""
+    z = jnp.asarray(rng.normal(size=(6, 10, 8)).astype(np.float32))
+    cb = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    a = quantize_st(z, cb, use_pallas=False)
+    b = quantize_st(z, cb, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(a.indices),
+                                  np.asarray(b.indices))
+    np.testing.assert_allclose(np.asarray(a.quantized),
+                               np.asarray(b.quantized), atol=1e-6)
+    assert abs(float(a.commitment_loss) - float(b.commitment_loss)) < 1e-6

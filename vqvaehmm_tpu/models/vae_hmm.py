@@ -277,6 +277,22 @@ class VAEHMM:
         gamma = hmm_ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
         return jnp.transpose(gamma, (0, 2, 1))
 
+    def filtered_posterior(self, params: Params, x: jnp.ndarray,
+                           u: jnp.ndarray,
+                           lengths: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+        """Causal regime posterior (B,K,T): p(z_t | x_{1:t}, u_{1:t}) — the
+        online counterpart of smoothed_posterior (no future lookahead;
+        right for live trading where the smoothed estimate would leak
+        future information into the signal)."""
+        from ..ops import hmm as hmm_ops
+
+        log_pi, log_A = self.prior(params, u)
+        log_obs = jnp.transpose(
+            plog_softmax(self.encode(params, x), axis=1), (0, 2, 1))
+        alpha = hmm_ops.filtered_marginals(log_pi, log_A, log_obs, lengths)
+        return jnp.transpose(alpha, (0, 2, 1))
+
     def viterbi_decode(self, params: Params, x: jnp.ndarray,
                        u: jnp.ndarray,
                        lengths: Optional[jnp.ndarray] = None,

@@ -122,6 +122,15 @@ def posterior_marginals(log_pi, log_A, log_obs,
     return psoftmax(log_gamma, axis=-1)
 
 
+def filtered_marginals(log_pi, log_A, log_obs,
+                       lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Causal (filtering) marginals (B,T,K) = p(z_t | x_{1:t}) — no
+    lookahead, suitable for online/real-time regime detection where the
+    smoothed posterior would peek at the future."""
+    fwd = forward(log_pi, log_A, log_obs, lengths)
+    return psoftmax(fwd.log_alpha, axis=-1)
+
+
 def pairwise_marginals(log_pi, log_A, log_obs,
                        lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """xi:(B,T-1,K,K) = p(z_t=i, z_{t+1}=j | x) for t = 0..T-2."""
