@@ -129,3 +129,25 @@ def test_concurrent_requests(server):
         np.testing.assert_allclose(np.array(out["regime_probs"]),
                                    np.array(serial["regime_probs"]),
                                    atol=1e-6)
+
+
+def test_infer_smoothed_and_filtered_modes(server):
+    """Extended contract: mode=smoothed/filtered with exogenous u."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(5, 24)).tolist()
+    u = rng.normal(size=(4, 24)).tolist()
+    for mode in ("smoothed", "filtered"):
+        status, out = _post(server + "/infer",
+                            {"x": x, "u": u, "mode": mode})
+        assert status == 200
+        assert out["mode"] == mode
+        q = np.array(out["regime_probs"])
+        assert q.shape == (3, 24)
+        np.testing.assert_allclose(q.sum(0), 1.0, atol=1e-3)
+    # missing u -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/infer", {"x": x, "mode": "smoothed"})
+    assert e.value.code == 400
+    # default mode unchanged (no "mode" key in response)
+    _, out = _post(server + "/infer", {"x": x})
+    assert "mode" not in out

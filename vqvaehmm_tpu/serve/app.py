@@ -77,15 +77,46 @@ class InferenceModel:
         padded[0, :, :T] = arr
         return padded, T
 
-    def infer(self, x: List[List[float]]):
+    def infer(self, x: List[List[float]], u: Optional[List[List[float]]] = None,
+              mode: str = "mean_field"):
+        """mode extends the reference contract (default unchanged):
+        'smoothed' / 'filtered' run exact HMM inference over the Prior's
+        transitions (requires `u` with matching T)."""
         jnp = self._jnp
         padded, T = self._padded(x)
         mu, logvar, q = self._infer(jnp.asarray(padded), T)
-        return {
+        out = {
             "mu": np.asarray(mu)[0, :, :T].tolist(),
             "logvar": np.asarray(logvar)[0, :, :T].tolist(),
             "regime_probs": np.asarray(q)[0, :, :T].tolist(),
         }
+        if mode != "mean_field":
+            if u is None:
+                raise ValueError(f"mode={mode!r} requires field 'u'")
+            u_arr = np.asarray(u, np.float32)
+            if u_arr.ndim != 2 or u_arr.shape[0] != (self.cfg.model.u_dim
+                                                     or 0):
+                raise ValueError(
+                    f"u must be [U={self.cfg.model.u_dim}][T], got "
+                    f"{u_arr.shape}")
+            if u_arr.shape[1] != T:
+                raise ValueError("u and x time lengths must match")
+            up = np.zeros((1, u_arr.shape[0], padded.shape[2]), np.float32)
+            up[0, :, :T] = u_arr
+            lengths = jnp.asarray(np.array([T], np.int32))
+            if mode == "smoothed":
+                g = self.model.smoothed_posterior(
+                    self.params, jnp.asarray(padded), jnp.asarray(up),
+                    lengths)
+            elif mode == "filtered":
+                g = self.model.filtered_posterior(
+                    self.params, jnp.asarray(padded), jnp.asarray(up),
+                    lengths)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            out["regime_probs"] = np.asarray(g)[0, :, :T].tolist()
+            out["mode"] = mode
+        return out
 
     def predict(self, x: List[List[float]]):
         """Portfolio weights from the regime posterior — the working
@@ -137,6 +168,8 @@ def create_app(config_path: str = "inference_config.json"):
 
     class InferRequest(BaseModel):
         x: List[List[float]]
+        u: Optional[List[List[float]]] = None
+        mode: str = "mean_field"
 
     @app.get("/health")
     def health():
@@ -145,7 +178,8 @@ def create_app(config_path: str = "inference_config.json"):
     @app.post("/infer")
     def infer(req: InferRequest):
         try:
-            return get_model(config_path).infer(req.x)
+            return get_model(config_path).infer(req.x, u=req.u,
+                                                mode=req.mode)
         except ValueError as e:
             raise HTTPException(status_code=400, detail=str(e))
         except Exception as e:  # parity with reference's 500 (:74-75)

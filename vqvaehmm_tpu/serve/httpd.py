@@ -42,8 +42,12 @@ def _make_handler(model: InferenceModel):
                 if "x" not in req:
                     self._send(400, {"detail": "missing field 'x'"})
                     return
-                fn = model.infer if self.path == "/infer" else model.predict
-                self._send(200, fn(req["x"]))
+                if self.path == "/infer":
+                    self._send(200, model.infer(
+                        req["x"], u=req.get("u"),
+                        mode=req.get("mode", "mean_field")))
+                else:
+                    self._send(200, model.predict(req["x"]))
             except ValueError as e:
                 self._send(400, {"detail": str(e)})
             except Exception as e:  # noqa: BLE001 (parity: reference 500s)
