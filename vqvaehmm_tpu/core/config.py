@@ -105,6 +105,7 @@ class Config:
     portfolio: PortfolioConfig = field(default_factory=PortfolioConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     checkpoint_path: str = "checkpoints/vae_hmm_trained"
+    head_checkpoint_path: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------
@@ -149,8 +150,9 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         if name in raw and isinstance(raw[name], dict):
             sections[name] = _coerce_section(name, cls, raw[name])
     top = {}
-    if "checkpoint_path" in raw:
-        top["checkpoint_path"] = raw["checkpoint_path"]
+    for key in ("checkpoint_path", "head_checkpoint_path"):
+        if key in raw:
+            top[key] = raw[key]
     return Config(**sections, **top)
 
 

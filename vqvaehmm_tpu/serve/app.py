@@ -143,7 +143,7 @@ class InferenceModel:
             self._head = RegimePortfolioOptimizer(HeadConfig(
                 K=self.cfg.model.K, n_assets=self.cfg.portfolio.n_assets,
                 hidden_dim=self.cfg.portfolio.hidden_dim))
-            head_ckpt = getattr(self.cfg, "head_checkpoint_path", None)
+            head_ckpt = self.cfg.head_checkpoint_path
             if head_ckpt and os.path.exists(str(head_ckpt) + ".npz"):
                 from ..data.checkpoint import load_params_npz
 

@@ -67,6 +67,20 @@ def train_portfolio(head_model, head_params, vae_model: VAEHMM, vae_params,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, w
 
+    @jax.jit
+    def step_first(params, opt_state, q, rets, lr_scale):
+        # reference passes prev_weights=None on the very first batch — NO
+        # turnover term (training.py:133,148), not turnover-vs-zero
+        def _loss(p):
+            w = head_model(p, q)
+            return loss_fn(w, rets, None, q), w
+
+        (loss, w), grads = jax.value_and_grad(_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, w
+
     history = []
     prev_w = None
     params = head_params
@@ -79,13 +93,8 @@ def train_portfolio(head_model, head_params, vae_model: VAEHMM, vae_params,
             q = posterior(jnp.asarray(x))
             rets = jnp.asarray(returns_data[idx])
             if prev_w is None:
-                prev_w_arg = jnp.zeros((q.shape[0],
-                                        rets.shape[-1]), q.dtype)
-                # reference passes None on the first batch: no turnover term
-                params, opt_state, loss, w = step(
-                    params, opt_state, q, rets,
-                    jax.lax.stop_gradient(prev_w_arg) * 0.0,
-                    jnp.float32(lr_scale))
+                params, opt_state, loss, w = step_first(
+                    params, opt_state, q, rets, jnp.float32(lr_scale))
             else:
                 params, opt_state, loss, w = step(
                     params, opt_state, q, rets, prev_w,
