@@ -180,9 +180,8 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
     def em_step(carry, _):
         log_pi, log_A, log_Bm = carry
         log_obs = log_Bm.T[codes]  # (B,T,K)
-        fwd = ops.forward(log_pi, log_A, log_obs, lengths)
-        gamma = ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
-        xi = ops.pairwise_marginals(log_pi, log_A, log_obs, lengths)
+        sm = ops.smoothing(log_pi, log_A, log_obs, lengths)
+        gamma, xi = sm.gamma, sm.xi
         if lengths is not None:
             pair_valid = valid[:, 1:] & valid[:, :-1]
             xi = xi * pair_valid[:, :, None, None]
@@ -195,7 +194,7 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
         new = (plog(pi_new / pi_new.sum()),
                plog(A_new / A_new.sum(-1, keepdims=True)),
                plog(B_new / B_new.sum(-1, keepdims=True)))
-        return new, fwd.log_likelihood.sum()
+        return new, sm.log_likelihood.sum()
 
     def run_one(key):
         return jax.lax.scan(em_step, init_one(key), None, length=n_iters)
@@ -250,9 +249,8 @@ def fit_gaussian_em(x: jnp.ndarray, K: int, n_iters: int = 50,
         log_pi, log_A, loc, scale = carry
         em = GaussianEmission(loc, scale)
         log_obs = em.log_prob(x)
-        fwd = ops.forward(log_pi, log_A, log_obs, lengths)
-        gamma = ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
-        xi = ops.pairwise_marginals(log_pi, log_A, log_obs, lengths)
+        sm = ops.smoothing(log_pi, log_A, log_obs, lengths)
+        gamma, xi = sm.gamma, sm.xi
         if lengths is not None:
             pair_valid = valid[:, 1:] & valid[:, :-1]
             xi = xi * pair_valid[:, :, None, None]
@@ -268,7 +266,7 @@ def fit_gaussian_em(x: jnp.ndarray, K: int, n_iters: int = 50,
         new = (plog(pi_new / pi_new.sum()),
                plog(A_new / A_new.sum(-1, keepdims=True)),
                loc_new, scale_new)
-        return new, fwd.log_likelihood.sum()
+        return new, sm.log_likelihood.sum()
 
     def run_one(key):
         return jax.lax.scan(em_step, init_one(key), None, length=n_iters)

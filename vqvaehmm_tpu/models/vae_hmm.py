@@ -272,24 +272,37 @@ class VAEHMM:
         from ..ops import hmm as hmm_ops
 
         log_pi, log_A = self.prior(params, u)
-        log_obs = jnp.transpose(
-            plog_softmax(self.encode(params, x), axis=1), (0, 2, 1))
+        log_obs = self._hmm_evidence(params, x, lengths)
         gamma = hmm_ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
         return jnp.transpose(gamma, (0, 2, 1))
+
+    def _hmm_evidence(self, params: Params, x: jnp.ndarray,
+                      lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Encoder evidence (B,T,K) for the exact-inference paths, with the
+        encoder bounded at max(lengths) so results do not depend on how much
+        padding the input carries (same valid_to semantics as
+        compute_loss / the serving mean-field path)."""
+        valid_to = jnp.max(lengths) if lengths is not None else None
+        logits = self.encode(params, x, valid_to=valid_to)
+        return jnp.transpose(plog_softmax(logits, axis=1), (0, 2, 1))
 
     def filtered_posterior(self, params: Params, x: jnp.ndarray,
                            u: jnp.ndarray,
                            lengths: Optional[jnp.ndarray] = None
                            ) -> jnp.ndarray:
-        """Causal regime posterior (B,K,T): p(z_t | x_{1:t}, u_{1:t}) — the
-        online counterpart of smoothed_posterior (no future lookahead;
-        right for live trading where the smoothed estimate would leak
-        future information into the signal)."""
+        """Filtering regime posterior (B,K,T) — the online counterpart of
+        smoothed_posterior: the HMM recursion uses only evidence up to t.
+
+        CAVEAT: the conv encoder's emissions themselves have a 2-step
+        lookahead (two stacked k=3 SAME convs), so the overall estimate at
+        t depends on x up to t+2.  For a strictly causal live-trading
+        signal, lag the output by 2 steps (or use a causal encoder); the
+        HMM recursion adds no lookahead beyond the encoder's.
+        """
         from ..ops import hmm as hmm_ops
 
         log_pi, log_A = self.prior(params, u)
-        log_obs = jnp.transpose(
-            plog_softmax(self.encode(params, x), axis=1), (0, 2, 1))
+        log_obs = self._hmm_evidence(params, x, lengths)
         alpha = hmm_ops.filtered_marginals(log_pi, log_A, log_obs, lengths)
         return jnp.transpose(alpha, (0, 2, 1))
 
@@ -303,8 +316,7 @@ class VAEHMM:
         from ..ops import hmm as hmm_ops
 
         log_pi, log_A = self.prior(params, u)
-        log_obs = jnp.transpose(
-            plog_softmax(self.encode(params, x), axis=1), (0, 2, 1))
+        log_obs = self._hmm_evidence(params, x, lengths)
         if use_pallas:
             from ..ops.pallas_hmm import viterbi_pallas
 

@@ -31,14 +31,17 @@ def init_mha(key, embed_dim: int, num_heads: int) -> Params:
             f"embed_dim {embed_dim} not divisible by num_heads {num_heads} "
             "(note: the reference's AttentionPortfolioOptimizer default of "
             "4 heads is unusable at K=3; pick heads dividing K)")
-    k1, k2, k3 = jax.random.split(key, 3)
-    # torch uses xavier_uniform_ for in_proj
+    k1, k2 = jax.random.split(key)
+    # torch _reset_parameters: xavier_uniform_ in_proj weight, ZERO
+    # in_proj_bias and out_proj.bias
     limit = math.sqrt(6.0 / (embed_dim + embed_dim))
+    out_proj = init_linear(k2, embed_dim, embed_dim)
+    out_proj["bias"] = jnp.zeros_like(out_proj["bias"])
     return {
         "in_proj_weight": jax.random.uniform(
             k1, (3 * embed_dim, embed_dim), jnp.float32, -limit, limit),
         "in_proj_bias": jnp.zeros((3 * embed_dim,)),
-        "out_proj": init_linear(k2, embed_dim, embed_dim),
+        "out_proj": out_proj,
     }
 
 

@@ -134,15 +134,31 @@ def filtered_marginals(log_pi, log_A, log_obs,
 def pairwise_marginals(log_pi, log_A, log_obs,
                        lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """xi:(B,T-1,K,K) = p(z_t=i, z_{t+1}=j | x) for t = 0..T-2."""
+    return smoothing(log_pi, log_A, log_obs, lengths).xi
+
+
+class SmoothingResult(NamedTuple):
+    gamma: jnp.ndarray           # (B, T, K) smoothed marginals
+    xi: jnp.ndarray              # (B, T-1, K, K) pairwise marginals
+    log_likelihood: jnp.ndarray  # (B,)
+
+
+def smoothing(log_pi, log_A, log_obs,
+              lengths: Optional[jnp.ndarray] = None) -> SmoothingResult:
+    """All smoothing statistics from ONE forward + ONE backward scan
+    (posterior_marginals + pairwise_marginals + likelihood each rerun the
+    scans internally; EM should use this instead — 3x fewer forward scans
+    per iteration)."""
     B, T, K = log_obs.shape
     log_A = _as_time_varying(log_A, B, T)
     log_Am, log_obsm = _mask_inputs(log_A, log_obs, lengths)
     fwd = forward(log_pi, log_A, log_obs, lengths)
     log_beta = backward(log_A, log_obs, lengths)
+    gamma = psoftmax(fwd.log_alpha + log_beta, axis=-1)
     log_xi = (fwd.log_alpha[:, :-1, :, None] + log_Am[:, 1:]
               + (log_obsm + log_beta)[:, 1:, None, :])
-    log_xi = log_xi - fwd.log_likelihood[:, None, None, None]
-    return pexp(log_xi)
+    xi = pexp(log_xi - fwd.log_likelihood[:, None, None, None])
+    return SmoothingResult(gamma, xi, fwd.log_likelihood)
 
 
 class ViterbiResult(NamedTuple):

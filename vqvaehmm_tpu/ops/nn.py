@@ -92,6 +92,11 @@ def conv1d_same(params: Params, x: jnp.ndarray, *,
     """
     w = params["weight"]  # (O, I, W)
     k = w.shape[-1]
+    if k % 2 == 0:
+        # even widths break the SAME-length contract (lax.conv with
+        # (k//2, k//2) padding returns T+1) and the two impls would
+        # disagree; the reference only uses odd kernels
+        raise ValueError(f"conv1d_same requires an odd kernel width, got {k}")
     pad = k // 2
     if impl == "matmul":
         B, C, T = x.shape

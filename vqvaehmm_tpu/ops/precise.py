@@ -41,6 +41,9 @@ def plog(x: jnp.ndarray) -> jnp.ndarray:
 
     x <= 0 -> -inf (0) / nan (negative), matching jnp.log conventions for
     the domains this framework uses (positive variances/probabilities).
+    Subnormal inputs (< ~1.18e-38) are clamped to the smallest normal
+    float before decoding (the frexp bit trick would otherwise misread
+    them); their result saturates at ~-87.3 instead of the true value.
 
     custom_jvp is REQUIRED, not an optimization: the primal routes its data
     dependence through bitcast_convert_type (exponent/mantissa extraction),
@@ -48,7 +51,8 @@ def plog(x: jnp.ndarray) -> jnp.ndarray:
     gradient is silently wrong (caught by finite-difference verification).
     """
     x = jnp.asarray(x, jnp.float32)
-    bits = lax.bitcast_convert_type(x, jnp.int32)
+    xc = jnp.maximum(x, 1.1754944e-38)  # clamp subnormals to min normal
+    bits = lax.bitcast_convert_type(xc, jnp.int32)
     e = ((bits >> 23) & 0xFF) - 127
     m = lax.bitcast_convert_type(
         (bits & 0x007FFFFF) | 0x3F800000, jnp.float32)  # [1, 2)

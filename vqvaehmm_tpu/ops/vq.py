@@ -116,6 +116,26 @@ def vq_pallas(z: jnp.ndarray, codebook: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _pallas_nearest_codes(z: jnp.ndarray, codebook: jnp.ndarray):
+    """Index selection via the Pallas kernel, opaque to autodiff (the
+    pallas_call has no differentiation rule; indices are integral anyway,
+    so the correct cotangents are zero)."""
+    return vq_pallas(z, codebook)[1]
+
+
+def _pnc_fwd(z, codebook):
+    return _pallas_nearest_codes(z, codebook), (z, codebook)
+
+
+def _pnc_bwd(res, g):
+    z, codebook = res
+    return jnp.zeros_like(z), jnp.zeros_like(codebook)
+
+
+_pallas_nearest_codes.defvjp(_pnc_fwd, _pnc_bwd)
+
+
 def quantize_st(z_e: jnp.ndarray, codebook: jnp.ndarray,
                 commitment_beta: float = 0.25,
                 use_pallas: bool = False) -> VQResult:
@@ -123,10 +143,14 @@ def quantize_st(z_e: jnp.ndarray, codebook: jnp.ndarray,
     (pseudocode.txt:12-19: z_q_st = z_e + sg(z_q - z_e), commit/codebook
     losses)."""
     if use_pallas:
+        # the kernel only picks the indices; z_q is re-expanded
+        # differentiably (one_hot @ codebook) so the codebook loss can
+        # backprop
         flat = z_e.reshape(-1, z_e.shape[-1])
-        zq_flat, idx = vq_pallas(flat, codebook)
-        z_q = zq_flat.reshape(z_e.shape)
-        idx = idx.reshape(z_e.shape[:-1])
+        idx_flat = _pallas_nearest_codes(flat, codebook)
+        onehot = jax.nn.one_hot(idx_flat, codebook.shape[0], dtype=z_e.dtype)
+        z_q = (onehot @ codebook).reshape(z_e.shape)
+        idx = idx_flat.reshape(z_e.shape[:-1])
     else:
         z_q, idx = vq_lookup(z_e, codebook)
     commitment = commitment_beta * jnp.mean(

@@ -14,12 +14,10 @@ inserted by XLA.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Iterable, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -58,6 +56,19 @@ def create_train_state(model: VAEHMM, key: jax.Array, lr: float,
                       step=jnp.zeros((), jnp.int32))
 
 
+def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
+                state: TrainState, x, u, lengths, beta):
+    """One optimizer update — the single source of truth shared by the
+    per-batch step and the epoch-fused scan."""
+    def loss_fn(p):
+        return model.compute_loss(p, x, u, lengths, beta)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 def make_train_step(model: VAEHMM, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None, donate: bool = True):
     """Build the jitted single-batch update.
@@ -67,13 +78,7 @@ def make_train_step(model: VAEHMM, tx: optax.GradientTransformation,
     """
 
     def step(state: TrainState, x, u, lengths, beta):
-        def loss_fn(p):
-            return model.compute_loss(p, x, u, lengths, beta)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        return _sgd_update(model, tx, state, x, u, lengths, beta)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -98,14 +103,7 @@ def make_epoch_step(model: VAEHMM, tx: optax.GradientTransformation,
     def epoch(state: TrainState, xs, us, lens, beta):
         def body(st, batch):
             x, u, l = batch
-
-            def loss_fn(p):
-                return model.compute_loss(p, x, u, l, beta)
-
-            loss, grads = jax.value_and_grad(loss_fn)(st.params)
-            updates, opt_state = tx.update(grads, st.opt_state, st.params)
-            params = optax.apply_updates(st.params, updates)
-            return TrainState(params, opt_state, st.step + 1), loss
+            return _sgd_update(model, tx, st, x, u, l, beta)
 
         state, losses = jax.lax.scan(body, state, (xs, us, lens))
         return state, losses.mean()
