@@ -1,0 +1,77 @@
+"""Market feature pipeline (data/market.py) on fabricated price frames —
+no network; validates the reference feature recipe (data_loader.py:28-70)
+and the text parser used by the demo UI."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vqvaehmm_tpu.data.market import (create_sequences, load_portfolio_data,
+                                      prepare_sequences)
+from vqvaehmm_tpu.serve.gradio_app import parse_market_text
+
+
+@pytest.fixture
+def frames(rng):
+    n = 120
+    idx = pd.bdate_range("2020-01-01", periods=n)
+    prices = pd.DataFrame(
+        100 * np.cumprod(1 + rng.normal(3e-4, 0.01, size=(n, 3)), axis=0),
+        index=idx, columns=["AAA", "BBB", "CCC"])
+    regime = pd.DataFrame({
+        "^VIX": 15 + 5 * rng.random(n),
+        "^TNX": 2 + rng.random(n),
+        "SPY": 300 * np.cumprod(1 + rng.normal(2e-4, 0.008, n)),
+    }, index=idx)
+    return prices, regime
+
+
+def test_prepare_sequences_recipe(frames):
+    prices, regime = frames
+    x_data, u_data, returns, aligned = prepare_sequences(prices, regime,
+                                                         lookback=20)
+    # 5 engineered x features, 4 regime features (reference recipe)
+    assert x_data.shape[1] == 5
+    assert u_data.shape[1] == 4
+    assert len(x_data) == len(u_data) == len(returns) == len(aligned)
+    assert np.isfinite(x_data).all() and np.isfinite(u_data).all()
+    # rolling(20) warm-up rows are dropped
+    assert len(x_data) <= len(prices) - 20
+
+
+def test_create_sequences_windows(frames):
+    prices, regime = frames
+    x_data, u_data, _, _ = prepare_sequences(prices, regime)
+    xs, us = create_sequences(x_data, u_data, seq_len=40, stride=10)
+    assert xs.shape[1:] == (40, 5)
+    assert us.shape[1:] == (40, 4)
+    assert len(xs) == len(us) == (len(x_data) - 40 + 9) // 10
+    # windows overlap with the configured stride
+    np.testing.assert_array_equal(xs[1][:30], xs[0][10:])
+
+
+def test_load_portfolio_data_synthetic_fallback():
+    """Without network, the pipeline falls back to synthetic data with the
+    documented shapes instead of crashing (the reference hard-requires
+    yfinance)."""
+    data = load_portfolio_data(tickers=["ZZZZZZ"], log_fn=None)
+    xs, us = data["x_sequences"], data["u_sequences"]
+    assert xs.ndim == 3 and xs.shape[1] == 5
+    assert us.ndim == 3 and us.shape[1] == 4
+    assert xs.dtype == np.float32
+
+
+def test_parse_market_text_row_format():
+    rows = "\n".join(" ".join(f"{v:.3f}" for v in np.arange(t, t + 6))
+                     for t in range(5))
+    x = parse_market_text(rows)
+    assert x.shape == (1, 5, 6)
+    np.testing.assert_allclose(x[0, 2, 0], 2.0, atol=1e-5)
+
+
+def test_parse_market_text_flat_and_errors():
+    flat = ", ".join(str(float(i)) for i in range(20))
+    x = parse_market_text(flat)
+    assert x.shape == (1, 5, 4)
+    with pytest.raises(ValueError):
+        parse_market_text("1 2 3")  # too few values
