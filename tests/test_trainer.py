@@ -128,3 +128,32 @@ def test_prefetch_epochs_yields_all():
     for xs, us, lens in epochs:
         assert xs.shape == (4, 16, 5, 48)
         assert lens.shape == (4, 16)
+
+
+def test_mesh_epoch_scan_matches_single_device():
+    """The epoch-fused scan under the 8-device mesh must match the
+    unsharded epoch scan (this is the path train_model(mesh=...) uses)."""
+    model = make_model(5, 12, 3, 6, u_dim=4, trans_hidden=12)
+    tx = make_optimizer(1e-3)
+    params = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(2)
+    N, B, T = 2, 16, 24
+    xs = rng.normal(size=(N, B, 5, T)).astype(np.float32)
+    us = rng.normal(size=(N, B, 4, T)).astype(np.float32)
+    lens = rng.integers(10, T + 1, size=(N, B)).astype(np.int32)
+
+    s0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    single = make_epoch_step(model, tx, donate=False)
+    s1, loss1 = single(s0, xs, us, lens, jnp.float32(0.9))
+
+    mesh = create_mesh(8)
+    sharded = make_epoch_step(model, tx, mesh=mesh, donate=False)
+    s0m = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    s2, loss2 = sharded(s0m, xs, us, lens, jnp.float32(0.9))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
