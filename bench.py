@@ -85,6 +85,65 @@ def bench_jax() -> float:
     return sps
 
 
+def bench_viterbi_p50() -> float:
+    """Viterbi decode p50 latency (us/batch) at the benchmark shape
+    (B=64, T=200, K=3, time-varying input-conditioned transitions).
+
+    BASELINE.json's second metric half.  No reference implementation
+    exists (the reference hard-decodes via argmax — reference
+    backtesting.py:155), so this measurement IS the baseline.  Uses the
+    lax.scan path, which wins at this shape (BENCH_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import make_model
+
+    model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
+                       trans_hidden=TRANS_HIDDEN)
+    params = model.init(jax.random.PRNGKey(0))
+    x, u, lengths = make_batch()
+    x, u = jnp.asarray(x), jnp.asarray(u)
+    lengths = jnp.asarray(lengths)
+
+    # Marginal cost via two-point fused measurement: lax.scan M decodes in
+    # one device call and difference the medians, so the ~26 ms/call tunnel
+    # round trip cancels (same methodology as the training headline).
+    def decode_many(p, xs_, us_, ll):
+        def body(c, xu):
+            xx, uu = xu
+            s = model.viterbi_decode(p, xx, uu, ll)
+            return c + jnp.sum(s), None
+        tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (xs_, us_))
+        return tot
+
+    decode_many = jax.jit(decode_many)
+    rng = np.random.default_rng(1)
+    M_LO, M_HI = 4, 36
+
+    def stacked(m):
+        xs_ = jnp.asarray(x[None] + 0.01 * rng.normal(
+            size=(m, B, C, T)).astype(np.float32))
+        us_ = jnp.asarray(u[None] + 0.01 * rng.normal(
+            size=(m, B, U, T)).astype(np.float32))
+        return xs_, us_
+
+    lo, hi = stacked(M_LO), stacked(M_HI)
+    int(decode_many(params, *lo, lengths))   # compile + sync
+    int(decode_many(params, *hi, lengths))
+
+    def med(args, n=9):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            int(decode_many(params, *args, lengths))  # host fetch = sync
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    p50 = (med(hi) - med(lo)) / (M_HI - M_LO) * 1e6
+    log(f"viterbi: p50 {p50:.1f} us/batch marginal (B={B}, T={T}, K={K})")
+    return p50
+
+
 def bench_torch_cpu() -> float:
     """Functional-torch reference train step (forward + backward + Adam)."""
     import torch
@@ -173,6 +232,11 @@ def bench_torch_cpu() -> float:
 def main():
     jax_sps = bench_jax()
     try:
+        vit_p50 = bench_viterbi_p50()
+    except Exception as e:  # secondary metric; never sink the headline
+        log(f"viterbi bench failed: {e}")
+        vit_p50 = None
+    try:
         torch_sps = bench_torch_cpu()
     except Exception as e:  # torch baseline is an anchor, not a dependency
         log(f"torch baseline failed: {e}")
@@ -183,6 +247,12 @@ def main():
         "value": round(jax_sps, 2),
         "unit": "seqs/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        # Second half of BASELINE.json's metric: Viterbi decode p50.  The
+        # reference has no Viterbi (argmax decode, backtesting.py:155), so
+        # this number IS the baseline being established.
+        "viterbi_decode_p50_us_per_batch":
+            round(vit_p50, 1) if vit_p50 is not None else None,
+        "viterbi_shape": f"B={B},T={T},K={K}",
     }))
 
 
