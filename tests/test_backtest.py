@@ -151,3 +151,35 @@ def test_trade_log_and_cost_metrics():
     assert res.trade_log is not None
     for entry in res.trade_log:
         assert set(entry) == {"t", "trade_value", "cost", "weights"}
+
+
+def test_regime_backtest_viterbi_decode():
+    """decode='viterbi' routes through the model's exact MAP decode and
+    splits periods by the decoded regime (upgrade over reference
+    backtesting.py:155 argmax)."""
+    from vqvaehmm_tpu import make_model
+
+    data, prices, returns = _fixture(T=200)
+    u = np.random.default_rng(3).normal(size=(1, 4, 200)).astype(np.float32)
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def decode_fn(x, uu):
+        return model.viterbi_decode(params, x, uu)
+
+    rb = RegimeBacktest()
+    results = rb.run(fake_model, fake_posterior, data, prices, returns,
+                     K=3, min_samples=5, decode="viterbi",
+                     decode_fn=decode_fn, u=u)
+    # the split must tile a subset of the timeline with valid state labels
+    states = np.asarray(decode_fn(jnp.asarray(data), jnp.asarray(u)))
+    assert states.shape == (1, 200) and states.min() >= 0 and states.max() < 3
+    total = sum(len(r.equity_curve) for r in results.values())
+    assert 0 < total <= 200
+
+    with pytest.raises(ValueError):
+        rb.run(fake_model, fake_posterior, data, prices, returns,
+               K=3, decode="viterbi")  # missing decode_fn/u
+    with pytest.raises(ValueError):
+        rb.run(fake_model, fake_posterior, data, prices, returns,
+               K=3, decode="bogus")

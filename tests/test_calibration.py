@@ -89,3 +89,22 @@ def test_evaluate_with_tradeoffs(separable):
     assert len(df) == 11
     assert {"precision", "recall", "threshold",
             "precision_weight"} <= set(df.columns)
+
+
+def test_vectorized_sweep_matches_scalar_eval(rng):
+    """The broadcasted all-thresholds sweep must agree exactly with
+    independent single-threshold evaluations."""
+    from vqvaehmm_tpu.calibration.calibrate import (_eval_threshold,
+                                                    _eval_thresholds)
+
+    preds = rng.uniform(size=300)
+    targets = (rng.uniform(size=300) > 0.6).astype(int)
+    thresholds = np.linspace(0.0, 1.0, 37)
+    vec = _eval_thresholds(preds, targets, thresholds)
+    for t, r in zip(thresholds, vec):
+        s = _eval_threshold(preds, targets, float(t))
+        assert (r.true_positives, r.false_positives, r.false_negatives) == \
+            (s.true_positives, s.false_positives, s.false_negatives)
+        np.testing.assert_allclose(
+            [r.precision, r.recall, r.f1_score, r.signal_ratio],
+            [s.precision, s.recall, s.f1_score, s.signal_ratio], rtol=1e-12)

@@ -137,3 +137,41 @@ def test_periodic_save_and_auto_resume(tiny_config):
     # a fresh pipeline resumes at epoch 4 == num_epochs -> no extra steps
     state2 = TrainPipeline(cfg).train(log_fn=None)
     assert int(state2.step) == int(state1.step)
+
+
+def test_gmm_system_save_load_roundtrip(rng, tmp_path):
+    """GMM stack persists and reloads with identical predictions —
+    covers the reference's train-once/infer-later workflow
+    (train_simple.py:185-197 -> inference.py:8-17)."""
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu.models.gmm import prepare_regime_features
+    from vqvaehmm_tpu.train.gmm_pipeline import (load_improved_system,
+                                                 train_improved_system)
+
+    T, A = 300, 4
+    returns = rng.normal(5e-4, 0.01, size=(T, A)).astype(np.float32)
+    sys1 = train_improved_system(returns, n_regimes=3, hidden_dim=8,
+                                 num_epochs=20, patience=10, log_fn=None)
+    path = str(tmp_path / "improved_system.npz")
+    sys1.save(path)
+    sys2 = load_improved_system(path)
+
+    feats = prepare_regime_features(returns)
+    np.testing.assert_array_equal(sys1.detector.predict_regime(feats),
+                                  sys2.detector.predict_regime(feats))
+    np.testing.assert_allclose(sys1.detector.predict_proba(feats),
+                               sys2.detector.predict_proba(feats),
+                               rtol=0, atol=0)
+    q = jnp.asarray(sys1.detector.predict_proba(feats)[:8])
+    np.testing.assert_array_equal(
+        np.asarray(sys1.optimizer(sys1.params, q)),
+        np.asarray(sys2.optimizer(sys2.params, q)))
+    assert sys2.history == [float(h) for h in sys1.history]
+
+    # CLI surface: --stack gmm serves the reloaded archive
+    from vqvaehmm_tpu.serve.cli import main as cli_main
+
+    data_path = str(tmp_path / "returns.npy")
+    np.save(data_path, returns)
+    cli_main(["--stack", "gmm", "--checkpoint", path, "--data", data_path])

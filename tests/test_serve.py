@@ -151,3 +151,43 @@ def test_infer_smoothed_and_filtered_modes(server):
     # default mode unchanged (no "mode" key in response)
     _, out = _post(server + "/infer", {"x": x})
     assert "mode" not in out
+
+
+def test_infer_viterbi_mode(server):
+    """mode=viterbi returns the MAP state path as integer states."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(5, 24)).tolist()
+    u = rng.normal(size=(4, 24)).tolist()
+    status, out = _post(server + "/infer", {"x": x, "u": u,
+                                            "mode": "viterbi"})
+    assert status == 200 and out["mode"] == "viterbi"
+    states = np.array(out["states"])
+    assert states.shape == (24,)
+    assert states.dtype.kind == "i" and states.min() >= 0 and states.max() < 3
+
+
+def test_exact_modes_hit_cached_executable():
+    """Repeated same-bucket requests must reuse one compiled executable
+    per mode (jit-once bucket ladder, not per-request retracing)."""
+    import json as _json
+    import tempfile
+
+    from vqvaehmm_tpu.serve.app import InferenceModel
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                         "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+               "checkpoint_path": tmp + "/nonexistent"}
+        cfg_path = tmp + "/cfg.json"
+        open(cfg_path, "w").write(_json.dumps(cfg))
+        m = InferenceModel(cfg_path)
+        rng = np.random.default_rng(11)
+        for T in (20, 24, 30):  # all pad to the 32 bucket
+            x = rng.normal(size=(5, T)).tolist()
+            u = rng.normal(size=(4, T)).tolist()
+            m.infer(x, u=u, mode="smoothed")
+            m.infer(x, u=u, mode="filtered")
+            m.infer(x, u=u, mode="viterbi")
+        assert m._smoothed._cache_size() == 1
+        assert m._filtered._cache_size() == 1
+        assert m._viterbi._cache_size() == 1

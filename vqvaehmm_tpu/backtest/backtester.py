@@ -3,10 +3,12 @@
 Reference semantics, TPU-native execution: the reference's per-timestep
 Python loop re-encodes a 20-step window at every rebalance
 (backtesting.py:41-48) — the dominant cost.  Here all rebalance windows are
-stacked and encoded in ONE batched forward pass, and the sequential cash
-accounting (the only true recurrence) runs as a lax.scan with a scalar
-carry.  Metrics are numpy on host (cheap, reference formulas
-backtesting.py:79-106).
+stacked and encoded in ONE batched forward pass; the sequential cash
+accounting (the only true recurrence) deliberately stays a host-side numpy
+loop in float64 — it is O(T) scalar bookkeeping with a trade log, where
+device dispatch would cost more than the arithmetic and float32 would
+erode the running cash balance.  Metrics are numpy on host (cheap,
+reference formulas backtesting.py:79-106).
 
 Regime decoding for RegimeBacktest supports both the reference's
 argmax-of-mean-field-q (backtesting.py:155) and exact Viterbi via the HMM
@@ -216,20 +218,35 @@ class RegimeBacktest:
     """Per-regime performance analysis (reference: backtesting.py:145-171).
 
     decode='argmax' reproduces the reference's argmax(q) hard decode
-    (:155); decode='viterbi' runs exact MAP decoding when log-prior inputs
-    are supplied."""
+    (:155); decode='viterbi' runs exact MAP decoding through the model's
+    input-conditioned HMM (pass ``decode_fn`` — typically
+    ``lambda x, u: model.viterbi_decode(params, x, u)`` — plus the
+    conditioning inputs ``u``)."""
 
     def __init__(self, backtester: Optional[Backtester] = None):
         self.backtester = backtester or Backtester()
 
     def run(self, model_fn, posterior_fn, data, prices: np.ndarray,
             returns: np.ndarray, K: int, min_samples: int = 20,
-            regimes: Optional[np.ndarray] = None
+            regimes: Optional[np.ndarray] = None,
+            decode: str = "argmax",
+            decode_fn: Optional[Callable] = None,
+            u: Optional[np.ndarray] = None
             ) -> Dict[int, BacktestResult]:
         data = np.asarray(data)
         if regimes is None:
-            q = np.asarray(posterior_fn(jnp.asarray(data)))
-            regimes = q.argmax(axis=1).squeeze()
+            if decode == "viterbi":
+                if decode_fn is None or u is None:
+                    raise ValueError(
+                        "decode='viterbi' needs decode_fn (x, u -> states) "
+                        "and the conditioning inputs u")
+                states = decode_fn(jnp.asarray(data), jnp.asarray(u))
+                regimes = np.asarray(states).squeeze()
+            elif decode == "argmax":
+                q = np.asarray(posterior_fn(jnp.asarray(data)))
+                regimes = q.argmax(axis=1).squeeze()
+            else:
+                raise ValueError(f"unknown decode mode {decode!r}")
         results = {}
         for k in range(K):
             mask = regimes == k

@@ -33,18 +33,31 @@ class CalibrationResult:
     false_negatives: int
 
 
+def _eval_thresholds(preds: np.ndarray, targets: np.ndarray,
+                     thresholds: np.ndarray) -> List[CalibrationResult]:
+    """All thresholds in one broadcasted comparison: (n_thresh, n_preds)
+    boolean matrix, confusion counts reduced along axis 1."""
+    thresholds = np.atleast_1d(np.asarray(thresholds, float))
+    pred_bin = preds[None, :] >= thresholds[:, None]
+    pos = targets == 1
+    tp = (pred_bin & pos[None, :]).sum(1)
+    fp = (pred_bin & ~pos[None, :]).sum(1)
+    fn = ((~pred_bin) & pos[None, :]).sum(1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+        rec = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+        f1 = np.where(prec + rec > 0,
+                      2 * prec * rec / np.maximum(prec + rec, 1e-300), 0.0)
+    sig = pred_bin.mean(1)
+    return [CalibrationResult(float(t), float(p), float(r), float(f),
+                              float(s), float(1 - s), int(a), int(b), int(c))
+            for t, p, r, f, s, a, b, c
+            in zip(thresholds, prec, rec, f1, sig, tp, fp, fn)]
+
+
 def _eval_threshold(preds: np.ndarray, targets: np.ndarray,
                     thresh: float) -> CalibrationResult:
-    pred_bin = (preds >= thresh).astype(int)
-    tp = int(((pred_bin == 1) & (targets == 1)).sum())
-    fp = int(((pred_bin == 1) & (targets == 0)).sum())
-    fn = int(((pred_bin == 0) & (targets == 1)).sum())
-    prec = tp / (tp + fp) if (tp + fp) > 0 else 0.0
-    rec = tp / (tp + fn) if (tp + fn) > 0 else 0.0
-    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) > 0 else 0.0
-    sig = pred_bin.sum() / len(pred_bin)
-    return CalibrationResult(float(thresh), prec, rec, f1, float(sig),
-                             float(1 - sig), tp, fp, fn)
+    return _eval_thresholds(preds, targets, np.array([thresh]))[0]
 
 
 class ThresholdCalibrator:
@@ -61,11 +74,11 @@ class ThresholdCalibrator:
         targets = np.asarray(targets)
         if thresholds is None:
             thresholds = np.linspace(preds.min(), preds.max(), 100)
+        results = _eval_thresholds(preds, targets, thresholds)
+        self.curve.extend(results)
         best = None
         best_f1 = 0.0
-        for t in thresholds:
-            r = _eval_threshold(preds, targets, t)
-            self.curve.append(r)
+        for r in results:
             if r.precision >= self.min_precision and \
                     r.recall >= self.min_recall and r.f1_score > best_f1:
                 best_f1 = r.f1_score
@@ -167,22 +180,17 @@ class PrecisionRecallOptimizer:
         targets = np.asarray(targets)
         if thresholds is None:
             thresholds = np.percentile(preds, np.linspace(0, 100, 50))
-        best_score = -np.inf
-        best_thresh = float(thresholds[0])
-        best_metrics: Dict[str, float] = {}
-        for t in thresholds:
-            r = _eval_threshold(preds, targets, t)
-            score = self.prec_w * r.precision + self.rec_w * r.recall
-            if score > best_score:
-                best_score = score
-                best_thresh = float(t)
-                best_metrics = {
-                    "precision": r.precision,
-                    "recall": r.recall,
-                    "f1_score": r.f1_score,
-                    "weighted_score": score,
-                }
-        return best_thresh, best_metrics
+        results = _eval_thresholds(preds, targets, thresholds)
+        scores = np.array([self.prec_w * r.precision + self.rec_w * r.recall
+                           for r in results])
+        i = int(scores.argmax())
+        r = results[i]
+        return r.threshold, {
+            "precision": r.precision,
+            "recall": r.recall,
+            "f1_score": r.f1_score,
+            "weighted_score": float(scores[i]),
+        }
 
 
 class EvaluationLoop:

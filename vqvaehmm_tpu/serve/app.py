@@ -64,6 +64,18 @@ class InferenceModel:
             return mu, logvar, q
 
         self._infer = jax.jit(_infer)
+        # Exact-inference modes jit once per padding bucket, like _infer —
+        # repeated same-bucket requests hit a cached executable instead of
+        # retracing per request.
+        self._smoothed = jax.jit(
+            lambda x, u, lens: self.model.smoothed_posterior(
+                self.params, x, u, lens))
+        self._filtered = jax.jit(
+            lambda x, u, lens: self.model.filtered_posterior(
+                self.params, x, u, lens))
+        self._viterbi = jax.jit(
+            lambda x, u, lens: self.model.viterbi_decode(
+                self.params, x, u, lens))
 
     def _padded(self, x: List[List[float]]):
         arr = np.asarray(x, np.float32)
@@ -81,7 +93,9 @@ class InferenceModel:
               mode: str = "mean_field"):
         """mode extends the reference contract (default unchanged):
         'smoothed' / 'filtered' run exact HMM inference over the Prior's
-        transitions (requires `u` with matching T)."""
+        transitions; 'viterbi' returns the MAP state path as "states"
+        (all three require `u` with matching T).  Each mode is jitted once
+        per padding bucket."""
         jnp = self._jnp
         padded, T = self._padded(x)
         mu, logvar, q = self._infer(jnp.asarray(padded), T)
@@ -104,14 +118,16 @@ class InferenceModel:
             up = np.zeros((1, u_arr.shape[0], padded.shape[2]), np.float32)
             up[0, :, :T] = u_arr
             lengths = jnp.asarray(np.array([T], np.int32))
+            xp, upj = jnp.asarray(padded), jnp.asarray(up)
             if mode == "smoothed":
-                g = self.model.smoothed_posterior(
-                    self.params, jnp.asarray(padded), jnp.asarray(up),
-                    lengths)
+                g = self._smoothed(xp, upj, lengths)
             elif mode == "filtered":
-                g = self.model.filtered_posterior(
-                    self.params, jnp.asarray(padded), jnp.asarray(up),
-                    lengths)
+                g = self._filtered(xp, upj, lengths)
+            elif mode == "viterbi":
+                states = self._viterbi(xp, upj, lengths)
+                out["states"] = np.asarray(states)[0, :T].tolist()
+                out["mode"] = mode
+                return out
             else:
                 raise ValueError(f"unknown mode {mode!r}")
             out["regime_probs"] = np.asarray(g)[0, :, :T].tolist()

@@ -1,9 +1,11 @@
 """CLI inference report (reference: inference.py:8-82).
 
 Prints current regime, allocation table, regime distribution and the last-N
-allocations for a trained VAE-HMM + portfolio head.  The reference's CLI
-runs the GMM stack; this one runs the canonical VAE-HMM stack (the GMM
-variant lives in models/gmm.py) — same report surface.
+allocations.  --stack vae (default) runs the canonical VAE-HMM + portfolio
+head; --stack gmm reproduces the reference CLI's actual workflow — load the
+persisted GMM stack saved by train_improved_system
+(reference: inference.py:8-17 loading train_simple.py:185-197's artifacts)
+and report from a (T, A) returns panel.
 """
 
 from __future__ import annotations
@@ -56,14 +58,74 @@ def report(posterior_fn, weight_fn, x: np.ndarray,
     return out
 
 
+def report_gmm(system, returns: np.ndarray,
+               tickers: Optional[list] = None, last_n: int = 5,
+               log_fn=print) -> dict:
+    """GMM-stack report from a (T, A) daily-returns panel (the reference
+    CLI's workflow, inference.py:19-82): engineered features -> GMM regime
+    posterior -> expert-bank allocation."""
+    import jax.numpy as jnp
+
+    from ..models.gmm import prepare_regime_features
+
+    returns = np.asarray(returns, np.float32)
+    feats = prepare_regime_features(returns)
+    probs = system.detector.predict_proba(feats)            # (Tf, K)
+    K, Tf = probs.shape[1], probs.shape[0]
+    regimes = probs.argmax(axis=1)
+    current_regime = int(regimes[-1])
+    weights = np.asarray(system.optimizer(
+        system.params, jnp.asarray(probs[-1:])))[0]         # (A,)
+    tickers = tickers or [f"ASSET{i}" for i in range(len(weights))]
+
+    last_allocs = [np.asarray(system.optimizer(
+        system.params, jnp.asarray(probs[t:t + 1])))[0]
+        for t in range(max(0, Tf - last_n), Tf)]
+    dist = np.bincount(regimes, minlength=K) / Tf
+    out = {
+        "current_regime": current_regime,
+        "regime_probs": probs[-1].tolist(),
+        "allocation": dict(zip(tickers, weights.tolist())),
+        "regime_distribution": dist.tolist(),
+        "last_allocations": [a.tolist() for a in last_allocs],
+    }
+    if log_fn:
+        log_fn(f"Current regime: {current_regime} "
+               f"(p={probs[-1, current_regime]:.3f})")
+        log_fn("Allocation:")
+        for t_, w_ in zip(tickers, weights):
+            log_fn(f"  {t_:8s} {w_ * 100:6.2f}%")
+        log_fn("Regime distribution over window: "
+               + ", ".join(f"R{k}: {d * 100:.1f}%"
+                           for k, d in enumerate(dist)))
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/config.yaml")
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--head-checkpoint", default=None)
+    parser.add_argument("--stack", choices=("vae", "gmm"), default="vae",
+                        help="vae: VAE-HMM + portfolio head; gmm: persisted "
+                             "ImprovedSystem archive (checkpoint = its .npz)")
     parser.add_argument("--data", default=None,
-                        help=".npy (1,C,T) feature file; synthetic if unset")
+                        help="vae: .npy (1,C,T) features; gmm: .npy (T,A) "
+                             "returns; synthetic if unset")
     args = parser.parse_args(argv)
+
+    if args.stack == "gmm":
+        from ..train.gmm_pipeline import load_improved_system
+
+        system = load_improved_system(args.checkpoint)
+        if args.data:
+            returns = np.load(args.data)
+        else:
+            rng = np.random.default_rng(0)
+            returns = rng.normal(5e-4, 0.01,
+                                 size=(252, system.optimizer.cfg.n_assets))
+        report_gmm(system, returns)
+        return
 
     import jax
     import jax.numpy as jnp

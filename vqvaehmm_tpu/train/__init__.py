@@ -6,4 +6,6 @@ from .heads import (train_delta_hedger, train_portfolio,
 from .strategies import (MetaPortfolioOptimizer, OnlinePortfolioOptimizer,
                          WalkForwardTrainer)
 from .pipeline import TrainPipeline, load_sequences
-from .gmm_pipeline import benchmark_equal_weight, train_improved_system
+from .gmm_pipeline import (ImprovedSystem, benchmark_equal_weight,
+                           load_improved_system, save_improved_system,
+                           train_improved_system)

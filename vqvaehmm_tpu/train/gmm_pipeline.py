@@ -23,6 +23,80 @@ class ImprovedSystem(NamedTuple):
     params: Dict
     history: list
 
+    def save(self, path: str) -> None:
+        save_improved_system(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "ImprovedSystem":
+        return load_improved_system(path)
+
+
+def save_improved_system(system: ImprovedSystem, path: str) -> None:
+    """Persist the whole GMM stack (detector + expert-bank head) to one
+    .npz so train-once/infer-later round-trips — the reference saves
+    regime_detector.pkl + portfolio_improved.pt (train_simple.py:185-197)
+    and reloads them in inference.py:8-17; here both halves live in a
+    single portable archive with no pickle."""
+    import json
+
+    gmm = system.detector.gmm
+    if gmm.params is None:
+        raise ValueError("cannot save an unfitted system")
+    leaves, _ = jax.tree_util.tree_flatten(system.params)
+    arrays = {f"head_{i}": np.asarray(a) for i, a in enumerate(leaves)}
+    cfg = system.optimizer.cfg
+    meta = {
+        "n_regimes": system.detector.n_regimes,
+        "gmm": {"n_init": gmm.n_init, "n_iter": gmm.n_iter,
+                "reg_covar": gmm.reg_covar, "seed": gmm.seed,
+                "log_likelihood": gmm.log_likelihood_},
+        "head": {"K": cfg.K, "n_assets": cfg.n_assets,
+                 "hidden_dim": cfg.hidden_dim},
+    }
+    np.savez(path,
+             meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+             gmm_weights=np.asarray(gmm.params.weights),
+             gmm_means=np.asarray(gmm.params.means),
+             gmm_covs=np.asarray(gmm.params.covs),
+             history=np.asarray(system.history, np.float64),
+             **arrays)
+
+
+def load_improved_system(path: str) -> ImprovedSystem:
+    """Inverse of save_improved_system: reconstruct detector + head with
+    identical predictions (tested round-trip)."""
+    import json
+
+    from ..models.gmm import GMMParams
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        gmm_params = GMMParams(jnp.asarray(z["gmm_weights"]),
+                               jnp.asarray(z["gmm_means"]),
+                               jnp.asarray(z["gmm_covs"]))
+        history = z["history"].tolist()
+        n_head = sum(1 for k in z.files if k.startswith("head_"))
+        leaves = [jnp.asarray(z[f"head_{i}"]) for i in range(n_head)]
+
+    g = meta["gmm"]
+    detector = SimpleRegimeDetector(n_regimes=meta["n_regimes"],
+                                    n_init=g["n_init"], seed=g["seed"])
+    detector.gmm.n_iter = g["n_iter"]
+    detector.gmm.reg_covar = g["reg_covar"]
+    detector.gmm.params = gmm_params
+    detector.gmm.log_likelihood_ = g["log_likelihood"]
+    detector.fitted = True
+
+    h = meta["head"]
+    optimizer = ImprovedPortfolioOptimizer(HeadConfig(
+        K=h["K"], n_assets=h["n_assets"], hidden_dim=h["hidden_dim"]))
+    # Rebuild the pytree structure from a fresh init, then graft the
+    # saved leaves (flatten order is deterministic for a fixed structure).
+    treedef = jax.tree_util.tree_structure(
+        optimizer.init(jax.random.PRNGKey(0)))
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    return ImprovedSystem(detector, optimizer, params, history)
+
 
 def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
                           hidden_dim: int = 64, num_epochs: int = 200,
