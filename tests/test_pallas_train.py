@@ -1,0 +1,98 @@
+"""Fused train-step kernel (ops/pallas_train.py) vs jax autodiff.
+
+The kernel hand-derives the whole backward pass, so the load-bearing test
+is exact agreement of every parameter gradient with
+jax.value_and_grad(model.compute_loss) — same masking (variable lengths,
+valid_to), same three loss normalizations, beta != 1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu import TrainState, make_model
+from vqvaehmm_tpu.ops.pallas_train import fused_loss_and_grads
+from vqvaehmm_tpu.train.trainer import make_optimizer, make_train_step
+
+
+def _setup(B=16, C=5, T=48, U=4, seed=0, **model_kw):
+    model = make_model(C, 64, 3, 32, u_dim=U, trans_hidden=128, **model_kw)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(B, U, T)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(T // 2, T + 1, size=B)
+                          .astype(np.int32))
+    lengths = lengths.at[0].set(T)
+    return model, params, x, u, lengths
+
+
+@pytest.mark.parametrize("beta", [1.0, 0.7])
+def test_fused_grads_match_autodiff(beta):
+    model, params, x, u, lengths = _setup()
+    ref_loss, ref_grads = jax.value_and_grad(model.compute_loss)(
+        params, x, u, lengths, beta)
+    loss, grads = fused_loss_and_grads(model, params, x, u, lengths, beta,
+                                       interpret=True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-5)
+    flat_ref = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_flatten_with_path(ref_grads)[0]}
+    flat = {jax.tree_util.keystr(k): v for k, v in
+            jax.tree_util.tree_flatten_with_path(grads)[0]}
+    assert set(flat) == set(flat_ref)
+    for ks, ref in flat_ref.items():
+        a, b = np.asarray(ref), np.asarray(flat[ks])
+        assert a.shape == b.shape, ks
+        # per-leaf relative-to-leaf-max tolerance (gradients span decades)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-4, atol=5e-5 * max(np.max(np.abs(a)), 1e-12),
+            err_msg=ks)
+
+
+def test_fused_grads_short_lengths_and_layout():
+    """All-short lengths (valid_to < T) and the (B, T, U) u layout."""
+    model, params, x, u, lengths = _setup(seed=3)
+    lengths = jnp.minimum(lengths, 37)  # valid_to strictly inside T
+    u_btu = jnp.transpose(u, (0, 2, 1))
+    ref_loss, ref_grads = jax.value_and_grad(model.compute_loss)(
+        params, x, u_btu, lengths, 1.0)
+    loss, grads = fused_loss_and_grads(model, params, x, u_btu, lengths,
+                                       1.0, interpret=True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-5)
+    for ref, got in zip(jax.tree_util.tree_leaves(ref_grads),
+                        jax.tree_util.tree_leaves(grads)):
+        a, b = np.asarray(ref), np.asarray(got)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-4, atol=5e-5 * max(np.max(np.abs(a)), 1e-12))
+
+
+def test_fused_train_step_trains():
+    """make_train_step(fused=True) produces the same trajectory as the XLA
+    step (CPU: both paths compute with exact f32 matmuls)."""
+    model, params, x, u, lengths = _setup(seed=1)
+    tx = make_optimizer(1e-3)
+    s_f = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    s_x = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_f = make_train_step(model, tx, donate=False, fused=True)
+    step_x = make_train_step(model, tx, donate=False)
+    losses_f, losses_x = [], []
+    for _ in range(5):
+        s_f, lf = step_f(s_f, x, u, lengths, jnp.float32(1.0))
+        s_x, lx = step_x(s_x, x, u, lengths, jnp.float32(1.0))
+        losses_f.append(float(lf))
+        losses_x.append(float(lx))
+    np.testing.assert_allclose(losses_f, losses_x, rtol=2e-3)
+    assert losses_f[-1] < losses_f[0]
+
+
+def test_fused_rejects_unsupported():
+    model, params, x, u, lengths = _setup(T=50)  # T % 8 != 0
+    with pytest.raises(ValueError):
+        fused_loss_and_grads(model, params, x, u, lengths, 1.0,
+                             interpret=True)
+    from vqvaehmm_tpu.parallel import create_mesh
+
+    tx = make_optimizer(1e-3)
+    with pytest.raises(ValueError):
+        make_train_step(model, tx, mesh=create_mesh(1), fused=True)

@@ -1,0 +1,452 @@
+"""Fused training step: the ENTIRE VAE-HMM negative-ELBO forward AND all
+parameter gradients in one VMEM-resident Pallas kernel.
+
+Why: the XLA train step is bandwidth-bound — HLO cost analysis shows
+2.65 GFLOP but ~377 MB of HBM traffic per step (BENCH_NOTES.md), because
+every fusion boundary round-trips (B, C, T) activations through HBM in both
+the forward and backward passes.  This kernel keeps every activation in
+VMEM: per step it reads x, u, the masks and the parameters, and writes only
+three loss partials plus the (tiny, ~130 KB) parameter gradients.  That
+turns a ~200 us memory-bound step into a compute-bound one.
+
+Design (per grid step = one batch block, grid sequential on TPU):
+  * layout (channels, BB*T) — channels on sublanes, tokens on lanes — the
+    same formulation as ops/pallas_encoder.py; k=3 SAME convs are three
+    shifted (O, I) @ (I, N) MXU matmuls with sequence-boundary lane masks.
+  * forward recomputes nothing: encoder -> softmax -> soft codebook ->
+    decoder -> masked Gaussian NLL, plus the u-conditioned prior MLP,
+    transition cross terms and entropy (reference loss semantics:
+    VQ_VAE_HMM_fixed.py:106-137, identical normalizations — the scales
+    arrive precomputed in SMEM).
+  * backward is hand-derived in-kernel (softmax/log-softmax VJPs in closed
+    form, conv taps transposed); weight-gradient and loss-partial outputs
+    are accumulated across grid steps (TPU grids are sequential).
+  * gradients of the inputs x, u are NOT computed (training needs only
+    parameter gradients).
+
+Numerics: float32 throughout with MXU matmuls (preferred_element_type=
+float32); exp/log are this XLA build's fast-math transcendentals (~1.2e-4),
+the same accuracy class as the throughput training config.  Parity runs
+(<=1e-4 vs torch) keep using the XLA path with precise kernels.
+
+Used via make_train_step(model, tx, fused=True) — grads match
+jax.grad(compute_loss) (tests/test_pallas_train.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+Params = Dict
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def _make_dots(bf16_matmuls: bool):
+    """MXU matmul helpers, f32 accumulate.  bf16_matmuls casts the INPUTS
+    to bfloat16 (one MXU pass — the same precision class as XLA's default
+    matmul precision used by the fast training config); elementwise math
+    stays float32 either way."""
+    cast = (lambda a: a.astype(jnp.bfloat16)) if bf16_matmuls \
+        else (lambda a: a)
+
+    def dot(a, b):
+        # (M, K) @ (K, N)
+        return jnp.dot(cast(a), cast(b),
+                       preferred_element_type=jnp.float32)
+
+    def dot_nt(a, b):
+        # contract the lane (token) axis of both: (M, N) x (C, N) -> (M, C)
+        return lax.dot_general(cast(a), cast(b), (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    return dot, dot_nt
+
+
+def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
+        xt_ref, ut_ref, mf_ref, vm_ref, pm_ref,
+        ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
+        logpi_ref, pw1_ref, pb1_ref, pw2_ref, pb2_ref,
+        embT_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+        scales_ref,
+        # outputs (accumulated across the sequential grid)
+        partials_ref,
+        gew1_ref, geb1_ref, gew2_ref, geb2_ref, gew3_ref, geb3_ref,
+        glogpi_ref, gpw1_ref, gpb1_ref, gpw2_ref, gpb2_ref,
+        gembT_ref, gdw1_ref, gdb1_ref, gdw2_ref, gdb2_ref, gdw3_ref,
+        gdb3_ref,
+        *, T: int, K: int, bf16_matmuls: bool):
+    f32 = jnp.float32
+    _dot, _dot_nt = _make_dots(bf16_matmuls)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (partials_ref, gew1_ref, geb1_ref, gew2_ref, geb2_ref,
+                  gew3_ref, geb3_ref, glogpi_ref, gpw1_ref, gpb1_ref,
+                  gpw2_ref, gpb2_ref, gembT_ref, gdw1_ref, gdb1_ref,
+                  gdw2_ref, gdb2_ref, gdw3_ref, gdb3_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    x = xt_ref[:].astype(f32)          # (C, N)
+    u = ut_ref[:].astype(f32)          # (U, N)
+    mf = mf_ref[:]                     # (1, N) sequence mask
+    vm = vm_ref[:]                     # (1, N) valid_to mask
+    pm = pm_ref[:]                     # (1, N) pairwise transition mask
+    s_r = scales_ref[0, 0]             # 1 / max(sum(mask)*C, 1)
+    s_p = scales_ref[0, 1]             # -beta / B
+    s_h = scales_ref[0, 2]             # +beta / B   (q*logq term)
+
+    N = x.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
+    left_ok = (col > 0).astype(f32)
+    right_ok = (col < T - 1).astype(f32)
+    im = (col == 0).astype(f32)        # t == 0 positions
+
+    def S_m(h):   # h[t-1], zero-padded at sequence starts
+        return jnp.roll(h, 1, axis=1) * left_ok
+
+    def S_p(h):   # h[t+1], zero-padded at sequence ends
+        return jnp.roll(h, -1, axis=1) * right_ok
+
+    def conv3(h, w_ref, b_ref):
+        acc = _dot(w_ref[0], S_m(h))
+        acc += _dot(w_ref[1], h)
+        acc += _dot(w_ref[2], S_p(h))
+        return acc + b_ref[:]
+
+    def conv3_bwd(dy, h_in, w_ref, gw_ref, gb_ref):
+        """Accumulate weight/bias grads; return grad wrt h_in."""
+        gw_ref[0, :, :] += _dot_nt(dy, S_m(h_in))
+        gw_ref[1, :, :] += _dot_nt(dy, h_in)
+        gw_ref[2, :, :] += _dot_nt(dy, S_p(h_in))
+        gb_ref[:, :] += jnp.sum(dy, axis=1, keepdims=True)
+        dh = _dot(w_ref[0].T, S_p(dy))
+        dh += _dot(w_ref[1].T, dy)
+        dh += _dot(w_ref[2].T, S_m(dy))
+        return dh
+
+    # ---------------- forward: encoder ----------------
+    h1 = jnp.maximum(conv3(x, ew1_ref, eb1_ref), 0.0) * vm    # (H1, N)
+    h2 = jnp.maximum(conv3(h1, ew2_ref, eb2_ref), 0.0)        # (H2, N)
+    logits = _dot(ew3_ref[:], h2) + eb3_ref[:]                # (K, N)
+    lmax = jnp.max(logits, axis=0, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(logits - lmax), axis=0,
+                          keepdims=True)) + lmax
+    logq = logits - lse
+    q = jnp.exp(logq)                                         # (K, N)
+
+    # ---------------- forward: prior ----------------
+    hp = jnp.maximum(_dot(pw1_ref[:], u) + pb1_ref[:], 0.0)   # (HP, N)
+    ap = _dot(pw2_ref[:], hp) + pb2_ref[:]                    # (K*K, N)
+    logA_rows = []
+    for i in range(K):
+        g = ap[i * K:(i + 1) * K]
+        gmax = jnp.max(g, axis=0, keepdims=True)
+        glse = jnp.log(jnp.sum(jnp.exp(g - gmax), axis=0,
+                               keepdims=True)) + gmax
+        logA_rows.append(g - glse)
+    logA = jnp.concatenate(logA_rows, axis=0)                 # (K*K, N)
+
+    # ---------------- forward: decoder ----------------
+    e = _dot(embT_ref[:], q) * vm                             # (D, N)
+    hd1 = jnp.maximum(conv3(e, dw1_ref, db1_ref), 0.0) * vm   # (D, N)
+    hd2 = jnp.maximum(conv3(hd1, dw2_ref, db2_ref), 0.0)      # (D, N)
+    out = _dot(dw3_ref[:], hd2) + db3_ref[:]                  # (2C, N)
+    C = x.shape[0]
+    mu = out[:C]
+    logv = out[C:]
+    ev = jnp.exp(logv)
+    var = jnp.maximum(ev, 1e-8)
+    notclamped = (ev > 1e-8).astype(f32)
+    diff = mu - x
+    nll = 0.5 * (_LOG2PI + jnp.log(var) + diff * diff / var)  # (C, N)
+    p_nll = jnp.sum(nll * mf)
+
+    # ---------------- forward: prior expectation + entropy ----------------
+    logpi = logpi_ref[:]                                      # (K, 1)
+    p_init = jnp.sum(q * im * logpi)
+    qprev = S_m(q)                                            # q[:, t-1]
+    trans = jnp.zeros((1, N), f32)
+    for i in range(K):
+        for j in range(K):
+            trans += qprev[i:i + 1] * q[j:j + 1] * logA[i * K + j:i * K
+                                                        + j + 1]
+    p_trans = jnp.sum(trans * pm)
+    p_qlogq = jnp.sum(jnp.sum(q * logq, axis=0, keepdims=True) * mf)
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    pvec = (jnp.where(lane == 0, p_nll, 0.0)
+            + jnp.where(lane == 1, p_init + p_trans, 0.0)
+            + jnp.where(lane == 2, p_qlogq, 0.0))
+    partials_ref[:] += pvec
+
+    # ================= backward =================
+    # reconstruction -> decoder stack
+    dmu = s_r * mf * diff / var                               # (C, N)
+    dlogv = s_r * mf * 0.5 * (1.0 - diff * diff / var) * notclamped
+    dout = jnp.concatenate([dmu, dlogv], axis=0)              # (2C, N)
+    gdw3_ref[:, :] += _dot_nt(dout, hd2)
+    gdb3_ref[:, :] += jnp.sum(dout, axis=1, keepdims=True)
+    dhd2 = _dot(dw3_ref[:].T, dout)
+    db2d = dhd2 * (hd2 > 0).astype(f32)
+    dhd1 = conv3_bwd(db2d, hd1, dw2_ref, gdw2_ref, gdb2_ref)
+    db1d = dhd1 * (hd1 > 0).astype(f32)   # folds in vm: hd1>0 => vm=1
+    de = conv3_bwd(db1d, e, dw1_ref, gdw1_ref, gdb1_ref) * vm
+    gembT_ref[:, :] += _dot_nt(de, q)
+    dq_dec = _dot(embT_ref[:].T, de)                          # (K, N)
+
+    # prior expectation -> q, logA, logpi
+    glogpi_ref[:, :] += s_p * jnp.sum(q * im, axis=1, keepdims=True)
+    dq_pri = s_p * im * logpi                                 # init term
+    pm_sp = s_p * pm
+    dlogA_rows = []
+    dqprev_rows = []
+    for i in range(K):
+        acc_i = jnp.zeros((1, N), f32)
+        for j in range(K):
+            dlogA_rows.append(pm_sp * qprev[i:i + 1] * q[j:j + 1])
+            acc_i += q[j:j + 1] * logA[i * K + j:i * K + j + 1]
+        dqprev_rows.append(pm_sp * acc_i)
+    dlogA = jnp.concatenate(dlogA_rows, axis=0)               # (K*K, N)
+    dqprev = jnp.concatenate(dqprev_rows, axis=0)             # (K, N)
+    dq_trans_rows = []
+    for j in range(K):
+        acc_j = jnp.zeros((1, N), f32)
+        for i in range(K):
+            acc_j += qprev[i:i + 1] * logA[i * K + j:i * K + j + 1]
+        dq_trans_rows.append(pm_sp * acc_j)
+    dq_trans = jnp.concatenate(dq_trans_rows, axis=0)         # (K, N)
+    # qprev = S_m(q)  =>  dq[t] += dqprev[t+1] (masked at sequence ends)
+    dq_pri = dq_pri + dq_trans + S_p(dqprev)
+
+    # entropy term: s_h * sum(mf * q * logq)
+    dq_ent = s_h * mf * logq
+    dlogq = s_h * mf * q
+
+    # q = exp(logq), logq = log_softmax(logits)
+    g_q = dq_dec + dq_pri + dq_ent
+    dlogq_tot = dlogq + g_q * q
+    colsum = jnp.sum(dlogq_tot, axis=0, keepdims=True)
+    dlogits = dlogq_tot - q * colsum
+
+    # encoder stack
+    gew3_ref[:, :] += _dot_nt(dlogits, h2)
+    geb3_ref[:, :] += jnp.sum(dlogits, axis=1, keepdims=True)
+    dh2 = _dot(ew3_ref[:].T, dlogits)
+    da2 = dh2 * (h2 > 0).astype(f32)
+    dh1 = conv3_bwd(da2, h1, ew2_ref, gew2_ref, geb2_ref) * vm
+    da1 = dh1 * (h1 > 0).astype(f32)
+    # input grads not needed; accumulate conv1 weight grads only
+    gew1_ref[0, :, :] += _dot_nt(da1, S_m(x))
+    gew1_ref[1, :, :] += _dot_nt(da1, x)
+    gew1_ref[2, :, :] += _dot_nt(da1, S_p(x))
+    geb1_ref[:, :] += jnp.sum(da1, axis=1, keepdims=True)
+
+    # prior MLP: logA = per-row log_softmax(ap)
+    dap_groups = []
+    for i in range(K):
+        g = dlogA[i * K:(i + 1) * K]
+        A = jnp.exp(logA[i * K:(i + 1) * K])
+        gsum = jnp.sum(g, axis=0, keepdims=True)
+        dap_groups.append(g - A * gsum)
+    dap = jnp.concatenate(dap_groups, axis=0)                 # (K*K, N)
+    gpw2_ref[:, :] += _dot_nt(dap, hp)
+    gpb2_ref[:, :] += jnp.sum(dap, axis=1, keepdims=True)
+    dhp = _dot(pw2_ref[:].T, dap)
+    dap1 = dhp * (hp > 0).astype(f32)
+    gpw1_ref[:, :] += _dot_nt(dap1, u)
+    gpb1_ref[:, :] += jnp.sum(dap1, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "T", "block_b", "interpret",
+                                    "bf16_matmuls"))
+def _fused_call(xt, ut, mf, vm, pm, weights, scales, *, K: int, T: int,
+                block_b: int, interpret: bool, bf16_matmuls: bool):
+    (ew1, eb1, ew2, eb2, ew3, eb3, logpi, pw1, pb1, pw2, pb2,
+     embT, dw1, db1, dw2, db2, dw3, db3) = weights
+    C, N = xt.shape
+    U = ut.shape[0]
+    H1, H2 = ew1.shape[1], ew2.shape[1]
+    HP = pw1.shape[0]
+    D = embT.shape[0]
+    NB = N // (block_b * T)
+    NP = block_b * T
+
+    def tok(shape_c):
+        return pl.BlockSpec((shape_c, NP), lambda i: (0, i))
+
+    def full(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
+
+    in_specs = [tok(C), tok(U), tok(1), tok(1), tok(1)]
+    in_specs += [full(w) for w in weights]
+    in_specs += [full(scales)]  # (1, 128) scale row, same block every step
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),       # partials
+        jax.ShapeDtypeStruct((3, H1, C), jnp.float32),     # gew1
+        jax.ShapeDtypeStruct((H1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((3, H2, H1), jnp.float32),    # gew2
+        jax.ShapeDtypeStruct((H2, 1), jnp.float32),
+        jax.ShapeDtypeStruct((K, H2), jnp.float32),        # gew3
+        jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        jax.ShapeDtypeStruct((K, 1), jnp.float32),         # glogpi
+        jax.ShapeDtypeStruct((HP, U), jnp.float32),        # gpw1
+        jax.ShapeDtypeStruct((HP, 1), jnp.float32),
+        jax.ShapeDtypeStruct((K * K, HP), jnp.float32),    # gpw2
+        jax.ShapeDtypeStruct((K * K, 1), jnp.float32),
+        jax.ShapeDtypeStruct((D, K), jnp.float32),         # gembT
+        jax.ShapeDtypeStruct((3, D, D), jnp.float32),      # gdw1
+        jax.ShapeDtypeStruct((D, 1), jnp.float32),
+        jax.ShapeDtypeStruct((3, D, D), jnp.float32),      # gdw2
+        jax.ShapeDtypeStruct((D, 1), jnp.float32),
+        jax.ShapeDtypeStruct((2 * C, D), jnp.float32),     # gdw3
+        jax.ShapeDtypeStruct((2 * C, 1), jnp.float32),
+    ]
+    out_specs = [pl.BlockSpec(s.shape, lambda i, nd=len(s.shape):
+                              (0,) * nd) for s in out_shapes]
+
+    return pl.pallas_call(
+        functools.partial(_kernel, T=T, K=K, bf16_matmuls=bf16_matmuls),
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xt, ut, mf, vm, pm, *weights, scales)
+
+
+def _pick_block_b(B: int, T: int) -> int:
+    """Smallest batch block whose lane count (block_b * T) is 128-divisible
+    (Mosaic requires lane blocks % 128 == 0) and which divides B."""
+    bb0 = 128 // math.gcd(T, 128)
+    for k in range(1, B // bb0 + 1):
+        if B % (k * bb0) == 0:
+            return k * bb0
+    return 0
+
+
+def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
+                         u: jnp.ndarray, lengths: jnp.ndarray,
+                         beta, *, block_b: int | None = None,
+                         interpret: bool | None = None
+                         ) -> Tuple[jnp.ndarray, Params]:
+    """Drop-in replacement for jax.value_and_grad(model.compute_loss):
+    returns (loss, grads) with grads in the model's param-pytree layout.
+
+    Requirements: T % 8 == 0 and a batch block with block_b*T % 128 == 0
+    dividing B must exist (the benchmark/training shapes satisfy both —
+    otherwise use the XLA path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cfg = model.cfg
+    B, C, T = x.shape
+    K = cfg.K
+    if block_b is None:
+        block_b = _pick_block_b(B, T) if not interpret \
+            else (B if B <= 8 else math.gcd(B, 8))
+    if T % 8 != 0 or block_b == 0 or B % block_b != 0 \
+            or (not interpret and (block_b * T) % 128 != 0):
+        raise ValueError(f"fused step unsupported at B={B}, T={T} "
+                         f"(block_b={block_b}); use the XLA path")
+    if u.ndim == 3 and u.shape[1] != cfg.u_dim:
+        u = jnp.transpose(u, (0, 2, 1))  # (B,T,U) -> (B,U,T)
+
+    N = B * T
+    f32 = jnp.float32
+    xt = jnp.transpose(x.astype(f32), (1, 0, 2)).reshape(C, N)
+    ut = jnp.transpose(u.astype(f32), (1, 0, 2)).reshape(u.shape[1], N)
+
+    tcol = jnp.arange(T, dtype=jnp.int32)[None, :]
+    mask = (tcol < lengths[:, None]).astype(f32)              # (B, T)
+    valid_to = jnp.max(lengths)
+    vmask = jnp.broadcast_to((tcol < valid_to).astype(f32),
+                             (B, T)).reshape(1, N)
+    pmask_bt = jnp.concatenate(
+        [jnp.zeros((B, 1), f32), mask[:, 1:] * mask[:, :-1]], axis=1)
+    mf = mask.reshape(1, N)
+    pm = pmask_bt.reshape(1, N)
+
+    beta = jnp.asarray(beta, f32)
+    denom = jnp.maximum(mask.sum() * C, 1.0)
+    scales = jnp.zeros((1, 128), f32)
+    scales = scales.at[0, 0].set(1.0 / denom)
+    scales = scales.at[0, 1].set(-beta / B)
+    scales = scales.at[0, 2].set(beta / B)
+
+    p = params
+    from .precise import plog_softmax
+
+    logpi = plog_softmax(p["prior"]["log_prior"].astype(f32))[:, None]
+    weights = (
+        jnp.transpose(p["encoder"]["conv1"]["weight"], (2, 0, 1)).astype(f32),
+        p["encoder"]["conv1"]["bias"][:, None].astype(f32),
+        jnp.transpose(p["encoder"]["conv2"]["weight"], (2, 0, 1)).astype(f32),
+        p["encoder"]["conv2"]["bias"][:, None].astype(f32),
+        p["encoder"]["to_logits"]["weight"][:, :, 0].astype(f32),
+        p["encoder"]["to_logits"]["bias"][:, None].astype(f32),
+        logpi,
+        p["prior"]["fc1"]["weight"].astype(f32),
+        p["prior"]["fc1"]["bias"][:, None].astype(f32),
+        p["prior"]["fc2"]["weight"].astype(f32),
+        p["prior"]["fc2"]["bias"][:, None].astype(f32),
+        p["decoder"]["embeddings"]["weight"].T.astype(f32),
+        jnp.transpose(p["decoder"]["conv1"]["weight"], (2, 0, 1)).astype(f32),
+        p["decoder"]["conv1"]["bias"][:, None].astype(f32),
+        jnp.transpose(p["decoder"]["conv2"]["weight"], (2, 0, 1)).astype(f32),
+        p["decoder"]["conv2"]["bias"][:, None].astype(f32),
+        p["decoder"]["to_params"]["weight"][:, :, 0].astype(f32),
+        p["decoder"]["to_params"]["bias"][:, None].astype(f32),
+    )
+
+    bf16_matmuls = getattr(model, 'compute_dtype', jnp.float32) == jnp.bfloat16
+    outs = _fused_call(xt, ut, mf, vmask, pm, weights, scales,
+                       K=K, T=T, block_b=block_b, interpret=interpret,
+                       bf16_matmuls=bf16_matmuls)
+    (partials, gew1, geb1, gew2, geb2, gew3, geb3, glogpi, gpw1, gpb1,
+     gpw2, gpb2, gembT, gdw1, gdb1, gdw2, gdb2, gdw3, gdb3) = outs
+
+    loss = (partials[0, 0] / denom
+            + (-beta / B) * partials[0, 1]
+            + (beta / B) * partials[0, 2])
+
+    # chain logpi = log_softmax(log_prior):
+    # d log_prior = g - softmax(log_prior) * sum(g)
+    pi = jax.nn.softmax(p["prior"]["log_prior"].astype(f32))
+    g = glogpi[:, 0]
+    glog_prior = g - pi * g.sum()
+
+    def conv_layout(gw, gb):
+        return {"weight": jnp.transpose(gw, (1, 2, 0)),
+                "bias": gb[:, 0]}
+
+    grads = {
+        "encoder": {
+            "conv1": conv_layout(gew1, geb1),
+            "conv2": conv_layout(gew2, geb2),
+            "to_logits": {"weight": gew3[:, :, None], "bias": geb3[:, 0]},
+        },
+        "prior": {
+            "log_prior": glog_prior,
+            "fc1": {"weight": gpw1, "bias": gpb1[:, 0]},
+            "fc2": {"weight": gpw2, "bias": gpb2[:, 0]},
+        },
+        "decoder": {
+            "embeddings": {"weight": gembT.T},
+            "conv1": conv_layout(gdw1, gdb1),
+            "conv2": conv_layout(gdw2, gdb2),
+            "to_params": {"weight": gdw3[:, :, None], "bias": gdb3[:, 0]},
+        },
+    }
+    return loss, grads
+

@@ -57,28 +57,45 @@ def create_train_state(model: VAEHMM, key: jax.Array, lr: float,
 
 
 def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
-                state: TrainState, x, u, lengths, beta):
+                state: TrainState, x, u, lengths, beta,
+                fused: bool = False):
     """One optimizer update — the single source of truth shared by the
-    per-batch step and the epoch-fused scan."""
-    def loss_fn(p):
-        return model.compute_loss(p, x, u, lengths, beta)
+    per-batch step and the epoch-fused scan.
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    fused=True computes loss AND all parameter gradients in one
+    VMEM-resident Pallas kernel (ops/pallas_train.py) instead of
+    jax.value_and_grad over the XLA forward — same update, a fraction of
+    the HBM traffic."""
+    if fused:
+        from ..ops.pallas_train import fused_loss_and_grads
+
+        loss, grads = fused_loss_and_grads(model, state.params, x, u,
+                                           lengths, beta)
+    else:
+        def loss_fn(p):
+            return model.compute_loss(p, x, u, lengths, beta)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
 
 
 def make_train_step(model: VAEHMM, tx: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    fused: bool = False):
     """Build the jitted single-batch update.
 
     With a mesh, the batch arguments are sharded over the data axis and the
     state is replicated; jit inserts the gradient all-reduce.
     """
+    if fused and mesh is not None:
+        raise ValueError("fused=True is single-device for now; drop the "
+                         "mesh or use the XLA path for data parallelism")
 
     def step(state: TrainState, x, u, lengths, beta):
-        return _sgd_update(model, tx, state, x, u, lengths, beta)
+        return _sgd_update(model, tx, state, x, u, lengths, beta,
+                           fused=fused)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -94,16 +111,20 @@ def make_train_step(model: VAEHMM, tx: optax.GradientTransformation,
 
 
 def make_epoch_step(model: VAEHMM, tx: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    fused: bool = False):
     """Whole-epoch update: lax.scan over a stacked epoch of batches.
 
     One dispatch and one host sync per *epoch* instead of per batch.
     """
+    if fused and mesh is not None:
+        raise ValueError("fused=True is single-device for now; drop the "
+                         "mesh or use the XLA path for data parallelism")
 
     def epoch(state: TrainState, xs, us, lens, beta):
         def body(st, batch):
             x, u, l = batch
-            return _sgd_update(model, tx, st, x, u, l, beta)
+            return _sgd_update(model, tx, st, x, u, l, beta, fused=fused)
 
         state, losses = jax.lax.scan(body, state, (xs, us, lens))
         return state, losses.mean()
@@ -168,17 +189,20 @@ def train_model(model: VAEHMM, dataset: RandomChunkDataset,
                 beta_warmup: bool = True,
                 mesh: Optional[Mesh] = None,
                 state: Optional[TrainState] = None,
+                fused: bool = False,
                 log_fn=print) -> Tuple[TrainState, list]:
     """End-to-end training loop with the reference's schedule
     (reference: VQ_VAE_HMM_fixed.py:145-162), epoch-fused on device.
 
+    fused=True uses the single-kernel Pallas loss+grads path
+    (single-device; see ops/pallas_train.py).
     Returns the final TrainState and the per-epoch mean losses.
     """
     tx = make_optimizer(lr, gradient_clip)
     if state is None:
         params = model.init(jax.random.PRNGKey(seed))
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    epoch_step = make_epoch_step(model, tx, mesh=mesh)
+    epoch_step = make_epoch_step(model, tx, mesh=mesh, fused=fused)
 
     from ..data.prefetch import prefetch_epochs
 
