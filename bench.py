@@ -94,8 +94,10 @@ def bench_viterbi_p50() -> float:
 
     BASELINE.json's second metric half.  No reference implementation
     exists (the reference hard-decodes via argmax — reference
-    backtesting.py:155), so this measurement IS the baseline.  Uses the
-    lax.scan path, which wins at this shape (BENCH_NOTES.md)."""
+    backtesting.py:155), so this measurement IS the baseline.  End-to-end
+    decode (prior MLP + encoder evidence + Viterbi); viterbi_decode
+    auto-dispatches to the fused doubling-scan Pallas kernel on TPU
+    (BENCH_NOTES.md round-2 table)."""
     import jax
     import jax.numpy as jnp
 

@@ -57,3 +57,22 @@ def test_stationary_transition_broadcast():
                          jnp.asarray(log_obs))
     np.testing.assert_array_equal(np.asarray(got.states),
                                   np.asarray(ref.states))
+
+
+def test_posterior_mode_pallas_dispatch():
+    """HiddenMarkovModel.posterior_mode(use_pallas=True) matches the scan
+    path (the use_pallas=None default picks the kernel on TPU)."""
+    from vqvaehmm_tpu.models.hmm import GaussianEmission, HiddenMarkovModel
+
+    rng = np.random.default_rng(5)
+    K, B, T = 3, 4, 40
+    hmm = HiddenMarkovModel(
+        rng.dirichlet(np.ones(K)),
+        rng.dirichlet(np.ones(K), size=K),
+        GaussianEmission(jnp.asarray(rng.normal(size=(K, 2)), jnp.float32),
+                         jnp.ones((K, 2), jnp.float32)))
+    x = rng.normal(size=(B, T, 2)).astype(np.float32)
+    lengths = np.array([40, 31, 17, 40], np.int32)
+    s_scan = hmm.posterior_mode(x, lengths, use_pallas=False)
+    s_pal = hmm.posterior_mode(x, lengths, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_pal))

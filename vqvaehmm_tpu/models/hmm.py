@@ -121,10 +121,20 @@ class HiddenMarkovModel:
         g = ops.posterior_marginals(self.log_pi, self.log_A, log_obs, lengths)
         return g[0] if squeeze else g
 
-    def posterior_mode(self, x, lengths=None) -> jnp.ndarray:
-        """Viterbi MAP state path."""
+    def posterior_mode(self, x, lengths=None,
+                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
+        """Viterbi MAP state path.  use_pallas=None auto-dispatches to the
+        fused doubling-scan kernel on TPU (wins at every measured shape —
+        BENCH_NOTES.md)."""
         log_obs, squeeze = self._log_obs(x)
-        v = ops.viterbi(self.log_pi, self.log_A, log_obs, lengths)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas_hmm import viterbi_pallas
+
+            v = viterbi_pallas(self.log_pi, self.log_A, log_obs, lengths)
+        else:
+            v = ops.viterbi(self.log_pi, self.log_A, log_obs, lengths)
         return v.states[0] if squeeze else v.states
 
     def sample(self, key: jax.Array, num_steps: Optional[int] = None,

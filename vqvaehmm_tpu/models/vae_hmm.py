@@ -309,14 +309,21 @@ class VAEHMM:
     def viterbi_decode(self, params: Params, x: jnp.ndarray,
                        u: jnp.ndarray,
                        lengths: Optional[jnp.ndarray] = None,
-                       use_pallas: bool = False) -> jnp.ndarray:
+                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
         """MAP regime path (B, T) under the Prior's transition dynamics —
         exact Viterbi instead of the reference's argmax(q) hard decode
-        (reference: backtesting.py:155)."""
+        (reference: backtesting.py:155).
+
+        use_pallas=None auto-dispatches: on TPU the fused doubling-scan
+        kernel (ops/pallas_hmm.py) wins at every measured shape (34-43x
+        over the lax.scan recursion at B=64/256 — BENCH_NOTES.md); off-TPU
+        the scan path avoids interpret-mode overhead."""
         from ..ops import hmm as hmm_ops
 
         log_pi, log_A = self.prior(params, u)
         log_obs = self._hmm_evidence(params, x, lengths)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from ..ops.pallas_hmm import viterbi_pallas
 
