@@ -140,3 +140,32 @@ def test_train_delta_hedger(frozen_vae, rng):
                              num_epochs=3, lr=0.01, log_fn=None)
     assert len(res.history) == 3
     assert res.history[-1] <= res.history[0] * 1.5
+
+
+def test_walkforward_single_executable():
+    """Retrain windows share one compiled executable (no per-window
+    retrace: identical window shapes hit the jit cache)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu.train.strategies import WalkForwardTrainer
+
+    rng = np.random.default_rng(2)
+    K, A = 3, 4
+    q = rng.dirichlet(np.ones(K), size=400).astype(np.float32)
+    rets = rng.normal(1e-3, 0.01, size=(400, 5, A)).astype(np.float32)
+
+    def model(p, qq):
+        return jax.nn.softmax(qq @ p, axis=-1)
+
+    def loss_fn(w, r):
+        pr = (w[:, None, :] * r).sum(-1)
+        return -pr.mean() / jnp.maximum(jnp.std(pr, ddof=1), 1e-8)
+
+    wf = WalkForwardTrainer(model, jnp.zeros((K, A)), loss_fn,
+                            train_window=100, test_window=20,
+                            retrain_freq=20)
+    out = wf.run((q, rets), n_periods=3)
+    assert len(out) == 3
+    assert all(np.isfinite(r["test_sharpe"]) for r in out)
+    assert wf._fit._cache_size() == 1

@@ -157,3 +157,33 @@ def test_mesh_epoch_scan_matches_single_device():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_epoch_numerics_at_full_per_device_batch():
+    """Sharded-path numerics guard at the benchmark per-device batch:
+    B = 8 devices x 64/device = 512 must reproduce the unsharded update
+    (VERDICT r1 #10)."""
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    tx = make_optimizer(1e-3)
+    params = model.init(jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(7)
+    N, B, T = 1, 512, 24
+    xs = rng.normal(size=(N, B, 5, T)).astype(np.float32)
+    us = rng.normal(size=(N, B, 4, T)).astype(np.float32)
+    lens = rng.integers(10, T + 1, size=(N, B)).astype(np.int32)
+
+    s0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    single = make_epoch_step(model, tx, donate=False)
+    s1, loss1 = single(s0, xs, us, lens, jnp.float32(1.0))
+
+    mesh = create_mesh(8)
+    sharded = make_epoch_step(model, tx, mesh=mesh, donate=False)
+    s0m = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    s2, loss2 = sharded(s0m, xs, us, lens, jnp.float32(1.0))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -155,6 +155,7 @@ class WalkForwardTrainer:
         self.test_window = test_window
         self.retrain_freq = retrain_freq
         self.lr = lr
+        self._fit = None  # jitted once; windows share one executable
 
     def train_test_split(self, data, start: int):
         train_end = start + self.train_window
@@ -164,23 +165,37 @@ class WalkForwardTrainer:
                 (q[train_end:test_end], rets[train_end:test_end]))
 
     def train_epoch(self, train_data, n_epochs: int = 10) -> float:
-        """Fresh Adam per window, as in the reference (training.py:93)."""
-        tx = optax.adam(self.lr)
-        opt_state = tx.init(self.params)
+        """Fresh Adam per window, as in the reference (training.py:93).
+
+        The whole window fits in ONE jitted lax.scan compiled once per
+        trainer (windows have identical shapes, so every retrain window
+        reuses the executable — no per-window retrace)."""
         q, rets = (jnp.asarray(a) for a in train_data)
+        if self._fit is None:
+            tx = optax.adam(self.lr)
 
-        @jax.jit
-        def step(params, opt_state):
-            def _loss(p):
-                return self.loss_fn(self.model(p, q), rets)
+            def fit(params, q, rets, n_epochs):
+                opt_state = tx.init(params)
 
-            loss, grads = jax.value_and_grad(_loss)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+                def body(carry, _):
+                    params, opt_state = carry
 
-        loss = jnp.float32(0.0)
-        for _ in range(n_epochs):
-            self.params, opt_state, loss = step(self.params, opt_state)
+                    def _loss(p):
+                        return self.loss_fn(self.model(p, q), rets)
+
+                    loss, grads = jax.value_and_grad(_loss)(params)
+                    updates, opt_state = tx.update(updates=grads,
+                                                   state=opt_state,
+                                                   params=params)
+                    return (optax.apply_updates(params, updates),
+                            opt_state), loss
+
+                (params, _), losses = jax.lax.scan(
+                    body, (params, opt_state), None, length=n_epochs)
+                return params, losses[-1]
+
+            self._fit = jax.jit(fit, static_argnums=3)
+        self.params, loss = self._fit(self.params, q, rets, n_epochs)
         return float(loss)
 
     def evaluate(self, test_data) -> float:
