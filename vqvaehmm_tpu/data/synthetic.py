@@ -17,18 +17,21 @@ import numpy as np
 
 def synthetic_sequences(n_sequences: int = 8, seq_len: int = 200,
                         input_dim: int = 5, u_dim: int = 4, K: int = 3,
-                        seed: int = 0, stickiness: float = 0.95
+                        seed: int = 0, stickiness: float = 0.95,
+                        noise_scale: float = 1.0
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Regime-switching Gaussian sequences.
 
     Returns (x:(N,C,T), u:(N,U,T), regimes:(N,T) int) where each regime has
     its own feature mean/scale and the hidden path follows a sticky Markov
     chain — so encoders have real signal to find and HMM decoders have a
-    ground truth to be scored against.
+    ground truth to be scored against.  noise_scale multiplies the emission
+    noise (higher = lower per-step SNR — the regime where temporal
+    smoothing must carry the decode).
     """
     rng = np.random.default_rng(seed)
     means = rng.normal(0.0, 1.0, size=(K, input_dim))
-    scales = 0.3 + rng.uniform(0.0, 0.4, size=(K, input_dim))
+    scales = (0.3 + rng.uniform(0.0, 0.4, size=(K, input_dim))) * noise_scale
     u_means = rng.normal(0.0, 1.0, size=(K, u_dim))
 
     A = np.full((K, K), (1.0 - stickiness) / max(K - 1, 1))
