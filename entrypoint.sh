@@ -12,8 +12,12 @@ case "$MODE" in
   serve-prod)
     exec gunicorn -k uvicorn.workers.UvicornWorker -w "${WORKERS:-4}" -b "0.0.0.0:${PORT:-8000}" vqvaehmm_tpu.serve.app:app
     ;;
+  serve-asgi)
+    # dependency-free ASGI app (no fastapi; any ASGI server works)
+    exec uvicorn --host 0.0.0.0 --port "${PORT:-8000}" vqvaehmm_tpu.serve.asgi:app
+    ;;
   *)
-    echo "unknown MODE=$MODE (train|serve|serve-prod)" >&2
+    echo "unknown MODE=$MODE (train|serve|serve-prod|serve-asgi)" >&2
     exit 1
     ;;
 esac

@@ -1,0 +1,92 @@
+"""Dependency-free ASGI inference app — the same HTTP contract as the
+FastAPI app (serve/app.py) and the stdlib server (serve/httpd.py), as a
+plain ASGI callable.
+
+Why a third surface: fastapi is an optional extra; this module gives any
+ASGI server (uvicorn, hypercorn, daphne) the full contract with zero
+dependencies beyond the library itself, and — unlike the FastAPI wiring —
+it is executable (and executed, tests/test_asgi.py) in minimal
+environments.  Routes (reference contract: inference_api/app.py:51-75,
+plus this framework's extensions):
+
+  GET  /health   -> {"status": "ok"}
+  POST /infer    -> mu/logvar/regime_probs (+ modes smoothed/filtered/
+                    viterbi with exogenous u)
+  POST /predict  -> portfolio weights (the working version of the
+                    reference's broken Flask /predict, api.py:18)
+
+Run: uvicorn 'vqvaehmm_tpu.serve.asgi:create_asgi_app()'
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .app import get_model
+
+
+async def _read_body(receive) -> bytes:
+    body = b""
+    while True:
+        msg = await receive()
+        body += msg.get("body", b"")
+        if not msg.get("more_body"):
+            return body
+
+
+async def _respond(send, status: int, payload: dict) -> None:
+    data = json.dumps(payload).encode()
+    await send({
+        "type": "http.response.start",
+        "status": status,
+        "headers": [(b"content-type", b"application/json"),
+                    (b"content-length", str(len(data)).encode())],
+    })
+    await send({"type": "http.response.body", "body": data})
+
+
+def create_asgi_app(config_path: str = "inference_config.json"):
+    """Build the ASGI callable (model loads lazily on first request)."""
+
+    async def app(scope, receive, send):
+        if scope["type"] == "lifespan":  # uvicorn startup/shutdown chatter
+            while True:
+                msg = await receive()
+                if msg["type"] == "lifespan.startup":
+                    await send({"type": "lifespan.startup.complete"})
+                elif msg["type"] == "lifespan.shutdown":
+                    await send({"type": "lifespan.shutdown.complete"})
+                    return
+            return
+        assert scope["type"] == "http"
+        path, method = scope["path"], scope["method"]
+
+        if path == "/health" and method == "GET":
+            await _respond(send, 200, {"status": "ok"})
+            return
+        if path in ("/infer", "/predict") and method == "POST":
+            try:
+                req = json.loads((await _read_body(receive)) or b"{}")
+                if "x" not in req:
+                    raise ValueError("missing field 'x'")
+                model = get_model(config_path)
+                if path == "/infer":
+                    out = model.infer(req["x"], u=req.get("u"),
+                                      mode=req.get("mode", "mean_field"))
+                else:
+                    out = model.predict(req["x"])
+                await _respond(send, 200, out)
+            except (ValueError, json.JSONDecodeError) as e:
+                await _respond(send, 400, {"error": str(e)})
+            except Exception as e:  # parity with the reference's 500
+                await _respond(send, 500, {"error": str(e)})
+            return
+        await _respond(send, 404, {"error": f"no route {method} {path}"})
+
+    return app
+
+
+# module-level app for `uvicorn vqvaehmm_tpu.serve.asgi:app`
+app = create_asgi_app(os.environ.get("VQHMM_INFERENCE_CONFIG",
+                                     "inference_config.json"))
