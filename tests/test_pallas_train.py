@@ -91,8 +91,31 @@ def test_fused_rejects_unsupported():
     with pytest.raises(ValueError):
         fused_loss_and_grads(model, params, x, u, lengths, 1.0,
                              interpret=True)
+
+
+def test_fused_mesh_step_matches_single_device():
+    """fused=True + mesh runs the kernel per-shard under shard_map with
+    GLOBAL normalizations (psum'd mask total / batch size, pmax'd
+    valid_to) — the update must match the unsharded fused step."""
     from vqvaehmm_tpu.parallel import create_mesh
 
+    model, params, x, u, lengths = _setup(seed=4)
     tx = make_optimizer(1e-3)
-    with pytest.raises(ValueError):
-        make_train_step(model, tx, mesh=create_mesh(1), fused=True)
+
+    single = make_train_step(model, tx, donate=False, fused=True)
+    s1, loss1 = single(
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)),
+        x, u, lengths, jnp.float32(0.8))
+
+    mesh = create_mesh(8)
+    sharded = make_train_step(model, tx, mesh=mesh, donate=False,
+                              fused=True)
+    s2, loss2 = sharded(
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)),
+        x, u, lengths, jnp.float32(0.8))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -338,7 +338,8 @@ def _pick_block_b(B: int, T: int) -> int:
 def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
                          u: jnp.ndarray, lengths: jnp.ndarray,
                          beta, *, block_b: int | None = None,
-                         interpret: bool | None = None
+                         interpret: bool | None = None,
+                         axis_name: str | None = None
                          ) -> Tuple[jnp.ndarray, Params]:
     """Drop-in replacement for jax.value_and_grad(model.compute_loss):
     returns (loss, grads) with grads in the model's param-pytree layout.
@@ -346,6 +347,12 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     Requirements: T % 8 == 0 and a batch block with block_b*T % 128 == 0
     dividing B must exist (the benchmark/training shapes satisfy both —
     otherwise use the XLA path).
+
+    axis_name: set when called per-shard inside shard_map over a
+    data-parallel mesh — the loss normalizations (mask total, batch size,
+    valid_to) become GLOBAL via psum/pmax so the sharded update is
+    bit-consistent with the single-device one, and the returned loss/grads
+    are the psum'd globals (replicated).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -370,6 +377,12 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     tcol = jnp.arange(T, dtype=jnp.int32)[None, :]
     mask = (tcol < lengths[:, None]).astype(f32)              # (B, T)
     valid_to = jnp.max(lengths)
+    mask_sum = mask.sum()
+    B_total = B
+    if axis_name is not None:
+        valid_to = lax.pmax(valid_to, axis_name)
+        mask_sum = lax.psum(mask_sum, axis_name)
+        B_total = B * lax.psum(1, axis_name)
     vmask = jnp.broadcast_to((tcol < valid_to).astype(f32),
                              (B, T)).reshape(1, N)
     pmask_bt = jnp.concatenate(
@@ -378,11 +391,11 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     pm = pmask_bt.reshape(1, N)
 
     beta = jnp.asarray(beta, f32)
-    denom = jnp.maximum(mask.sum() * C, 1.0)
+    denom = jnp.maximum(mask_sum * C, 1.0)
     scales = jnp.zeros((1, 128), f32)
     scales = scales.at[0, 0].set(1.0 / denom)
-    scales = scales.at[0, 1].set(-beta / B)
-    scales = scales.at[0, 2].set(beta / B)
+    scales = scales.at[0, 1].set(-beta / B_total)
+    scales = scales.at[0, 2].set(beta / B_total)
 
     p = params
     from .precise import plog_softmax
@@ -417,8 +430,8 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
      gpw2, gpb2, gembT, gdw1, gdb1, gdw2, gdb2, gdw3, gdb3) = outs
 
     loss = (partials[0, 0] / denom
-            + (-beta / B) * partials[0, 1]
-            + (beta / B) * partials[0, 2])
+            + (-beta / B_total) * partials[0, 1]
+            + (beta / B_total) * partials[0, 2])
 
     # chain logpi = log_softmax(log_prior):
     # d log_prior = g - softmax(log_prior) * sum(g)
@@ -448,5 +461,11 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
             "to_params": {"weight": gdw3[:, :, None], "bias": gdb3[:, 0]},
         },
     }
+    if axis_name is not None:
+        # shard-local contributions (already globally scaled) -> globals;
+        # the log_prior chain above is linear in g, so psum-after is exact
+        loss = lax.psum(loss, axis_name)
+        grads = jax.tree_util.tree_map(
+            lambda a: lax.psum(a, axis_name), grads)
     return loss, grads
 

@@ -58,19 +58,34 @@ def create_train_state(model: VAEHMM, key: jax.Array, lr: float,
 
 def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
                 state: TrainState, x, u, lengths, beta,
-                fused: bool = False):
+                fused: bool = False, mesh: Optional[Mesh] = None):
     """One optimizer update — the single source of truth shared by the
     per-batch step and the epoch-fused scan.
 
     fused=True computes loss AND all parameter gradients in one
     VMEM-resident Pallas kernel (ops/pallas_train.py) instead of
     jax.value_and_grad over the XLA forward — same update, a fraction of
-    the HBM traffic."""
+    the HBM traffic.  With a mesh, the fused kernel runs per-shard under
+    shard_map with globally-correct normalizations and a gradient psum
+    over the data axis (XLA cannot partition the kernel itself)."""
     if fused:
         from ..ops.pallas_train import fused_loss_and_grads
 
-        loss, grads = fused_loss_and_grads(model, state.params, x, u,
-                                           lengths, beta)
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+
+            def per_shard(p, xx, uu, ll, bb):
+                return fused_loss_and_grads(model, p, xx, uu, ll, bb,
+                                            axis_name="data")
+
+            loss, grads = shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P()),
+                out_specs=(P(), P()), check_rep=False,
+            )(state.params, x, u, lengths, beta)
+        else:
+            loss, grads = fused_loss_and_grads(model, state.params, x, u,
+                                               lengths, beta)
     else:
         def loss_fn(p):
             return model.compute_loss(p, x, u, lengths, beta)
@@ -87,15 +102,13 @@ def make_train_step(model: VAEHMM, tx: optax.GradientTransformation,
     """Build the jitted single-batch update.
 
     With a mesh, the batch arguments are sharded over the data axis and the
-    state is replicated; jit inserts the gradient all-reduce.
+    state is replicated; jit inserts the gradient all-reduce (XLA path) or
+    a shard_map + psum wraps the fused kernel (fused path).
     """
-    if fused and mesh is not None:
-        raise ValueError("fused=True is single-device for now; drop the "
-                         "mesh or use the XLA path for data parallelism")
 
     def step(state: TrainState, x, u, lengths, beta):
         return _sgd_update(model, tx, state, x, u, lengths, beta,
-                           fused=fused)
+                           fused=fused, mesh=mesh)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -117,14 +130,12 @@ def make_epoch_step(model: VAEHMM, tx: optax.GradientTransformation,
 
     One dispatch and one host sync per *epoch* instead of per batch.
     """
-    if fused and mesh is not None:
-        raise ValueError("fused=True is single-device for now; drop the "
-                         "mesh or use the XLA path for data parallelism")
 
     def epoch(state: TrainState, xs, us, lens, beta):
         def body(st, batch):
             x, u, l = batch
-            return _sgd_update(model, tx, st, x, u, l, beta, fused=fused)
+            return _sgd_update(model, tx, st, x, u, l, beta, fused=fused,
+                               mesh=mesh)
 
         state, losses = jax.lax.scan(body, state, (xs, us, lens))
         return state, losses.mean()
