@@ -119,3 +119,32 @@ def test_fused_mesh_step_matches_single_device():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(C=7, H=48, K=2, H2=16, U=3, B=8, T=32),
+    dict(C=3, H=16, K=4, H2=8, U=5, B=24, T=40),
+    dict(C=5, H=24, K=3, H2=12, U=4, B=8, T=8),   # minimal T
+])
+def test_fused_grads_fuzz_configs(cfg):
+    """Kernel stays exact across channel counts, K, u_dim, B, T."""
+    model = make_model(cfg["C"], cfg["H"], cfg["K"], cfg["H2"],
+                       u_dim=cfg["U"], trans_hidden=32)
+    params = model.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(cfg["K"])
+    x = jnp.asarray(rng.normal(
+        size=(cfg["B"], cfg["C"], cfg["T"])).astype(np.float32))
+    u = jnp.asarray(rng.normal(
+        size=(cfg["B"], cfg["U"], cfg["T"])).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(
+        max(cfg["T"] // 2, 3), cfg["T"] + 1, size=cfg["B"]).astype(np.int32))
+    ref_loss, ref_grads = jax.value_and_grad(model.compute_loss)(
+        params, x, u, lengths, 0.9)
+    loss, grads = fused_loss_and_grads(model, params, x, u, lengths, 0.9,
+                                       interpret=True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-5)
+    for ref, got in zip(jax.tree_util.tree_leaves(ref_grads),
+                        jax.tree_util.tree_leaves(grads)):
+        a, b = np.asarray(ref), np.asarray(got)
+        np.testing.assert_allclose(
+            b, a, rtol=2e-4, atol=5e-5 * max(np.max(np.abs(a)), 1e-12))
