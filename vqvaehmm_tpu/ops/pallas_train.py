@@ -115,22 +115,28 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
     def S_p(h):   # h[t+1], zero-padded at sequence ends
         return jnp.roll(h, -1, axis=1) * right_ok
 
+    def taps(h):
+        """Stack the three shifted views on sublanes: (3*C, N) — turns a
+        k=3 conv into ONE (O, 3C) @ (3C, N) MXU call instead of three
+        small-K calls."""
+        return jnp.concatenate([S_m(h), h, S_p(h)], axis=0)
+
     def conv3(h, w_ref, b_ref):
-        acc = _dot(w_ref[0], S_m(h))
-        acc += _dot(w_ref[1], h)
-        acc += _dot(w_ref[2], S_p(h))
-        return acc + b_ref[:]
+        wcat = jnp.concatenate([w_ref[0], w_ref[1], w_ref[2]], axis=1)
+        return _dot(wcat, taps(h)) + b_ref[:]
 
     def conv3_bwd(dy, h_in, w_ref, gw_ref, gb_ref):
         """Accumulate weight/bias grads; return grad wrt h_in."""
-        gw_ref[0, :, :] += _dot_nt(dy, S_m(h_in))
-        gw_ref[1, :, :] += _dot_nt(dy, h_in)
-        gw_ref[2, :, :] += _dot_nt(dy, S_p(h_in))
+        I = h_in.shape[0]
+        gw = _dot_nt(dy, taps(h_in))            # (O, 3I)
+        gw_ref[0, :, :] += gw[:, :I]
+        gw_ref[1, :, :] += gw[:, I:2 * I]
+        gw_ref[2, :, :] += gw[:, 2 * I:]
         gb_ref[:, :] += jnp.sum(dy, axis=1, keepdims=True)
-        dh = _dot(w_ref[0].T, S_p(dy))
-        dh += _dot(w_ref[1].T, dy)
-        dh += _dot(w_ref[2].T, S_m(dy))
-        return dh
+        # dh[s] = sum_dt w_dt^T dy[s - dt]: stack the opposite shifts of dy
+        dycat = jnp.concatenate([S_p(dy), dy, S_m(dy)], axis=0)  # (3O, N)
+        wT = jnp.concatenate([w_ref[0].T, w_ref[1].T, w_ref[2].T], axis=1)
+        return _dot(wT, dycat)
 
     # ---------------- forward: encoder ----------------
     h1 = jnp.maximum(conv3(x, ew1_ref, eb1_ref), 0.0) * vm    # (H1, N)
