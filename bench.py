@@ -65,11 +65,13 @@ def bench_jax() -> float:
     # (grads match jax.grad; tests/test_pallas_train.py).
     epoch_step = make_epoch_step(model, tx, donate=True, fused=True)
 
-    steps_per_call = 800
+    steps_per_call = 1600
     x, u, lengths = make_batch()
-    xs = jnp.asarray(np.stack([x] * steps_per_call))
-    us = jnp.asarray(np.stack([u] * steps_per_call))
-    lns = jnp.asarray(np.stack([lengths] * steps_per_call))
+    # materialize the stacked epoch on device (broadcast, not host-stack)
+    tile = jax.jit(lambda a: jnp.broadcast_to(
+        a[None], (steps_per_call,) + a.shape) + jnp.zeros((), a.dtype))
+    xs, us, lns = tile(jnp.asarray(x)), tile(jnp.asarray(u)), \
+        tile(jnp.asarray(lengths))
     beta = jnp.float32(1.0)
 
     state, loss = epoch_step(state, xs, us, lns, beta)  # compile
