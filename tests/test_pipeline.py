@@ -175,3 +175,41 @@ def test_gmm_system_save_load_roundtrip(rng, tmp_path):
     data_path = str(tmp_path / "returns.npy")
     np.save(data_path, returns)
     cli_main(["--stack", "gmm", "--checkpoint", path, "--data", data_path])
+
+
+def test_pipeline_fused_config(tmp_path):
+    """training.fused=true routes through the Pallas step when shapes
+    qualify, and falls back to XLA (with a log line) when they don't."""
+    import json as _json
+
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    def cfg_for(max_len, batch_size):
+        cfg = {
+            "model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                      "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+            "data": {"min_len": 8, "max_len": max_len,
+                     "samples_per_epoch": 2 * batch_size,
+                     "x_sequences_path": str(tmp_path / "none.npy")},
+            "training": {"batch_size": batch_size, "num_epochs": 1,
+                         "learning_rate": 1e-3, "fused": True,
+                         "save_freq": 0,
+                         "checkpoint_dir": str(tmp_path / f"ck{max_len}")},
+        }
+        p = tmp_path / f"cfg{max_len}.json"
+        p.write_text(_json.dumps(cfg))
+        return str(p)
+
+    from vqvaehmm_tpu.core.config import load_config
+
+    logs = []
+    pipe = TrainPipeline(load_config(cfg_for(32, 8)))
+    state = pipe.train(log_fn=logs.append, resume=False)
+    assert int(state.step) > 0
+    assert not any("unsupported" in s for s in logs)
+
+    logs2 = []
+    pipe2 = TrainPipeline(load_config(cfg_for(30, 8)))  # T % 8 != 0 -> fallback
+    state2 = pipe2.train(log_fn=logs2.append, resume=False)
+    assert int(state2.step) > 0
+    assert any("unsupported" in s for s in logs2)

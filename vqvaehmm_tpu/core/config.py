@@ -74,6 +74,10 @@ class TrainConfig:
     # Fuse this many optimizer steps into one jitted lax.scan (removes the
     # per-step host dispatch + loss.item() sync the reference pays).
     steps_per_call: int = 0  # 0 => whole epoch in one scan
+    # Single-kernel Pallas loss+grads path (ops/pallas_train.py). Needs
+    # T % 8 == 0 and a 128-divisible lane block; the pipeline falls back
+    # to the XLA path automatically when the shapes don't qualify.
+    fused: bool = False
 
 
 @dataclass(frozen=True)

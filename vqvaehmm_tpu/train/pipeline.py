@@ -109,7 +109,17 @@ class TrainPipeline:
                 log_fn(f"Resumed from epoch {start_epoch} "
                        f"(step {int(state.step)})")
 
-        epoch_step = make_epoch_step(model, tx, mesh=self.mesh)
+        fused = getattr(t, "fused", False)
+        if fused:
+            from ..ops.pallas_train import _pick_block_b
+
+            T_ = self.cfg.data.max_len
+            if T_ % 8 != 0 or _pick_block_b(t.batch_size, T_) == 0:
+                fused = False
+                if log_fn:
+                    log_fn(f"fused step unsupported at T={T_}, "
+                           f"B={t.batch_size}; using the XLA path")
+        epoch_step = make_epoch_step(model, tx, mesh=self.mesh, fused=fused)
         history = []
         for ep in range(start_epoch, t.num_epochs):
             beta = beta_schedule(ep, t.num_epochs, t.beta_warmup)

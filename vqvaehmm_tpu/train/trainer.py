@@ -161,14 +161,15 @@ class Trainer:
 
     def __init__(self, model: VAEHMM, lr: float = 1e-3,
                  gradient_clip: Optional[float] = 1.0,
-                 beta_warmup: bool = True, seed: int = 0):
+                 beta_warmup: bool = True, seed: int = 0,
+                 fused: bool = False):
         self.model = model
         self.tx = make_optimizer(lr, gradient_clip)
         params = model.init(jax.random.PRNGKey(seed))
         self.state = TrainState(params, self.tx.init(params),
                                 jnp.zeros((), jnp.int32))
         self.beta_warmup = beta_warmup
-        self._epoch_step = make_epoch_step(model, self.tx)
+        self._epoch_step = make_epoch_step(model, self.tx, fused=fused)
 
     @property
     def params(self):
