@@ -314,16 +314,24 @@ class VAEHMM:
         exact Viterbi instead of the reference's argmax(q) hard decode
         (reference: backtesting.py:155).
 
-        use_pallas=None auto-dispatches: on TPU the fused doubling-scan
-        kernel (ops/pallas_hmm.py) wins at every measured shape (34-43x
-        over the lax.scan recursion at B=64/256 — BENCH_NOTES.md); off-TPU
-        the scan path avoids interpret-mode overhead."""
+        use_pallas=None auto-dispatches: on TPU, qualifying shapes run the
+        FULLY fused end-to-end kernel (evidence + prior + doubling Viterbi
+        in one pass, ops/pallas_decode.py); other shapes use the fused
+        Viterbi recursion kernel (ops/pallas_hmm.py, 34-43x over lax.scan
+        at B=64/256 — BENCH_NOTES.md); off-TPU the scan path avoids
+        interpret-mode overhead."""
         from ..ops import hmm as hmm_ops
 
-        log_pi, log_A = self.prior(params, u)
-        log_obs = self._hmm_evidence(params, x, lengths)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas_decode import fused_viterbi_states, supported
+
+            B, _, T = x.shape
+            if supported(B, T):
+                return fused_viterbi_states(self, params, x, u, lengths)
+        log_pi, log_A = self.prior(params, u)
+        log_obs = self._hmm_evidence(params, x, lengths)
         if use_pallas:
             from ..ops.pallas_hmm import viterbi_pallas
 

@@ -1,0 +1,241 @@
+"""Fully-fused Viterbi decode: encoder evidence + prior MLP + the doubling
+Viterbi scans in ONE VMEM-resident kernel.
+
+The two-stage path (XLA encoder/prior -> ops/pallas_hmm.viterbi_pallas)
+pays HBM round-trips for log_A (B,T,K,K) and log_obs, plus a layout
+transpose — at the benchmark shape the evidence computation dominates the
+decode p50.  Here everything stays in the (channels, B*T) token layout:
+
+  * encoder conv stack + PRECISE log-softmax (ops/precise pexp/plog lower
+    to pure FMA + integer bit ops inside Mosaic) -> log_obs rows (K, N);
+  * prior MLP + per-row precise log-softmax -> log_A rows (K*K, N);
+  * max-plus doubling prefix scan with SHIFTS ALONG LANES: rolling by s
+    and refilling lanes with col%T < s handles all sequences in the block
+    at once (the same boundary trick the conv taps use);
+  * delta_0 is folded into the scan by seeding the t==0 lanes of the step
+    matrices with rows M_0[p][m] = pi[m] + obs_0[m] (constant over p) —
+    after the scan every p-row equals delta_t, no segment broadcast;
+  * the final argmax is folded into the backtrace by appending a CONSTANT
+    selector map at each sequence's last lane (sigma_{T-1}[k] = argmax_k
+    delta_{T-1}), so the suffix composition scan lands the decoded state
+    at every lane with no cross-lane gather.
+
+Ragged lengths use the same inert-padding convention as ops/hmm
+(_mask_inputs): obs -> 0 and transitions -> identity beyond each length,
+so the decoded path freezes at t = L-1.
+
+Used by VAEHMM.viterbi_decode's TPU auto-dispatch when shapes qualify
+(T % 8 == 0 and a 128-divisible lane block dividing B).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from .pallas_train import _pick_block_b
+from .precise import pexp, plog
+
+Params = Dict
+
+_NEG = -1e30
+
+
+def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
+            ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
+            logpi_ref, pw1_ref, pb1_ref, pw2_ref, pb2_ref,
+            states_ref, *, T: int, K: int):
+    f32 = jnp.float32
+    x = xt_ref[:].astype(f32)
+    u = ut_ref[:].astype(f32)
+    mf = mf_ref[:]                      # (1, N) length mask
+    vm = vm_ref[:]                      # (1, N) valid_to mask
+    N = x.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
+    left_ok = (col > 0).astype(f32)
+    right_ok = (col < T - 1).astype(f32)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    def conv3(h, w_ref, b_ref):
+        hm = jnp.roll(h, 1, axis=1) * left_ok
+        hp_ = jnp.roll(h, -1, axis=1) * right_ok
+        wcat = jnp.concatenate([w_ref[0], w_ref[1], w_ref[2]], axis=1)
+        return dot(wcat, jnp.concatenate([hm, h, hp_], axis=0)) + b_ref[:]
+
+    def plse(rows):
+        """Precise elementwise logsumexp of a list of equal-shape rows."""
+        m = functools.reduce(jnp.maximum, rows)
+        msafe = jnp.maximum(m, _NEG)
+        return msafe + plog(sum(pexp(r - msafe) for r in rows))
+
+    # ---- evidence: encoder + precise log-softmax over K ----
+    h1 = jnp.maximum(conv3(x, ew1_ref, eb1_ref), 0.0) * vm
+    h2 = jnp.maximum(conv3(h1, ew2_ref, eb2_ref), 0.0)
+    logits = dot(ew3_ref[:], h2) + eb3_ref[:]           # (K, N)
+    lrows = [logits[k:k + 1] for k in range(K)]
+    lz = plse(lrows)
+    obs = [jnp.where(mf > 0, lrows[k] - lz, 0.0) for k in range(K)]
+
+    # ---- transitions: prior MLP + per-row precise log-softmax ----
+    hp = jnp.maximum(dot(pw1_ref[:], u) + pb1_ref[:], 0.0)
+    ap = dot(pw2_ref[:], hp) + pb2_ref[:]               # (K*K, N)
+    A = {}
+    for p in range(K):
+        rows = [ap[p * K + k:p * K + k + 1] for k in range(K)]
+        rz = plse(rows)
+        for k in range(K):
+            ident = 0.0 if p == k else _NEG
+            A[(p, k)] = jnp.where(mf > 0, rows[k] - rz, ident)
+
+    # ---- max-plus doubling prefix scan along lanes ----
+    def shift_down(row, s, fill):
+        return jnp.where(col < s, fill, jnp.roll(row, s, axis=1))
+
+    # seed: t==0 lanes carry M_0[p][m] = pi[m] + obs_0[m] (constant in p)
+    is0 = col == 0
+    M = [[jnp.where(is0, logpi_ref[k, 0] + obs[k], A[(p, k)] + obs[k])
+          for k in range(K)] for p in range(K)]
+    ident_pk = [[0.0 if p == k else _NEG for k in range(K)]
+                for p in range(K)]
+    s = 1
+    while s < T:
+        Xs = [[shift_down(M[p][k], s, ident_pk[p][k]) for k in range(K)]
+              for p in range(K)]
+        M = [[functools.reduce(
+            jnp.maximum, [Xs[p][m] + M[m][k] for m in range(K)])
+            for k in range(K)] for p in range(K)]
+        s *= 2
+    delta = [M[0][k] for k in range(K)]                 # = delta_t, any p
+
+    # ---- backpointers (vectorized argmax over prev state) ----
+    dprev = [shift_down(delta[p], 1, 0.0) for p in range(K)]
+    bp = []
+    for k in range(K):
+        best = dprev[0] + A[(0, k)]
+        arg = jnp.zeros((1, N), jnp.int32)
+        for p in range(1, K):
+            sc = dprev[p] + A[(p, k)]
+            take = sc > best
+            best = jnp.where(take, sc, best)
+            arg = jnp.where(take, p, arg)
+        bp.append(arg)
+
+    # final-state constant map at each sequence's last lane
+    best = delta[0]
+    s_last = jnp.zeros((1, N), jnp.int32)
+    for k in range(1, K):
+        take = delta[k] > best
+        best = jnp.where(take, delta[k], best)
+        s_last = jnp.where(take, k, s_last)
+
+    # ---- backtrace: suffix composition scan of selector maps ----
+    is_last = col == T - 1
+    G = [jnp.where(is_last, s_last, jnp.roll(bp[k], -1, axis=1))
+         for k in range(K)]
+
+    def shift_up(row, s, fill):
+        return jnp.where(col >= T - s, fill, jnp.roll(row, -s, axis=1))
+
+    s = 1
+    while s < T:
+        Gs = [shift_up(G[k], s, k) for k in range(K)]
+        newG = []
+        for k in range(K):
+            r = G[0]
+            for p in range(1, K):
+                r = jnp.where(Gs[k] == p, G[p], r)
+            newG.append(r)
+        G = newG
+        s *= 2
+    states_ref[:] = G[0]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "T", "block_b",
+                                             "interpret"))
+def _call(xt, ut, mf, vm, weights, *, K, T, block_b, interpret):
+    C, N = xt.shape
+    U = ut.shape[0]
+    NP = block_b * T
+
+    def tok(c):
+        return pl.BlockSpec((c, NP), lambda i: (0, i))
+
+    def full(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, T=T, K=K),
+        grid=(N // NP,),
+        in_specs=[tok(C), tok(U), tok(1), tok(1)]
+        + [full(w) for w in weights],
+        out_specs=pl.BlockSpec((1, NP), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.int32),
+        interpret=interpret,
+    )(xt, ut, mf, vm, *weights)
+
+
+def supported(B: int, T: int) -> bool:
+    return T % 8 == 0 and _pick_block_b(B, T) != 0
+
+
+def fused_viterbi_states(model, params: Params, x: jnp.ndarray,
+                         u: jnp.ndarray, lengths=None,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """End-to-end MAP decode (B, T) — one kernel from raw (x, u) to
+    states.  Matches the two-stage path (precise evidence + max-plus
+    recursion) up to float-rounding path ties."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cfg = model.cfg
+    B, C, T = x.shape
+    K = cfg.K
+    block_b = _pick_block_b(B, T) if not interpret \
+        else (B if B <= 8 else math.gcd(B, 8))
+    if T % 8 != 0 or block_b == 0:
+        raise ValueError(f"fused decode unsupported at B={B}, T={T}")
+    if u.ndim == 3 and u.shape[1] != cfg.u_dim:
+        u = jnp.transpose(u, (0, 2, 1))
+
+    N = B * T
+    f32 = jnp.float32
+    xt = jnp.transpose(x.astype(f32), (1, 0, 2)).reshape(C, N)
+    ut = jnp.transpose(u.astype(f32), (1, 0, 2)).reshape(u.shape[1], N)
+    tcol = jnp.arange(T, dtype=jnp.int32)[None, :]
+    if lengths is None:
+        mf = jnp.ones((1, N), f32)
+        vm = jnp.ones((1, N), f32)
+    else:
+        mf = (tcol < lengths[:, None]).astype(f32).reshape(1, N)
+        valid_to = jnp.max(lengths)
+        vm = jnp.broadcast_to((tcol < valid_to).astype(f32),
+                              (B, T)).reshape(1, N)
+
+    from .precise import plog_softmax
+
+    p = params
+    logpi = plog_softmax(p["prior"]["log_prior"].astype(f32))[:, None]
+    weights = (
+        jnp.transpose(p["encoder"]["conv1"]["weight"], (2, 0, 1)).astype(f32),
+        p["encoder"]["conv1"]["bias"][:, None].astype(f32),
+        jnp.transpose(p["encoder"]["conv2"]["weight"], (2, 0, 1)).astype(f32),
+        p["encoder"]["conv2"]["bias"][:, None].astype(f32),
+        p["encoder"]["to_logits"]["weight"][:, :, 0].astype(f32),
+        p["encoder"]["to_logits"]["bias"][:, None].astype(f32),
+        logpi,
+        p["prior"]["fc1"]["weight"].astype(f32),
+        p["prior"]["fc1"]["bias"][:, None].astype(f32),
+        p["prior"]["fc2"]["weight"].astype(f32),
+        p["prior"]["fc2"]["bias"][:, None].astype(f32),
+    )
+    states = _call(xt, ut, mf, vm, weights, K=K, T=T, block_b=block_b,
+                   interpret=interpret)
+    return states.reshape(B, T)
