@@ -181,6 +181,25 @@ def test_exact_modes_hit_cached_executable():
         cfg_path = tmp + "/cfg.json"
         open(cfg_path, "w").write(_json.dumps(cfg))
         m = InferenceModel(cfg_path)
+        # count PYTHON-level traces: jit only re-invokes the wrapped
+        # function when it retraces, so same-bucket requests must hit the
+        # compiled executable and leave these counters at 1.  (Counting
+        # jit cache entries directly is flaky — the global executable
+        # cache can evict under a long test session.)
+        counts = {"smoothed": 0, "filtered": 0, "viterbi": 0}
+
+        def counted(name, fn):
+            def wrapper(*a, **k):
+                counts[name] += 1
+                return fn(*a, **k)
+            return wrapper
+
+        m.model.smoothed_posterior = counted(
+            "smoothed", m.model.smoothed_posterior)
+        m.model.filtered_posterior = counted(
+            "filtered", m.model.filtered_posterior)
+        m.model.viterbi_decode = counted(
+            "viterbi", m.model.viterbi_decode)
         rng = np.random.default_rng(11)
         for T in (20, 24, 30):  # all pad to the 32 bucket
             x = rng.normal(size=(5, T)).tolist()
@@ -188,6 +207,4 @@ def test_exact_modes_hit_cached_executable():
             m.infer(x, u=u, mode="smoothed")
             m.infer(x, u=u, mode="filtered")
             m.infer(x, u=u, mode="viterbi")
-        assert m._smoothed._cache_size() == 1
-        assert m._filtered._cache_size() == 1
-        assert m._viterbi._cache_size() == 1
+        assert counts == {"smoothed": 1, "filtered": 1, "viterbi": 1}, counts

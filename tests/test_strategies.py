@@ -162,10 +162,18 @@ def test_walkforward_single_executable():
         pr = (w[:, None, :] * r).sum(-1)
         return -pr.mean() / jnp.maximum(jnp.std(pr, ddof=1), 1e-8)
 
-    wf = WalkForwardTrainer(model, jnp.zeros((K, A)), loss_fn,
+    calls = {"n": 0}
+
+    def counting_model(p, qq):
+        calls["n"] += 1
+        return model(p, qq)
+
+    wf = WalkForwardTrainer(counting_model, jnp.zeros((K, A)), loss_fn,
                             train_window=100, test_window=20,
                             retrain_freq=20)
     out = wf.run((q, rets), n_periods=3)
     assert len(out) == 3
     assert all(np.isfinite(r["test_sharpe"]) for r in out)
-    assert wf._fit._cache_size() == 1
+    # one trace of the window fit (+ one eager model call per evaluate);
+    # a per-window retrace would add one call per window
+    assert calls["n"] == 1 + 3, calls
