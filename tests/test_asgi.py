@@ -122,3 +122,12 @@ def test_gradio_demo_builds(cfg_path):
 
     demo = build_demo(cfg_path)
     assert demo is not None
+
+
+def test_asgi_malformed_payload_types_are_400(cfg_path):
+    """Payloads numpy rejects with TypeError are still client errors."""
+    from vqvaehmm_tpu.serve.asgi import create_asgi_app
+
+    app = create_asgi_app(cfg_path)
+    st, _ = asgi_request(app, "POST", "/infer", {"x": {"0": [1.0, 2.0]}})
+    assert st == 400

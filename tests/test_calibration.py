@@ -108,3 +108,16 @@ def test_vectorized_sweep_matches_scalar_eval(rng):
         np.testing.assert_allclose(
             [r.precision, r.recall, r.f1_score, r.signal_ratio],
             [s.precision, s.recall, s.f1_score, s.signal_ratio], rtol=1e-12)
+
+
+def test_non_binary_targets_excluded_from_fp(rng):
+    """Labels outside {0,1} (e.g. -1 directional) count toward neither
+    tp nor fp — matching the scalar reference semantics."""
+    from vqvaehmm_tpu.calibration.calibrate import _eval_threshold
+
+    preds = np.array([0.9, 0.8, 0.7, 0.6])
+    targets = np.array([1, -1, 0, -1])
+    r = _eval_threshold(preds, targets, 0.5)
+    assert (r.true_positives, r.false_positives, r.false_negatives) == \
+        (1, 1, 0)
+    assert r.precision == 0.5

@@ -40,8 +40,9 @@ def _eval_thresholds(preds: np.ndarray, targets: np.ndarray,
     thresholds = np.atleast_1d(np.asarray(thresholds, float))
     pred_bin = preds[None, :] >= thresholds[:, None]
     pos = targets == 1
+    neg = targets == 0  # NOT ~pos: non-binary labels stay excluded
     tp = (pred_bin & pos[None, :]).sum(1)
-    fp = (pred_bin & ~pos[None, :]).sum(1)
+    fp = (pred_bin & neg[None, :]).sum(1)
     fn = ((~pred_bin) & pos[None, :]).sum(1)
     with np.errstate(divide="ignore", invalid="ignore"):
         prec = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)

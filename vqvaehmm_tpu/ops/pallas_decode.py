@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-from .pallas_train import _pick_block_b
+from .pallas_train import _pick_block_b, pack_encoder_prior_weights
 from .precise import pexp, plog
 
 Params = Dict
@@ -219,23 +219,7 @@ def fused_viterbi_states(model, params: Params, x: jnp.ndarray,
         vm = jnp.broadcast_to((tcol < valid_to).astype(f32),
                               (B, T)).reshape(1, N)
 
-    from .precise import plog_softmax
-
-    p = params
-    logpi = plog_softmax(p["prior"]["log_prior"].astype(f32))[:, None]
-    weights = (
-        jnp.transpose(p["encoder"]["conv1"]["weight"], (2, 0, 1)).astype(f32),
-        p["encoder"]["conv1"]["bias"][:, None].astype(f32),
-        jnp.transpose(p["encoder"]["conv2"]["weight"], (2, 0, 1)).astype(f32),
-        p["encoder"]["conv2"]["bias"][:, None].astype(f32),
-        p["encoder"]["to_logits"]["weight"][:, :, 0].astype(f32),
-        p["encoder"]["to_logits"]["bias"][:, None].astype(f32),
-        logpi,
-        p["prior"]["fc1"]["weight"].astype(f32),
-        p["prior"]["fc1"]["bias"][:, None].astype(f32),
-        p["prior"]["fc2"]["weight"].astype(f32),
-        p["prior"]["fc2"]["bias"][:, None].astype(f32),
-    )
+    weights = pack_encoder_prior_weights(params)
     states = _call(xt, ut, mf, vm, weights, K=K, T=T, block_b=block_b,
                    interpret=interpret)
     return states.reshape(B, T)

@@ -331,6 +331,30 @@ def _fused_call(xt, ut, mf, vm, pm, weights, scales, *, K: int, T: int,
     )(xt, ut, mf, vm, pm, *weights, scales)
 
 
+def pack_encoder_prior_weights(p: Params):
+    """Kernel-layout views of the encoder + prior parameters (per-tap
+    (W, O, I) conv stacks, column biases, precise log_pi) — the single
+    source of truth shared by the fused train step (as the prefix of its
+    weight tuple) and the fused decode kernel (ops/pallas_decode.py)."""
+    from .precise import plog_softmax
+
+    f32 = jnp.float32
+    logpi = plog_softmax(p["prior"]["log_prior"].astype(f32))[:, None]
+    return (
+        jnp.transpose(p["encoder"]["conv1"]["weight"], (2, 0, 1)).astype(f32),
+        p["encoder"]["conv1"]["bias"][:, None].astype(f32),
+        jnp.transpose(p["encoder"]["conv2"]["weight"], (2, 0, 1)).astype(f32),
+        p["encoder"]["conv2"]["bias"][:, None].astype(f32),
+        p["encoder"]["to_logits"]["weight"][:, :, 0].astype(f32),
+        p["encoder"]["to_logits"]["bias"][:, None].astype(f32),
+        logpi,
+        p["prior"]["fc1"]["weight"].astype(f32),
+        p["prior"]["fc1"]["bias"][:, None].astype(f32),
+        p["prior"]["fc2"]["weight"].astype(f32),
+        p["prior"]["fc2"]["bias"][:, None].astype(f32),
+    )
+
+
 def _pick_block_b(B: int, T: int) -> int:
     """Smallest batch block whose lane count (block_b * T) is 128-divisible
     (Mosaic requires lane blocks % 128 == 0) and which divides B."""
@@ -404,21 +428,7 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     scales = scales.at[0, 2].set(beta / B_total)
 
     p = params
-    from .precise import plog_softmax
-
-    logpi = plog_softmax(p["prior"]["log_prior"].astype(f32))[:, None]
-    weights = (
-        jnp.transpose(p["encoder"]["conv1"]["weight"], (2, 0, 1)).astype(f32),
-        p["encoder"]["conv1"]["bias"][:, None].astype(f32),
-        jnp.transpose(p["encoder"]["conv2"]["weight"], (2, 0, 1)).astype(f32),
-        p["encoder"]["conv2"]["bias"][:, None].astype(f32),
-        p["encoder"]["to_logits"]["weight"][:, :, 0].astype(f32),
-        p["encoder"]["to_logits"]["bias"][:, None].astype(f32),
-        logpi,
-        p["prior"]["fc1"]["weight"].astype(f32),
-        p["prior"]["fc1"]["bias"][:, None].astype(f32),
-        p["prior"]["fc2"]["weight"].astype(f32),
-        p["prior"]["fc2"]["bias"][:, None].astype(f32),
+    weights = pack_encoder_prior_weights(p) + (
         p["decoder"]["embeddings"]["weight"].T.astype(f32),
         jnp.transpose(p["decoder"]["conv1"]["weight"], (2, 0, 1)).astype(f32),
         p["decoder"]["conv1"]["bias"][:, None].astype(f32),

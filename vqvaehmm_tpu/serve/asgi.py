@@ -77,7 +77,9 @@ def create_asgi_app(config_path: str = "inference_config.json"):
                 else:
                     out = model.predict(req["x"])
                 await _respond(send, 200, out)
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                # TypeError covers malformed payloads numpy rejects
+                # (e.g. x as a JSON object) — still the client's fault
                 await _respond(send, 400, {"error": str(e)})
             except Exception as e:  # parity with the reference's 500
                 await _respond(send, 500, {"error": str(e)})

@@ -114,11 +114,15 @@ class TrainPipeline:
             from ..ops.pallas_train import _pick_block_b
 
             T_ = self.cfg.data.max_len
-            if T_ % 8 != 0 or _pick_block_b(t.batch_size, T_) == 0:
+            # under a mesh the kernel runs per shard on the LOCAL batch
+            n_shards = self.mesh.devices.size if self.mesh is not None else 1
+            B_local = t.batch_size // max(n_shards, 1)
+            if T_ % 8 != 0 or B_local == 0 \
+                    or _pick_block_b(B_local, T_) == 0:
                 fused = False
                 if log_fn:
                     log_fn(f"fused step unsupported at T={T_}, "
-                           f"B={t.batch_size}; using the XLA path")
+                           f"per-shard B={B_local}; using the XLA path")
         epoch_step = make_epoch_step(model, tx, mesh=self.mesh, fused=fused)
         history = []
         for ep in range(start_epoch, t.num_epochs):
