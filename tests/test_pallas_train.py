@@ -148,3 +148,20 @@ def test_fused_grads_fuzz_configs(cfg):
         a, b = np.asarray(ref), np.asarray(got)
         np.testing.assert_allclose(
             b, a, rtol=2e-4, atol=5e-5 * max(np.max(np.abs(a)), 1e-12))
+
+
+def test_train_step_supported_vmem_guard():
+    """The support predicate admits the benchmark config and rejects
+    configs whose working set exceeds the VMEM budget (those would fail
+    at Mosaic compile time — measured at block_b=32, BENCH_NOTES.md)."""
+    from vqvaehmm_tpu.core.config import ModelConfig
+    from vqvaehmm_tpu.ops.pallas_train import train_step_supported
+
+    bench = ModelConfig(input_dim=5, hidden_dim=64, K=3, hidden_dim2=32,
+                        u_dim=4, trans_hidden=128)
+    assert train_step_supported(bench, 64, 200)
+    assert not train_step_supported(bench, 64, 50)    # T % 8 != 0
+    assert not train_step_supported(bench, 3, 200)    # no lane block
+    big = ModelConfig(input_dim=5, hidden_dim=256, K=3, hidden_dim2=128,
+                      u_dim=4, trans_hidden=256)
+    assert not train_step_supported(big, 64, 200)     # VMEM budget

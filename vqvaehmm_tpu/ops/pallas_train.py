@@ -365,6 +365,34 @@ def _pick_block_b(B: int, T: int) -> int:
     return 0
 
 
+# Conservative VMEM budget for a kernel's live activations; past this the
+# Mosaic allocator fails at compile time, so the caller should take the
+# XLA path instead (measured: the benchmark model at block_b=16 fits,
+# block_b=32 does not — BENCH_NOTES.md).
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def _train_rows_estimate(cfg) -> int:
+    """Rough live-row count (channels on sublanes) of the fused train
+    kernel's working set: taps-stacked conv inputs dominate."""
+    D, H1, H2 = cfg.hidden_dim, cfg.hidden_dim, cfg.hidden_dim2
+    HP = cfg.trans_hidden
+    K = cfg.K
+    return (6 * D + 3 * H1 + 2 * H2 + 2 * HP + 4 * cfg.input_dim
+            + (cfg.u_dim or 1) + 4 * K * K + 6 * K + 16)
+
+
+def train_step_supported(cfg, B: int, T: int) -> bool:
+    """True when the fused train kernel can run at these shapes (lane
+    tiling satisfiable AND the working set fits the VMEM budget)."""
+    if T % 8 != 0:
+        return False
+    bb = _pick_block_b(B, T)
+    if bb == 0:
+        return False
+    return _train_rows_estimate(cfg) * bb * T * 4 <= _VMEM_BUDGET_BYTES
+
+
 def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
                          u: jnp.ndarray, lengths: jnp.ndarray,
                          beta, *, block_b: int | None = None,

@@ -111,14 +111,14 @@ class TrainPipeline:
 
         fused = getattr(t, "fused", False)
         if fused:
-            from ..ops.pallas_train import _pick_block_b
+            from ..ops.pallas_train import train_step_supported
 
             T_ = self.cfg.data.max_len
             # under a mesh the kernel runs per shard on the LOCAL batch
             n_shards = self.mesh.devices.size if self.mesh is not None else 1
             B_local = t.batch_size // max(n_shards, 1)
-            if T_ % 8 != 0 or B_local == 0 \
-                    or _pick_block_b(B_local, T_) == 0:
+            if B_local == 0 or not train_step_supported(
+                    self.cfg.model, B_local, T_):
                 fused = False
                 if log_fn:
                     log_fn(f"fused step unsupported at T={T_}, "
