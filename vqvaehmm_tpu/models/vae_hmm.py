@@ -255,9 +255,27 @@ class VAEHMM:
         """Mean-field regime posterior q:(B,K,T) = softmax(encode(x))."""
         return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
+    def _evidence_inputs(self, params: Params, x: jnp.ndarray,
+                         u: jnp.ndarray, lengths, use_pallas):
+        """(log_pi, log_A, log_obs) for the exact-inference paths; on TPU
+        the fused evidence kernel (ops/pallas_decode.py) computes all
+        three in one pass when shapes qualify."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas_decode import fused_evidence, supported
+
+            B, _, T = x.shape
+            if supported(B, T):
+                return fused_evidence(self, params, x, u, lengths)
+        log_pi, log_A = self.prior(params, u)
+        log_obs = self._hmm_evidence(params, x, lengths)
+        return log_pi, log_A, log_obs
+
     def smoothed_posterior(self, params: Params, x: jnp.ndarray,
                            u: jnp.ndarray,
-                           lengths: Optional[jnp.ndarray] = None
+                           lengths: Optional[jnp.ndarray] = None,
+                           use_pallas: Optional[bool] = None
                            ) -> jnp.ndarray:
         """Temporally-smoothed regime posterior (B,K,T): forward-backward
         over the Prior's input-conditioned transitions with the encoder's
@@ -271,8 +289,8 @@ class VAEHMM:
         """
         from ..ops import hmm as hmm_ops
 
-        log_pi, log_A = self.prior(params, u)
-        log_obs = self._hmm_evidence(params, x, lengths)
+        log_pi, log_A, log_obs = self._evidence_inputs(
+            params, x, u, lengths, use_pallas)
         gamma = hmm_ops.posterior_marginals(log_pi, log_A, log_obs, lengths)
         return jnp.transpose(gamma, (0, 2, 1))
 
@@ -288,7 +306,8 @@ class VAEHMM:
 
     def filtered_posterior(self, params: Params, x: jnp.ndarray,
                            u: jnp.ndarray,
-                           lengths: Optional[jnp.ndarray] = None
+                           lengths: Optional[jnp.ndarray] = None,
+                           use_pallas: Optional[bool] = None
                            ) -> jnp.ndarray:
         """Filtering regime posterior (B,K,T) — the online counterpart of
         smoothed_posterior: the HMM recursion uses only evidence up to t.
@@ -301,8 +320,8 @@ class VAEHMM:
         """
         from ..ops import hmm as hmm_ops
 
-        log_pi, log_A = self.prior(params, u)
-        log_obs = self._hmm_evidence(params, x, lengths)
+        log_pi, log_A, log_obs = self._evidence_inputs(
+            params, x, u, lengths, use_pallas)
         alpha = hmm_ops.filtered_marginals(log_pi, log_A, log_obs, lengths)
         return jnp.transpose(alpha, (0, 2, 1))
 

@@ -47,17 +47,17 @@ Params = Dict
 _NEG = -1e30
 
 
-def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
-            ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
-            logpi_ref, pw1_ref, pb1_ref, pw2_ref, pb2_ref,
-            states_ref, *, T: int, K: int):
+def _evidence_rows(xt_ref, ut_ref, vm_ref, col,
+                   ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
+                   pw1_ref, pb1_ref, pw2_ref, pb2_ref, *, T: int, K: int):
+    """Shared evidence computation: encoder conv stack -> precise
+    log-softmax rows (K x (1, N)), prior MLP -> precise per-row
+    log-softmax transition rows {(p, k): (1, N)}.  No length masking —
+    callers apply their own convention."""
     f32 = jnp.float32
     x = xt_ref[:].astype(f32)
     u = ut_ref[:].astype(f32)
-    mf = mf_ref[:]                      # (1, N) length mask
-    vm = vm_ref[:]                      # (1, N) valid_to mask
-    N = x.shape[1]
-    col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
+    vm = vm_ref[:]
     left_ok = (col > 0).astype(f32)
     right_ok = (col < T - 1).astype(f32)
 
@@ -71,20 +71,17 @@ def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
         return dot(wcat, jnp.concatenate([hm, h, hp_], axis=0)) + b_ref[:]
 
     def plse(rows):
-        """Precise elementwise logsumexp of a list of equal-shape rows."""
         m = functools.reduce(jnp.maximum, rows)
         msafe = jnp.maximum(m, _NEG)
         return msafe + plog(sum(pexp(r - msafe) for r in rows))
 
-    # ---- evidence: encoder + precise log-softmax over K ----
     h1 = jnp.maximum(conv3(x, ew1_ref, eb1_ref), 0.0) * vm
     h2 = jnp.maximum(conv3(h1, ew2_ref, eb2_ref), 0.0)
     logits = dot(ew3_ref[:], h2) + eb3_ref[:]           # (K, N)
     lrows = [logits[k:k + 1] for k in range(K)]
     lz = plse(lrows)
-    obs = [jnp.where(mf > 0, lrows[k] - lz, 0.0) for k in range(K)]
+    obs = [lrows[k] - lz for k in range(K)]
 
-    # ---- transitions: prior MLP + per-row precise log-softmax ----
     hp = jnp.maximum(dot(pw1_ref[:], u) + pb1_ref[:], 0.0)
     ap = dot(pw2_ref[:], hp) + pb2_ref[:]               # (K*K, N)
     A = {}
@@ -92,8 +89,27 @@ def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
         rows = [ap[p * K + k:p * K + k + 1] for k in range(K)]
         rz = plse(rows)
         for k in range(K):
-            ident = 0.0 if p == k else _NEG
-            A[(p, k)] = jnp.where(mf > 0, rows[k] - rz, ident)
+            A[(p, k)] = rows[k] - rz
+    return obs, A
+
+
+def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
+            ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
+            logpi_ref, pw1_ref, pb1_ref, pw2_ref, pb2_ref,
+            states_ref, *, T: int, K: int):
+    f32 = jnp.float32
+    mf = mf_ref[:]                      # (1, N) length mask
+    N = xt_ref.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
+    obs_raw, A_raw = _evidence_rows(
+        xt_ref, ut_ref, vm_ref, col,
+        ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
+        pw1_ref, pb1_ref, pw2_ref, pb2_ref, T=T, K=K)
+    # inert padding (ops/hmm._mask_inputs): obs -> 0, A -> identity
+    obs = [jnp.where(mf > 0, obs_raw[k], 0.0) for k in range(K)]
+    A = {(p, k): jnp.where(mf > 0, A_raw[(p, k)],
+                           0.0 if p == k else _NEG)
+         for p in range(K) for k in range(K)}
 
     # ---- max-plus doubling prefix scan along lanes ----
     def shift_down(row, s, fill):
@@ -185,6 +201,87 @@ def _call(xt, ut, mf, vm, weights, *, K, T, block_b, interpret):
 
 def supported(B: int, T: int) -> bool:
     return T % 8 == 0 and _pick_block_b(B, T) != 0
+
+
+def _evidence_kernel(xt_ref, ut_ref, vm_ref,
+                     ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
+                     pw1_ref, pb1_ref, pw2_ref, pb2_ref,
+                     obs_ref, logA_ref, *, T: int, K: int):
+    N = xt_ref.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
+    obs, A = _evidence_rows(
+        xt_ref, ut_ref, vm_ref, col,
+        ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
+        pw1_ref, pb1_ref, pw2_ref, pb2_ref, T=T, K=K)
+    obs_ref[:] = jnp.concatenate(obs, axis=0)
+    logA_ref[:] = jnp.concatenate(
+        [A[(p, k)] for p in range(K) for k in range(K)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "T", "block_b",
+                                             "interpret"))
+def _evidence_call(xt, ut, vm, weights, *, K, T, block_b, interpret):
+    C, N = xt.shape
+    U = ut.shape[0]
+    NP = block_b * T
+
+    def tok(c):
+        return pl.BlockSpec((c, NP), lambda i: (0, i))
+
+    def full(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
+
+    return pl.pallas_call(
+        functools.partial(_evidence_kernel, T=T, K=K),
+        grid=(N // NP,),
+        in_specs=[tok(C), tok(U), tok(1)] + [full(w) for w in weights],
+        out_specs=(pl.BlockSpec((K, NP), lambda i: (0, i)),
+                   pl.BlockSpec((K * K, NP), lambda i: (0, i))),
+        out_shape=(jax.ShapeDtypeStruct((K, N), jnp.float32),
+                   jax.ShapeDtypeStruct((K * K, N), jnp.float32)),
+        interpret=interpret,
+    )(xt, ut, vm, *weights)
+
+
+def fused_evidence(model, params: Params, x: jnp.ndarray, u: jnp.ndarray,
+                   lengths=None, interpret: bool | None = None):
+    """One-kernel twin of (model.prior, model._hmm_evidence): returns
+    (log_pi (K,), log_A (B,T,K,K), log_obs (B,T,K)) ready for the exact
+    HMM scans — cuts the exact-inference paths' dominant evidence cost
+    (BENCH_NOTES.md)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cfg = model.cfg
+    B, C, T = x.shape
+    K = cfg.K
+    block_b = _pick_block_b(B, T) if not interpret \
+        else (B if B <= 8 else math.gcd(B, 8))
+    if T % 8 != 0 or block_b == 0:
+        raise ValueError(f"fused evidence unsupported at B={B}, T={T}")
+    if u.ndim == 3 and u.shape[1] != cfg.u_dim:
+        u = jnp.transpose(u, (0, 2, 1))
+
+    N = B * T
+    f32 = jnp.float32
+    xt = jnp.transpose(x.astype(f32), (1, 0, 2)).reshape(C, N)
+    ut = jnp.transpose(u.astype(f32), (1, 0, 2)).reshape(u.shape[1], N)
+    tcol = jnp.arange(T, dtype=jnp.int32)[None, :]
+    if lengths is None:
+        vm = jnp.ones((1, N), f32)
+    else:
+        valid_to = jnp.max(lengths)
+        vm = jnp.broadcast_to((tcol < valid_to).astype(f32),
+                              (B, T)).reshape(1, N)
+
+    weights = pack_encoder_prior_weights(params)
+    logpi_col = weights[6]
+    obs, logA = _evidence_call(xt, ut, vm, weights[:6] + weights[7:],
+                               K=K, T=T, block_b=block_b,
+                               interpret=interpret)
+    log_obs = jnp.transpose(obs.reshape(K, B, T), (1, 2, 0))
+    log_A = jnp.transpose(logA.reshape(K, K, B, T), (2, 3, 0, 1))
+    return logpi_col[:, 0], log_A, log_obs
 
 
 def fused_viterbi_states(model, params: Params, x: jnp.ndarray,
