@@ -244,6 +244,7 @@ def _evidence_call(xt, ut, vm, weights, *, K, T, block_b, interpret):
     )(xt, ut, vm, *weights)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "interpret"))
 def fused_evidence(model, params: Params, x: jnp.ndarray, u: jnp.ndarray,
                    lengths=None, interpret: bool | None = None):
     """One-kernel twin of (model.prior, model._hmm_evidence): returns
@@ -284,6 +285,7 @@ def fused_evidence(model, params: Params, x: jnp.ndarray, u: jnp.ndarray,
     return logpi_col[:, 0], log_A, log_obs
 
 
+@functools.partial(jax.jit, static_argnames=("model", "interpret"))
 def fused_viterbi_states(model, params: Params, x: jnp.ndarray,
                          u: jnp.ndarray, lengths=None,
                          interpret: bool | None = None) -> jnp.ndarray:
