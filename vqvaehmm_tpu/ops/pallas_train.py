@@ -94,26 +94,38 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
                   gdw2_ref, gdb2_ref, gdw3_ref, gdb3_ref):
             r[...] = jnp.zeros(r.shape, r.dtype)
 
-    x = xt_ref[:].astype(f32)          # (C, N)
-    u = ut_ref[:].astype(f32)          # (U, N)
+    # Activations stay f32: an experiment storing the large intermediates
+    # in bf16 (halving roll/taps/mask traffic) measured only ~1.5% faster
+    # — the kernel is not limited by VPU data width — so the extra
+    # rounding drift isn't bought by anything (BENCH_NOTES.md).  Matmul
+    # INPUTS are still cast to bf16 in the fast mode via _make_dots.
+    adt = f32
+
+    def A_(a):
+        return a.astype(adt) if a.dtype != adt else a
+
+    x = xt_ref[:].astype(f32)          # (C, N) f32 for the NLL
+    xa = A_(x)
+    ua = A_(ut_ref[:].astype(f32))     # (U, N)
     mf = mf_ref[:]                     # (1, N) sequence mask
     vm = vm_ref[:]                     # (1, N) valid_to mask
     pm = pm_ref[:]                     # (1, N) pairwise transition mask
+    vma = A_(vm)
     s_r = scales_ref[0, 0]             # 1 / max(sum(mask)*C, 1)
     s_p = scales_ref[0, 1]             # -beta / B
     s_h = scales_ref[0, 2]             # +beta / B   (q*logq term)
 
     N = x.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
-    left_ok = (col > 0).astype(f32)
-    right_ok = (col < T - 1).astype(f32)
+    left_f = col > 0
+    right_f = col < T - 1
     im = (col == 0).astype(f32)        # t == 0 positions
 
     def S_m(h):   # h[t-1], zero-padded at sequence starts
-        return jnp.roll(h, 1, axis=1) * left_ok
+        return jnp.roll(h, 1, axis=1) * left_f.astype(h.dtype)
 
     def S_p(h):   # h[t+1], zero-padded at sequence ends
-        return jnp.roll(h, -1, axis=1) * right_ok
+        return jnp.roll(h, -1, axis=1) * right_f.astype(h.dtype)
 
     def taps(h):
         """Stack the three shifted views on sublanes: (3*C, N) — turns a
@@ -127,20 +139,35 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
 
     def conv3_bwd(dy, h_in, w_ref, gw_ref, gb_ref):
         """Accumulate weight/bias grads; return grad wrt h_in."""
+        dy = A_(dy)
         I = h_in.shape[0]
         gw = _dot_nt(dy, taps(h_in))            # (O, 3I)
         gw_ref[0, :, :] += gw[:, :I]
         gw_ref[1, :, :] += gw[:, I:2 * I]
         gw_ref[2, :, :] += gw[:, 2 * I:]
-        gb_ref[:, :] += jnp.sum(dy, axis=1, keepdims=True)
+        # bias grad accumulates in f32 (a plain bf16 jnp.sum would
+        # accumulate in bf16 over thousands of terms)
+        gb_ref[:, :] += jnp.sum(dy.astype(jnp.float32), axis=1,
+                                keepdims=True)
         # dh[s] = sum_dt w_dt^T dy[s - dt]: stack the opposite shifts of dy
         dycat = jnp.concatenate([S_p(dy), dy, S_m(dy)], axis=0)  # (3O, N)
         wT = jnp.concatenate([w_ref[0].T, w_ref[1].T, w_ref[2].T], axis=1)
         return _dot(wT, dycat)
 
+    def relu_a(r, mask_in=None):
+        """ReLU in f32, stored in the activation dtype, plus the
+        backward mask (computed by an f32 comparison — this target has
+        no bf16 vector compare)."""
+        h = A_(jnp.maximum(r, 0.0))
+        m = A_((r > 0.0).astype(f32))
+        if mask_in is not None:
+            h = h * mask_in
+            m = m * mask_in
+        return h, m
+
     # ---------------- forward: encoder ----------------
-    h1 = jnp.maximum(conv3(x, ew1_ref, eb1_ref), 0.0) * vm    # (H1, N)
-    h2 = jnp.maximum(conv3(h1, ew2_ref, eb2_ref), 0.0)        # (H2, N)
+    h1, m_h1 = relu_a(conv3(xa, ew1_ref, eb1_ref), vma)       # (H1, N)
+    h2, m_h2 = relu_a(conv3(h1, ew2_ref, eb2_ref))            # (H2, N)
     logits = _dot(ew3_ref[:], h2) + eb3_ref[:]                # (K, N)
     lmax = jnp.max(logits, axis=0, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(logits - lmax), axis=0,
@@ -149,7 +176,7 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
     q = jnp.exp(logq)                                         # (K, N)
 
     # ---------------- forward: prior ----------------
-    hp = jnp.maximum(_dot(pw1_ref[:], u) + pb1_ref[:], 0.0)   # (HP, N)
+    hp, m_hp = relu_a(_dot(pw1_ref[:], ua) + pb1_ref[:])      # (HP, N)
     ap = _dot(pw2_ref[:], hp) + pb2_ref[:]                    # (K*K, N)
     logA_rows = []
     for i in range(K):
@@ -161,9 +188,9 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
     logA = jnp.concatenate(logA_rows, axis=0)                 # (K*K, N)
 
     # ---------------- forward: decoder ----------------
-    e = _dot(embT_ref[:], q) * vm                             # (D, N)
-    hd1 = jnp.maximum(conv3(e, dw1_ref, db1_ref), 0.0) * vm   # (D, N)
-    hd2 = jnp.maximum(conv3(hd1, dw2_ref, db2_ref), 0.0)      # (D, N)
+    e = A_(_dot(embT_ref[:], q)) * vma                        # (D, N)
+    hd1, m_hd1 = relu_a(conv3(e, dw1_ref, db1_ref), vma)      # (D, N)
+    hd2, m_hd2 = relu_a(conv3(hd1, dw2_ref, db2_ref))         # (D, N)
     out = _dot(dw3_ref[:], hd2) + db3_ref[:]                  # (2C, N)
     C = x.shape[0]
     mu = out[:C]
@@ -200,11 +227,11 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
     dout = jnp.concatenate([dmu, dlogv], axis=0)              # (2C, N)
     gdw3_ref[:, :] += _dot_nt(dout, hd2)
     gdb3_ref[:, :] += jnp.sum(dout, axis=1, keepdims=True)
-    dhd2 = _dot(dw3_ref[:].T, dout)
-    db2d = dhd2 * (hd2 > 0).astype(f32)
-    dhd1 = conv3_bwd(db2d, hd1, dw2_ref, gdw2_ref, gdb2_ref)
-    db1d = dhd1 * (hd1 > 0).astype(f32)   # folds in vm: hd1>0 => vm=1
-    de = conv3_bwd(db1d, e, dw1_ref, gdw1_ref, gdb1_ref) * vm
+    dhd2 = A_(_dot(dw3_ref[:].T, dout))
+    db2d = dhd2 * m_hd2
+    dhd1 = A_(conv3_bwd(db2d, hd1, dw2_ref, gdw2_ref, gdb2_ref))
+    db1d = dhd1 * m_hd1   # folds in vm
+    de = conv3_bwd(db1d, e, dw1_ref, gdw1_ref, gdb1_ref).astype(f32) * vm
     gembT_ref[:, :] += _dot_nt(de, q)
     dq_dec = _dot(embT_ref[:].T, de)                          # (K, N)
 
@@ -245,15 +272,16 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
     # encoder stack
     gew3_ref[:, :] += _dot_nt(dlogits, h2)
     geb3_ref[:, :] += jnp.sum(dlogits, axis=1, keepdims=True)
-    dh2 = _dot(ew3_ref[:].T, dlogits)
-    da2 = dh2 * (h2 > 0).astype(f32)
-    dh1 = conv3_bwd(da2, h1, ew2_ref, gew2_ref, geb2_ref) * vm
-    da1 = dh1 * (h1 > 0).astype(f32)
+    dh2 = A_(_dot(ew3_ref[:].T, dlogits))
+    da2 = dh2 * m_h2
+    dh1 = A_(conv3_bwd(da2, h1, ew2_ref, gew2_ref, geb2_ref)) \
+        * vma
+    da1 = dh1 * m_h1
     # input grads not needed; accumulate conv1 weight grads only
-    gew1_ref[0, :, :] += _dot_nt(da1, S_m(x))
-    gew1_ref[1, :, :] += _dot_nt(da1, x)
-    gew1_ref[2, :, :] += _dot_nt(da1, S_p(x))
-    geb1_ref[:, :] += jnp.sum(da1, axis=1, keepdims=True)
+    gew1_ref[0, :, :] += _dot_nt(da1, S_m(xa))
+    gew1_ref[1, :, :] += _dot_nt(da1, xa)
+    gew1_ref[2, :, :] += _dot_nt(da1, S_p(xa))
+    geb1_ref[:, :] += jnp.sum(da1.astype(f32), axis=1, keepdims=True)
 
     # prior MLP: logA = per-row log_softmax(ap)
     dap_groups = []
@@ -265,10 +293,10 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
     dap = jnp.concatenate(dap_groups, axis=0)                 # (K*K, N)
     gpw2_ref[:, :] += _dot_nt(dap, hp)
     gpb2_ref[:, :] += jnp.sum(dap, axis=1, keepdims=True)
-    dhp = _dot(pw2_ref[:].T, dap)
-    dap1 = dhp * (hp > 0).astype(f32)
-    gpw1_ref[:, :] += _dot_nt(dap1, u)
-    gpb1_ref[:, :] += jnp.sum(dap1, axis=1, keepdims=True)
+    dhp = A_(_dot(pw2_ref[:].T, dap))
+    dap1 = dhp * m_hp
+    gpw1_ref[:, :] += _dot_nt(dap1, ua)
+    gpb1_ref[:, :] += jnp.sum(dap1.astype(f32), axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit,
