@@ -65,7 +65,7 @@ def bench_jax() -> float:
     # (grads match jax.grad; tests/test_pallas_train.py).
     epoch_step = make_epoch_step(model, tx, donate=True, fused=True)
 
-    steps_per_call = 1600
+    steps_per_call = 3200
     x, u, lengths = make_batch()
     # materialize the stacked epoch on device (broadcast, not host-stack)
     tile = jax.jit(lambda a: jnp.broadcast_to(
@@ -125,7 +125,12 @@ def bench_viterbi_p50() -> float:
 
     decode_many = jax.jit(decode_many)
     rng = np.random.default_rng(1)
-    M_LO, M_HI = 4, 36
+    # BOTH points sit in the saturated regime (device time >> the ~26 ms
+    # transport window): below ~36 fused decodes per call, device compute
+    # overlaps the RPC and the two-point marginal underestimates the true
+    # per-batch cost (measured: 19.5 us apparent vs ~55 us saturated —
+    # BENCH_NOTES.md "measurement methodology").
+    M_LO, M_HI = 68, 132
 
     def stacked(m):
         xs_ = jnp.asarray(x[None] + 0.01 * rng.normal(
