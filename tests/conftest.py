@@ -8,7 +8,26 @@ set before jax initializes its backends, hence module-level.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment may install a sitecustomize hook that registers a
+# remote TPU backend, FORCES jax.config jax_platforms to prefer it
+# (overriding the JAX_PLATFORMS env var), and routes every XLA compile
+# through its relay: measured ~0.5s per trivial compile vs ~35ms local, and
+# subprocesses spawned by tests block on the contended tunnel.  The suite
+# is CPU-only by design, so (a) strip the hook's env here so child
+# processes (notebook kernels, dryrun subprocesses) start clean, and
+# (b) after importing jax, force the platform via jax.config — the only
+# knob that beats the hook's own config update.
+for _k in [k for k in os.environ
+           if k.startswith(("PALLAS_AXON", "AXON_"))]:
+    del os.environ[_k]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon" not in p)
+
+# Force (not setdefault): the ambient environment may pin JAX_PLATFORMS to
+# real hardware (e.g. the axon tunnel), but the suite is designed for the
+# virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: op dispatch/compile is expensive in this
 # environment; caching across pytest runs keeps the suite fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
@@ -20,6 +39,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Beat the hook's own jax.config.update("jax_platforms", "axon,cpu"):
+# config wins over the env var, so set it explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
