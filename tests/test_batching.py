@@ -1,0 +1,164 @@
+"""Dynamic micro-batching (serve/batching.py): concurrent requests coalesce
+into single device calls, bit-identical to the solo path.
+
+The reference serves one request per forward (inference_api/app.py:56-75);
+batching is the TPU-native serving upgrade.
+"""
+
+import concurrent.futures
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("batching")
+    cfg = {
+        "model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                  "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+        "checkpoint_path": str(tmp / "nonexistent"),
+    }
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from vqvaehmm_tpu.serve.app import InferenceModel
+
+    return InferenceModel(str(cfg_path))
+
+
+def _batcher(model, **kw):
+    from vqvaehmm_tpu.serve.batching import BatchingModel
+
+    return BatchingModel(model, **kw)
+
+
+def test_batched_equals_solo_bitexact(model):
+    """A row served out of a coalesced batch must equal the solo result
+    bit-for-bit (zero padding + per-sequence ops; no cross-batch mixing)."""
+    b = _batcher(model, max_batch=8, max_wait_ms=20.0)
+    try:
+        rng = np.random.default_rng(0)
+        xs = [rng.normal(size=(5, T)).tolist() for T in (17, 23, 29, 31)]
+        solo = [model.infer(x) for x in xs]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            batched = list(ex.map(b.infer, xs))
+        for s, r in zip(solo, batched):
+            for key in ("mu", "logvar", "regime_probs"):
+                np.testing.assert_array_equal(np.array(s[key]),
+                                              np.array(r[key]))
+    finally:
+        b.close()
+
+
+def test_burst_coalesces_into_fewer_dispatches(model):
+    """16 concurrent same-bucket requests must need far fewer device calls
+    than requests (the entire point of micro-batching)."""
+    b = _batcher(model, max_batch=16, max_wait_ms=50.0)
+    try:
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(5, 20)).tolist()
+        with concurrent.futures.ThreadPoolExecutor(max_workers=16) as ex:
+            results = list(ex.map(lambda _: b.infer(x), range(16)))
+        assert b.requests == 16
+        assert b.dispatches <= 8, (b.dispatches, b.requests)
+        ref = model.infer(x)
+        for r in results:
+            np.testing.assert_array_equal(np.array(r["regime_probs"]),
+                                          np.array(ref["regime_probs"]))
+    finally:
+        b.close()
+
+
+def test_mixed_buckets_group_separately(model):
+    """Requests in different padding buckets never share a dispatch but all
+    still return correct per-request results."""
+    b = _batcher(model, max_batch=8, max_wait_ms=20.0)
+    try:
+        rng = np.random.default_rng(2)
+        xs = [rng.normal(size=(5, T)).tolist() for T in (10, 50, 12, 60)]
+        solo = [model.infer(x) for x in xs]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            batched = list(ex.map(b.infer, xs))
+        for s, r in zip(solo, batched):
+            np.testing.assert_array_equal(np.array(s["regime_probs"]),
+                                          np.array(r["regime_probs"]))
+    finally:
+        b.close()
+
+
+def test_bad_request_raises_without_wedging(model):
+    """Shape validation errors surface to the caller; the dispatcher keeps
+    serving afterwards."""
+    b = _batcher(model, max_batch=4, max_wait_ms=5.0)
+    try:
+        with pytest.raises(ValueError):
+            b.infer([[1.0, 2.0]])  # C=1, not 5
+        x = np.random.default_rng(3).normal(size=(5, 15)).tolist()
+        out = b.infer(x)
+        assert np.array(out["regime_probs"]).shape == (3, 15)
+    finally:
+        b.close()
+
+
+def test_non_mean_field_modes_pass_through(model):
+    """smoothed/viterbi/predict are exact-inference paths and bypass the
+    batcher unchanged."""
+    b = _batcher(model, max_batch=4, max_wait_ms=5.0)
+    try:
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(5, 18)).tolist()
+        u = rng.normal(size=(4, 18)).tolist()
+        out = b.infer(x, u=u, mode="smoothed")
+        assert out["mode"] == "smoothed"
+        ref = model.infer(x, u=u, mode="smoothed")
+        np.testing.assert_array_equal(np.array(out["regime_probs"]),
+                                      np.array(ref["regime_probs"]))
+        w = b.predict(x)
+        np.testing.assert_allclose(np.array(w["weights"]).sum(), 1.0,
+                                   atol=1e-4)
+    finally:
+        b.close()
+
+
+def test_httpd_serves_with_batching(model, tmp_path):
+    """The stdlib server runs end-to-end with batching enabled."""
+    import socket
+    import urllib.request
+
+    cfg = {
+        "model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                  "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+        "checkpoint_path": str(tmp_path / "nonexistent"),
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from vqvaehmm_tpu.serve.httpd import serve
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(str(cfg_path), host="127.0.0.1", port=port,
+                  background=True, batch=True, max_wait_ms=10.0)
+    try:
+        x = np.random.default_rng(5).normal(size=(5, 21)).tolist()
+
+        def hit(_):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer",
+                data=json.dumps({"x": x}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(hit, range(8)))
+        q0 = np.array(results[0][1]["regime_probs"])
+        for status, out in results:
+            assert status == 200
+            np.testing.assert_array_equal(np.array(out["regime_probs"]), q0)
+    finally:
+        httpd.shutdown()

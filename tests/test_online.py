@@ -1,0 +1,159 @@
+"""Streaming online filter (models/online.py): incremental filtered
+posteriors must equal the batch filtered_posterior column-for-column."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu import make_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    T = 23
+    x = rng.normal(size=(5, T)).astype(np.float32)
+    u = rng.normal(size=(4, T)).astype(np.float32)
+    return model, params, x, u
+
+
+def _batch_filtered(model, params, x, u, T=None):
+    import jax.numpy as jnp
+
+    T = x.shape[1] if T is None else T
+    lengths = jnp.asarray(np.array([T], np.int32))
+    q = model.filtered_posterior(params, jnp.asarray(x[None, :, :T]),
+                                 jnp.asarray(u[None, :, :T]), lengths)
+    return np.asarray(q)[0]  # (K, T)
+
+
+def test_stream_matches_batch_filtered(setup):
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import OnlineFilter
+
+    T = x.shape[1]
+    batch = _batch_filtered(model, params, x, u)
+
+    f = OnlineFilter(model, params)
+    got = {}
+    for t in range(T):
+        for s, q in f.update(x[:, t], u[:, t]):
+            got[s] = q
+        # settled frames lag the stream by exactly 2
+        assert max(got) == t - 2 if t >= 2 else not got
+    for s, q in f.finish():
+        got[s] = q
+    assert sorted(got) == list(range(T))
+    for s in range(T):
+        np.testing.assert_allclose(got[s], batch[:, s], atol=1e-5,
+                                   err_msg=f"column {s}")
+
+
+def test_peek_matches_truncated_batch(setup):
+    """peek after n frames == last column of the batch filtered posterior
+    over exactly those n frames (zero right-context semantics)."""
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import OnlineFilter
+
+    f = OnlineFilter(model, params)
+    for n in range(1, 9):
+        f.update(x[:, n - 1], u[:, n - 1])
+        peek = f.peek()
+        ref = _batch_filtered(model, params, x, u, T=n)[:, n - 1]
+        np.testing.assert_allclose(peek, ref, atol=1e-5, err_msg=f"n={n}")
+
+
+def test_short_streams_and_reset(setup):
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import OnlineFilter
+
+    for T in (1, 2, 3):
+        f = OnlineFilter(model, params)
+        got = {}
+        for t in range(T):
+            got.update(dict(f.update(x[:, t], u[:, t])))
+        got.update(dict(f.finish()))
+        batch = _batch_filtered(model, params, x, u, T=T)
+        assert sorted(got) == list(range(T))
+        for s in range(T):
+            np.testing.assert_allclose(got[s], batch[:, s], atol=1e-5)
+        with pytest.raises(RuntimeError):
+            f.update(x[:, 0], u[:, 0])
+        f.reset()
+        f.update(x[:, 0], u[:, 0])  # reusable after reset
+
+
+def test_stream_manager_sessions(setup):
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import StreamManager
+
+    mgr = StreamManager(model, params)
+    # two interleaved sessions stay independent
+    for t in range(6):
+        a = mgr.update("a", x[:, t], u[:, t])
+        b = mgr.update("b", x[:, 5 - t], u[:, 5 - t])
+        assert "peek" in a and "peek" in b
+    out_a = mgr.update("a", x[:, 6], u[:, 6], finish=True)
+    ts = [d["t"] for d in out_a["settled"]]
+    assert ts == [4, 5, 6]
+    assert "a" not in mgr._sessions and "b" in mgr._sessions
+
+
+def test_http_stream_endpoint(tmp_path):
+    """End-to-end /stream over a real socket, and its settled columns match
+    the batch filtered posterior."""
+    import socket
+    import urllib.request
+
+    cfg = {
+        "model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                  "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+        "checkpoint_path": str(tmp_path / "nonexistent"),
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from vqvaehmm_tpu.serve.app import InferenceModel
+    from vqvaehmm_tpu.serve.httpd import ThreadingHTTPServer, _make_handler
+
+    model = InferenceModel(str(cfg_path))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(model))
+    import threading
+
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(3)
+        T = 9
+        x = rng.normal(size=(5, T)).astype(np.float32)
+        u = rng.normal(size=(4, T)).astype(np.float32)
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/stream",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        got = {}
+        for t in range(T):
+            out = post({"session": "s1", "x_t": x[:, t].tolist(),
+                        "u_t": u[:, t].tolist(),
+                        "finish": t == T - 1})
+            for d in out["settled"]:
+                got[d["t"]] = np.array(d["regime_probs"])
+            if t < T - 1:
+                assert out["t_peek"] == t and len(out["peek"]) == 3
+        batch = _batch_filtered(model.model, model.params, x, u)
+        assert sorted(got) == list(range(T))
+        for s_ in range(T):
+            np.testing.assert_allclose(got[s_], batch[:, s_], atol=1e-5)
+    finally:
+        httpd.shutdown()

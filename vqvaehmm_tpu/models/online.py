@@ -1,0 +1,193 @@
+"""Streaming (online) exact HMM filtering — feed observations one frame at
+a time, get the filtered regime posterior incrementally.
+
+Why: the batch `VAEHMM.filtered_posterior` needs the whole sequence up
+front, so a live-trading consumer would re-run O(T) work on every new tick
+(exactly the reference's backtester pattern of re-encoding a window per
+step — reference backtesting.py:43-44).  OnlineFilter carries the HMM
+forward state across updates and does O(1) work per frame: one 5-wide
+encoder window for the new evidence column plus one log-space forward step.
+
+Semantics: identical to the batch path, with its lookahead made explicit.
+The encoder is two stacked k=3 SAME convs (receptive radius 2), so the
+emission at time t depends on x[t-2..t+2]; a frame's evidence is *settled*
+once two more frames have arrived.  `update` therefore emits the filtered
+posterior for t = n-3 on the n-th frame — each emitted column equals the
+corresponding column of `filtered_posterior` run over the full stream
+(tests/test_online.py asserts equality) — `peek` gives a provisional
+estimate for the newest frame (zero right-context, exactly what the batch
+path reports at the sequence end), and `finish` flushes the last two frames
+with end-of-sequence semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.precise import plog_softmax, plogsumexp, psoftmax
+
+
+class OnlineFilter:
+    """Incremental filtered regime posterior over a live stream.
+
+    Usage:
+        f = OnlineFilter(model, params)
+        for x_t, u_t in stream:            # x_t:(C,), u_t:(U,)
+            for t, q in f.update(x_t, u_t):   # settled columns (lag 2)
+                ...
+        for t, q in f.finish():            # the last two columns
+            ...
+    """
+
+    W = 5  # window width = encoder receptive field (2 convs, radius 2)
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        cfg = model.cfg
+        self.K, self.C, self.U = cfg.K, cfg.input_dim, (cfg.u_dim or 0)
+        self._x: List[np.ndarray] = []
+        self._u: List[np.ndarray] = []
+        self._next = 0                       # next frame index to settle
+        self._alpha = np.zeros(self.K, np.float32)
+        self._finished = False
+
+        W = self.W
+
+        def _step(params, xwin, u_t, col, valid_to, alpha_prev, is_first):
+            # evidence column: encoder over the 5-frame window, bounded at
+            # valid_to exactly like the batch path's max(lengths) bound
+            logits = model.encode(params, xwin, valid_to=valid_to)
+            logq = plog_softmax(logits, axis=1)[0, :, col]
+            # pointwise transition for this step from u_t (prior MLP);
+            # (1,1,U) is dim-sniffed as (B,T,U), the layout we mean
+            log_pi, log_A = model.prior(params, u_t[None, None, :])
+            lA = log_A[0, 0]
+            a_first = log_pi + logq
+            a_next = plogsumexp(alpha_prev[:, None] + lA, axis=0) + logq
+            alpha = jnp.where(is_first, a_first, a_next)
+            return alpha, psoftmax(alpha)
+
+        self._step = jax.jit(_step)
+        del W
+
+    # ------------------------------------------------------------------
+
+    def update(self, x_t, u_t) -> List[Tuple[int, np.ndarray]]:
+        """Feed one frame; return the newly settled (t, q:(K,)) columns
+        (empty for the first two frames, one per call afterwards)."""
+        if self._finished:
+            raise RuntimeError("finish() already called; reset() to reuse")
+        x_t = np.asarray(x_t, np.float32).reshape(self.C)
+        u_t = np.asarray(u_t, np.float32).reshape(self.U)
+        self._x.append(x_t)
+        self._u.append(u_t)
+        out = []
+        n = len(self._x)
+        while self._next <= n - 3:
+            out.append(self._settle(self._next, limit=n))
+        return out
+
+    def finish(self) -> List[Tuple[int, np.ndarray]]:
+        """End of stream: settle the remaining (up to two) frames with
+        end-of-sequence padding semantics."""
+        if self._finished:
+            return []
+        self._finished = True
+        n = len(self._x)
+        out = []
+        while self._next < n:
+            out.append(self._settle(self._next, limit=n))
+        return out
+
+    def peek(self) -> Optional[np.ndarray]:
+        """Provisional filtered posterior (K,) for the NEWEST frame, as if
+        the stream ended now (zero right-context — this is exactly what the
+        batch filtered_posterior reports at the sequence end).  Does not
+        advance the filter state."""
+        n = len(self._x)
+        if n == 0:
+            return None
+        alpha, nxt = self._alpha, self._next
+        q = psoftmax(jnp.asarray(alpha))  # only used when already settled
+        for s in range(nxt, n):
+            alpha, q = self._run_step(s, limit=n, alpha=alpha)
+        return np.asarray(q)
+
+    def reset(self):
+        self._x, self._u = [], []
+        self._next = 0
+        self._alpha = np.zeros(self.K, np.float32)
+        self._finished = False
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._x)
+
+    # ------------------------------------------------------------------
+
+    def _run_step(self, s: int, limit: int, alpha):
+        """One evidence+forward step for frame s (pure; no state writes).
+
+        Window covers globals [w0, w0+5); frames >= limit are zero-filled
+        and conv activations masked at valid_to = limit - w0, replicating
+        the batch path's zero padding + max(lengths) bound.  Frames beyond
+        the buffer but < limit never influence column s (receptive radius
+        2; s <= n-3 there), so zero-filling them is exact.
+        """
+        w0 = max(0, s - 2)
+        xwin = np.zeros((1, self.C, self.W), np.float32)
+        hi = min(limit, len(self._x), w0 + self.W)
+        for g in range(w0, hi):
+            xwin[0, :, g - w0] = self._x[g]
+        col = s - w0
+        valid_to = min(limit - w0, self.W)
+        return self._step(self.params, jnp.asarray(xwin),
+                          jnp.asarray(self._u[s]),
+                          jnp.asarray(col, jnp.int32),
+                          jnp.asarray(valid_to, jnp.int32),
+                          jnp.asarray(alpha),
+                          jnp.asarray(s == 0))
+
+    def _settle(self, s: int, limit: int) -> Tuple[int, np.ndarray]:
+        alpha, q = self._run_step(s, limit, self._alpha)
+        self._alpha = np.asarray(alpha)
+        self._next = s + 1
+        return s, np.asarray(q)
+
+
+class StreamManager:
+    """Named OnlineFilter sessions for the serving layer (POST /stream)."""
+
+    def __init__(self, model, params, max_sessions: int = 256):
+        self.model, self.params = model, params
+        self.max_sessions = max_sessions
+        self._sessions: Dict[str, OnlineFilter] = {}
+        import threading
+
+        self._lock = threading.Lock()
+
+    def update(self, session: str, x_t, u_t, finish: bool = False) -> dict:
+        with self._lock:
+            f = self._sessions.get(session)
+            if f is None:
+                if len(self._sessions) >= self.max_sessions:
+                    raise ValueError("too many open stream sessions")
+                f = OnlineFilter(self.model, self.params)
+                self._sessions[session] = f
+            settled = f.update(x_t, u_t) if x_t is not None else []
+            out = {"settled": [{"t": t, "regime_probs": q.tolist()}
+                               for t, q in settled]}
+            if finish:
+                out["settled"] += [{"t": t, "regime_probs": q.tolist()}
+                                   for t, q in f.finish()]
+                del self._sessions[session]
+            else:
+                peek = f.peek()
+                out["peek"] = peek.tolist() if peek is not None else None
+                out["t_peek"] = f.n_frames - 1
+            return out

@@ -103,7 +103,10 @@ class VAEHMM:
 
     @staticmethod
     def _time_bound_mask(T: int, valid_to, dtype):
-        """(1,1,T) mask zeroing t >= valid_to.
+        """Mask zeroing t >= valid_to: (1,1,T) for scalar valid_to, or
+        (B,1,T) when valid_to is a per-sequence (B,) vector (used by the
+        serving micro-batcher so requests of different lengths batched
+        together each keep their own bound — bit-identical to solo).
 
         Why this exists: the reference pads each batch to the *batch max*
         length, so the longest row's conv stack sees the array boundary at
@@ -114,7 +117,10 @@ class VAEHMM:
         intermediate activations at t >= valid_to makes fixed-length
         padding bit-equivalent to the reference's batch-max padding.
         """
-        return (jnp.arange(T) < valid_to).astype(dtype)[None, None, :]
+        vt = jnp.asarray(valid_to)
+        if vt.ndim == 0:
+            return (jnp.arange(T) < vt).astype(dtype)[None, None, :]
+        return (jnp.arange(T)[None, :] < vt[:, None]).astype(dtype)[:, None, :]
 
     def encode(self, params: Params, x: jnp.ndarray,
                valid_to=None, fused: bool = False) -> jnp.ndarray:

@@ -63,6 +63,11 @@ class InferenceModel:
                                            valid_to=valid_to)
             return mu, logvar, q
 
+        # valid_to may be a scalar (solo path) or a per-sequence (B,)
+        # vector (micro-batched path, serve/batching.py): requests of
+        # different lengths coalesced into one batch each keep their own
+        # bound, so a batched row is bit-identical to its solo result
+        # (_time_bound_mask vector form).
         self._infer = jax.jit(_infer)
         # Exact-inference modes jit once per padding bucket, like _infer —
         # repeated same-bucket requests hit a cached executable instead of
@@ -148,6 +153,34 @@ class InferenceModel:
         weights = head(head_params, jnp.asarray(np.asarray(q)[:, :, :T]))
         return {"weights": np.asarray(weights)[0].tolist(),
                 "regime_probs": np.asarray(q)[0, :, T - 1].tolist()}
+
+    def stream(self, session: str, x_t=None, u_t=None,
+               finish: bool = False):
+        """Streaming filtered-posterior session (models/online.py): POST a
+        frame at a time, get settled columns (2-frame encoder lag) plus a
+        provisional peek for the newest frame.  finish=True flushes the
+        tail and closes the session."""
+        if not isinstance(session, str) or not session:
+            raise ValueError("field 'session' (non-empty string) required")
+        if x_t is None and not finish:
+            raise ValueError("field 'x_t' required (or finish=true)")
+        if x_t is not None:
+            x_arr = np.asarray(x_t, np.float32)
+            if x_arr.shape != (self.cfg.model.input_dim,):
+                raise ValueError(
+                    f"x_t must be [C={self.cfg.model.input_dim}] floats, "
+                    f"got shape {x_arr.shape}")
+            u_arr = np.asarray(u_t, np.float32) if u_t is not None else None
+            if u_arr is None or u_arr.shape != (self.cfg.model.u_dim or 0,):
+                raise ValueError(
+                    f"u_t must be [U={self.cfg.model.u_dim}] floats")
+        else:
+            x_arr = u_arr = None
+        if not hasattr(self, "_streams"):
+            from ..models.online import StreamManager
+
+            self._streams = StreamManager(self.model, self.params)
+        return self._streams.update(session, x_arr, u_arr, finish=finish)
 
     def _get_head(self):
         if not hasattr(self, "_head"):

@@ -14,6 +14,8 @@ plus this framework's extensions):
                     viterbi with exogenous u)
   POST /predict  -> portfolio weights (the working version of the
                     reference's broken Flask /predict, api.py:18)
+  POST /stream   -> streaming filtered-posterior sessions (one frame per
+                    request; models/online.py)
 
 Run: uvicorn 'vqvaehmm_tpu.serve.asgi:create_asgi_app()'
 """
@@ -65,12 +67,19 @@ def create_asgi_app(config_path: str = "inference_config.json"):
         if path == "/health" and method == "GET":
             await _respond(send, 200, {"status": "ok"})
             return
-        if path in ("/infer", "/predict") and method == "POST":
+        if path in ("/infer", "/predict", "/stream") and method == "POST":
             try:
                 req = json.loads((await _read_body(receive)) or b"{}")
+                model = get_model(config_path)
+                if path == "/stream":
+                    out = model.stream(req.get("session"),
+                                       x_t=req.get("x_t"),
+                                       u_t=req.get("u_t"),
+                                       finish=bool(req.get("finish", False)))
+                    await _respond(send, 200, out)
+                    return
                 if "x" not in req:
                     raise ValueError("missing field 'x'")
-                model = get_model(config_path)
                 if path == "/infer":
                     out = model.infer(req["x"], u=req.get("u"),
                                       mode=req.get("mode", "mean_field"))

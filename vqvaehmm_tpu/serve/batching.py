@@ -1,0 +1,177 @@
+"""Dynamic micro-batching for the serving surfaces.
+
+The reference serves strictly one request per device call
+(inference_api/app.py:56-75: each POST runs its own forward).  On TPU that
+wastes the chip: a B=1 forward and a B=16 forward cost nearly the same
+device time, so under concurrent load the right shape is ONE batched call
+per dispatch window.  BatchingModel wraps InferenceModel with a
+background dispatcher that:
+
+  * queues concurrent /infer requests (each handler thread blocks on its
+    own event),
+  * groups them by padding bucket (same executable), pads the batch
+    dimension up to a small power-of-two ladder so every dispatch hits a
+    cached executable (no per-batch-size recompiles),
+  * runs one jitted batched forward, slices each row back to its request
+    length, and wakes the callers.
+
+Bit-exactness: every op in the forward is per-sequence (conv/MLP/softmax
+over channels and time — no cross-batch mixing), and padding rows/columns
+are zeros exactly as the solo path pads, so a batched row equals the solo
+result bit-for-bit (asserted in tests/test_batching.py).
+
+Non-mean-field modes (smoothed/filtered/viterbi) and /predict pass through
+unbatched — they are exact-inference paths used at far lower request
+rates.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .app import InferenceModel
+
+# batch-dimension ladder: every dispatch pads B up to one of these, so the
+# executable cache holds at most len(ladder) x len(length buckets) entries
+_BATCH_LADDER = (1, 2, 4, 8, 16, 32)
+
+
+class _Pending:
+    __slots__ = ("padded", "T", "event", "result", "error")
+
+    def __init__(self, padded: np.ndarray, T: int):
+        self.padded = padded          # (1, C, pad_to)
+        self.T = T
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+
+
+class BatchingModel:
+    """Drop-in wrapper around InferenceModel whose .infer() micro-batches
+    concurrent mean-field requests into single device calls.
+
+    max_batch:    largest batch per dispatch (clamped to the ladder).
+    max_wait_ms:  how long the dispatcher waits to fill a batch after the
+                  first request arrives.  0 disables waiting (batches only
+                  what is already queued — still coalesces bursts).
+    """
+
+    def __init__(self, model: InferenceModel, max_batch: int = 16,
+                 max_wait_ms: float = 2.0):
+        self.model = model
+        self.max_batch = max(1, min(max_batch, _BATCH_LADDER[-1]))
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: List[_Pending] = []
+        self._lock = threading.Lock()
+        self._wakeup = threading.Event()
+        self._stop = False
+        # telemetry for tests/ops: device calls vs requests served
+        self.dispatches = 0
+        self.requests = 0
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # -- the contract surface (same as InferenceModel) --------------------
+
+    def infer(self, x: List[List[float]], u=None, mode: str = "mean_field"):
+        if mode != "mean_field":
+            return self.model.infer(x, u=u, mode=mode)  # pass-through
+        padded, T = self.model._padded(x)  # validates shape; raises ValueError
+        item = _Pending(padded, T)
+        with self._lock:
+            self._queue.append(item)
+            self.requests += 1
+        self._wakeup.set()
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def predict(self, x: List[List[float]]):
+        return self.model.predict(x)
+
+    def stream(self, *args, **kwargs):
+        return self.model.stream(*args, **kwargs)
+
+    def close(self):
+        self._stop = True
+        self._wakeup.set()
+        self._thread.join(timeout=5)
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _take_group(self) -> List[_Pending]:
+        """Pop up to max_batch queued items sharing the first item's
+        padding bucket (same executable shape)."""
+        with self._lock:
+            if not self._queue:
+                return []
+            bucket = self._queue[0].padded.shape[2]
+            group, rest = [], []
+            for it in self._queue:
+                if len(group) < self.max_batch \
+                        and it.padded.shape[2] == bucket:
+                    group.append(it)
+                else:
+                    rest.append(it)
+            self._queue = rest
+            if rest:
+                self._wakeup.set()  # more work waiting
+            return group
+
+    def _dispatch_loop(self):
+        while not self._stop:
+            self._wakeup.wait(timeout=0.1)
+            self._wakeup.clear()
+            if self._stop:
+                break
+            # linger briefly so a burst lands in one batch
+            if self.max_wait_s > 0:
+                deadline = time.monotonic() + self.max_wait_s
+                while time.monotonic() < deadline:
+                    with self._lock:
+                        n = len(self._queue)
+                    if n >= self.max_batch or n == 0:
+                        break
+                    time.sleep(min(2e-4, self.max_wait_s / 4))
+            group = self._take_group()
+            if group:
+                self._run(group)
+
+    def _run(self, group: List[_Pending]):
+        jnp = self.model._jnp
+        try:
+            B = len(group)
+            pad_b = next(b for b in _BATCH_LADDER if b >= B)
+            C, pad_to = group[0].padded.shape[1:]
+            batch = np.zeros((pad_b, C, pad_to), np.float32)
+            lengths = np.zeros(pad_b, np.int32)  # padded rows: bound at 0
+            for i, it in enumerate(group):
+                batch[i] = it.padded[0]
+                lengths[i] = it.T
+            # per-sequence valid_to vector: each coalesced request keeps
+            # its own time bound -> bit-identical to its solo result
+            mu, logvar, q = self.model._infer(jnp.asarray(batch),
+                                              jnp.asarray(lengths))
+            mu = np.asarray(mu)
+            logvar = np.asarray(logvar)
+            q = np.asarray(q)
+            self.dispatches += 1
+            for i, it in enumerate(group):
+                T = it.T
+                it.result = {
+                    "mu": mu[i, :, :T].tolist(),
+                    "logvar": logvar[i, :, :T].tolist(),
+                    "regime_probs": q[i, :, :T].tolist(),
+                }
+                it.event.set()
+        except Exception as e:  # wake every caller with the failure
+            for it in group:
+                it.error = e
+                it.event.set()

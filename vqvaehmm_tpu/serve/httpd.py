@@ -13,10 +13,10 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from .app import InferenceModel, get_model
+from .app import get_model
 
 
-def _make_handler(model: InferenceModel):
+def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -33,12 +33,18 @@ def _make_handler(model: InferenceModel):
                 self._send(404, {"detail": "not found"})
 
         def do_POST(self):
-            if self.path not in ("/infer", "/predict"):
+            if self.path not in ("/infer", "/predict", "/stream"):
                 self._send(404, {"detail": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/stream":
+                    self._send(200, model.stream(
+                        req.get("session"), x_t=req.get("x_t"),
+                        u_t=req.get("u_t"),
+                        finish=bool(req.get("finish", False))))
+                    return
                 if "x" not in req:
                     self._send(400, {"detail": "missing field 'x'"})
                     return
@@ -60,9 +66,17 @@ def _make_handler(model: InferenceModel):
 
 
 def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
-          port: int = 8000, background: bool = False
+          port: int = 8000, background: bool = False, batch: bool = False,
+          max_batch: int = 16, max_wait_ms: float = 2.0
           ) -> Optional[ThreadingHTTPServer]:
+    """batch=True coalesces concurrent /infer requests into single device
+    calls (serve/batching.py) — the TPU-native serving shape under load."""
     model = get_model(config_path)
+    if batch:
+        from .batching import BatchingModel
+
+        model = BatchingModel(model, max_batch=max_batch,
+                              max_wait_ms=max_wait_ms)
     httpd = ThreadingHTTPServer((host, port), _make_handler(model))
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -79,6 +93,12 @@ if __name__ == "__main__":
     p.add_argument("--config", default="inference_config.json")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch", action="store_true",
+                   help="micro-batch concurrent /infer requests")
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-wait-ms", type=float, default=2.0)
     a = p.parse_args()
-    print(f"serving on {a.host}:{a.port}")
-    serve(a.config, a.host, a.port)
+    print(f"serving on {a.host}:{a.port}"
+          + (f" (micro-batching <= {a.max_batch})" if a.batch else ""))
+    serve(a.config, a.host, a.port, batch=a.batch, max_batch=a.max_batch,
+          max_wait_ms=a.max_wait_ms)
