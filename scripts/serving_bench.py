@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def make_model(tmp: str):
     cfg = {
@@ -58,6 +60,65 @@ def hammer(infer, clients: int, seconds: float, x):
             1e3 * float(np.percentile(lats, 99)))
 
 
+def device_goodput(model, T: int):
+    """The hardware truth the HTTP loop (through a dev tunnel) obscures:
+    saturated marginal device cost of the serving forward per batch size.
+    A B=16 forward costs nearly the same device time as B=1, so batching
+    multiplies goodput (seqs/sec/chip) by ~B — this is what micro-batching
+    buys on co-located serving where the RPC overhead is microseconds.
+
+    Methodology: M forwards fused per device call via lax.scan, two call
+    sizes, difference the medians (the saturated two-point method of
+    BENCH_NOTES.md 'Measurement-methodology correction')."""
+    import jax
+    import jax.numpy as jnp
+
+    C = model.cfg.model.input_dim
+    params, m = model.params, model.model
+
+    def many(x_stack, valid_to):
+        def body(c, xb):
+            logits = m.encode(params, xb, valid_to=valid_to)
+            from vqvaehmm_tpu.ops.precise import psoftmax
+
+            q = psoftmax(logits, axis=1)
+            mu, logvar = m.decode(params, q, valid_to=valid_to)
+            return c + jnp.sum(q[:, 0, -1]), None
+        tot, _ = jax.lax.scan(body, jnp.zeros(()), x_stack)
+        return tot
+
+    many = jax.jit(many, static_argnums=())
+    rng = np.random.default_rng(0)
+    rows = []
+    for B in (1, 8, 16, 32):
+        m_lo, m_hi = 120, 240
+        if B >= 16:
+            m_lo, m_hi = 60, 120
+
+        def stack(M):
+            return jnp.asarray(rng.normal(size=(M, B, C, T))
+                               .astype(np.float32))
+
+        lo, hi = stack(m_lo), stack(m_hi)
+        vt = jnp.asarray(T, jnp.int32)
+        float(many(lo, vt))
+        float(many(hi, vt))
+
+        def med(a, n=7):
+            ts = []
+            for _ in range(n):
+                t0 = time.monotonic()
+                float(many(a, vt))
+                ts.append(time.monotonic() - t0)
+            return float(np.median(ts))
+
+        us = (med(hi) - med(lo)) / (m_hi - m_lo) * 1e6
+        rows.append((B, us, B / us * 1e6))
+        print(f"device forward B={B:2d}: {us:7.1f} us/call   "
+              f"{B / us * 1e6:9.0f} seqs/sec/chip", file=sys.stderr)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=32)
@@ -80,16 +141,22 @@ def main():
 
         for max_batch in (8, 16, 32):
             b = BatchingModel(model, max_batch=max_batch, max_wait_ms=2.0)
-            b.infer(x)  # compile the batched bucket
+            b.warmup([args.T])  # compile the whole dispatch ladder up front
             r = hammer(b.infer, args.clients, args.seconds, x)
             eff = b.requests / max(b.dispatches, 1)
             print(f"batched<= {max_batch:2d}: {r[0]:8.1f} req/s   "
                   f"p50 {r[1]:6.1f} ms   p99 {r[2]:6.1f} ms   "
                   f"(avg {eff:.1f} req/dispatch)", file=sys.stderr)
             b.close()
-        print(json.dumps({"per_request_rps": round(solo[0], 1),
-                          "batched_rps": round(r[0], 1),
-                          "speedup": round(r[0] / solo[0], 2)}))
+        rows = device_goodput(model, args.T)
+        print(json.dumps({
+            "per_request_rps": round(solo[0], 1),
+            "batched_rps": round(r[0], 1),
+            "http_speedup": round(r[0] / solo[0], 2),
+            "device_goodput_seqs_per_sec": {
+                f"B={B}": round(g) for B, _, g in rows},
+            "device_batching_gain": round(rows[-1][2] / rows[0][2], 1),
+        }))
 
 
 if __name__ == "__main__":

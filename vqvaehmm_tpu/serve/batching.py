@@ -62,7 +62,7 @@ class BatchingModel:
     """
 
     def __init__(self, model: InferenceModel, max_batch: int = 16,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, pipeline_depth: int = 2):
         self.model = model
         self.max_batch = max(1, min(max_batch, _BATCH_LADDER[-1]))
         self.max_wait_s = max_wait_ms / 1e3
@@ -73,9 +73,35 @@ class BatchingModel:
         # telemetry for tests/ops: device calls vs requests served
         self.dispatches = 0
         self.requests = 0
+        # pipeline_depth > 1 keeps several batched device calls in flight
+        # (dispatch i+1's host work and transfer overlap dispatch i's
+        # compute) — the jitted forward is thread-safe, and results are
+        # routed per-request by the events, so ordering does not matter.
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, pipeline_depth))
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
+
+    def warmup(self, lengths=(200,)):
+        """Compile the executable ladder up front (every batch-bucket x
+        length-bucket pair that dispatches could hit) so no request pays a
+        compile.  Production servers should call this at startup."""
+        from .app import DEFAULT_BUCKETS
+
+        jnp = self.model._jnp
+        C = self.model.cfg.model.input_dim
+        buckets = sorted({next((b for b in DEFAULT_BUCKETS if b >= T), T)
+                          for T in lengths})
+        for pad_to in buckets:
+            for pad_b in _BATCH_LADDER:
+                if pad_b > self.max_batch:
+                    break
+                x = jnp.zeros((pad_b, C, pad_to), jnp.float32)
+                ln = jnp.ones((pad_b,), jnp.int32)
+                self.model._infer(x, ln)
 
     # -- the contract surface (same as InferenceModel) --------------------
 
@@ -103,6 +129,7 @@ class BatchingModel:
         self._stop = True
         self._wakeup.set()
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
 
     # -- dispatcher --------------------------------------------------------
 
@@ -142,7 +169,7 @@ class BatchingModel:
                     time.sleep(min(2e-4, self.max_wait_s / 4))
             group = self._take_group()
             if group:
-                self._run(group)
+                self._pool.submit(self._run, group)
 
     def _run(self, group: List[_Pending]):
         jnp = self.model._jnp
@@ -162,7 +189,8 @@ class BatchingModel:
             mu = np.asarray(mu)
             logvar = np.asarray(logvar)
             q = np.asarray(q)
-            self.dispatches += 1
+            with self._lock:  # _run may execute on several pool threads
+                self.dispatches += 1
             for i, it in enumerate(group):
                 T = it.T
                 it.result = {
