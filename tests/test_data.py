@@ -124,3 +124,22 @@ def test_torch_state_dict_numeric_parity():
                     .astype(np.float32))
     np.testing.assert_allclose(np.asarray(model.encode(params, x)),
                                np.asarray(model.encode(back, x)), atol=1e-7)
+
+
+def test_save_torch_file_roundtrip(tmp_path):
+    """Models trained here export to a reference-loadable .pt: save via
+    torch.save, reload through load_torch_file, identical pytrees."""
+    import jax
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.utils.torch_interop import (
+        load_torch_file, save_torch_file, vae_hmm_params_from_state_dict)
+
+    model = make_model(5, 8, 3, 4, u_dim=2, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(7))
+    path = str(tmp_path / "exported.pt")
+    save_torch_file(params, path)
+    back = vae_hmm_params_from_state_dict(load_torch_file(path))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -87,3 +87,16 @@ def vae_hmm_params_to_state_dict(params: Dict) -> Dict[str, np.ndarray]:
             node = node[p]
         out[torch_key] = np.asarray(node)
     return out
+
+
+def save_torch_file(params: Dict, path: str) -> None:
+    """Write a VAEHMM param pytree as a reference-loadable torch .pt
+    state_dict (lazy torch import) — the reverse of load_torch_file, so
+    models trained here drop into the reference's servers/scripts
+    (torch.load + VAE_HMM.load_state_dict, reference
+    inference_api/app.py:44-47) unchanged."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v, dtype=np.float32))
+          for k, v in vae_hmm_params_to_state_dict(params).items()}
+    torch.save(sd, path)
