@@ -76,43 +76,41 @@ def device_goodput(model, T: int):
     C = model.cfg.model.input_dim
     params, m = model.params, model.model
 
-    def many(x_stack, valid_to):
-        def body(c, xb):
-            logits = m.encode(params, xb, valid_to=valid_to)
-            from vqvaehmm_tpu.ops.precise import psoftmax
-
-            q = psoftmax(logits, axis=1)
-            mu, logvar = m.decode(params, q, valid_to=valid_to)
-            return c + jnp.sum(q[:, 0, -1]), None
-        tot, _ = jax.lax.scan(body, jnp.zeros(()), x_stack)
-        return tot
-
-    many = jax.jit(many, static_argnums=())
     rng = np.random.default_rng(0)
     rows = []
-    for B in (1, 8, 16, 32):
-        m_lo, m_hi = 120, 240
-        if B >= 16:
-            m_lo, m_hi = 60, 120
-
-        def stack(M):
-            return jnp.asarray(rng.normal(size=(M, B, C, T))
-                               .astype(np.float32))
-
-        lo, hi = stack(m_lo), stack(m_hi)
+    for B in (1, 8, 16, 32, 64):
+        x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
         vt = jnp.asarray(T, jnp.int32)
-        float(many(lo, vt))
-        float(many(hi, vt))
 
-        def med(a, n=7):
+        def make(R):
+            @jax.jit
+            def f():
+                def body(c, i):
+                    mu, lv, q = m.infer_forward(
+                        params, x + (i * 1e-7).astype(jnp.float32),
+                        valid_to=vt)
+                    return c + jnp.sum(q[:, 0, -1]) + jnp.sum(mu[:, 0, -1]), \
+                        None
+                tot, _ = jax.lax.scan(body, jnp.zeros(()),
+                                      jnp.arange(R, dtype=jnp.int32))
+                return tot
+            return f
+
+        # repeat-in-call, index-perturbed; both points >> transport window
+        R = max(64, int(60e3 / (10.0 * max(1, B // 8))))
+        f1, f2 = make(R), make(2 * R)
+        float(f1())
+        float(f2())
+
+        def med(f, n=7):
             ts = []
             for _ in range(n):
                 t0 = time.monotonic()
-                float(many(a, vt))
+                float(f())
                 ts.append(time.monotonic() - t0)
             return float(np.median(ts))
 
-        us = (med(hi) - med(lo)) / (m_hi - m_lo) * 1e6
+        us = (med(f2) - med(f1)) / R * 1e6
         rows.append((B, us, B / us * 1e6))
         print(f"device forward B={B:2d}: {us:7.1f} us/call   "
               f"{B / us * 1e6:9.0f} seqs/sec/chip", file=sys.stderr)

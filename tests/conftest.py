@@ -17,6 +17,7 @@ import os
 # processes (notebook kernels, dryrun subprocesses) start clean, and
 # (b) after importing jax, force the platform via jax.config — the only
 # knob that beats the hook's own config update.
+_HOOKED = any(k.startswith(("PALLAS_AXON", "AXON_")) for k in os.environ)
 for _k in [k for k in os.environ
            if k.startswith(("PALLAS_AXON", "AXON_"))]:
     del os.environ[_k]
@@ -29,8 +30,13 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 # virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: op dispatch/compile is expensive in this
-# environment; caching across pytest runs keeps the suite fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+# environment; caching across pytest runs keeps the suite fast.  Hooked
+# processes compile their CPU AOT artifacts with different codegen flag
+# defaults (+prefer-no-gather/scatter), so they get a SEPARATE cache dir —
+# mixing them makes clean processes spew foreign-machine warnings on load.
+_CACHE_DIR = "/tmp/jax_cache_tests_hooked" if _HOOKED \
+    else "/tmp/jax_cache_tests"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -42,7 +48,7 @@ import jax  # noqa: E402
 # Beat the hook's own jax.config.update("jax_platforms", "axon,cpu"):
 # config wins over the env var, so set it explicitly.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -1,0 +1,100 @@
+"""Fused serving forward (ops/pallas_infer.py) vs the XLA path.
+
+Interpret mode on CPU; on TPU the same kernel compiles via Mosaic (the
+train/decode kernels sharing this layout are exercised there by
+scripts/tpu_kernel_check.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from vqvaehmm_tpu import make_model
+from vqvaehmm_tpu.ops.pallas_infer import (batch_multiple, fused_forward,
+                                           supported)
+from vqvaehmm_tpu.ops.precise import psoftmax
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = make_model(5, 16, 3, 8, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _xla_forward(model, params, x, valid_to=None):
+    logits = model.encode(params, x, valid_to=valid_to)
+    q = psoftmax(logits, axis=1)
+    mu, logvar = model.decode(params, q, valid_to=valid_to)
+    return mu, logvar, q
+
+
+@pytest.mark.parametrize("B,T", [(4, 24), (8, 16), (2, 40)])
+def test_fused_forward_matches_xla(setup, B, T):
+    model, params = setup
+    rng = np.random.default_rng(B * 100 + T)
+    x = rng.normal(size=(B, 5, T)).astype(np.float32)
+    got = fused_forward(model, params, x, interpret=True)
+    want = _xla_forward(model, params, x)
+    for g, w, name in zip(got, want, ("mu", "logvar", "q")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, err_msg=name)
+
+
+def test_fused_forward_vector_valid_to(setup):
+    """Per-sequence bounds: each row bounded at its own length matches the
+    XLA path given the same vector, and each row equals a solo run of that
+    row (the micro-batcher's bit-exactness requirement)."""
+    model, params = setup
+    rng = np.random.default_rng(7)
+    B, T = 4, 24
+    x = rng.normal(size=(B, 5, T)).astype(np.float32)
+    lengths = np.array([24, 17, 9, 20], np.int32)
+    # serving zero-pads each request to its bucket: data beyond a row's
+    # length is zero (valid_to masks activations AFTER conv1, so the
+    # boundary column reads one input column past the length — identical
+    # only when both paths pad with zeros, as the servers do)
+    for r in range(B):
+        x[r, :, lengths[r]:] = 0.0
+    import jax.numpy as jnp
+
+    got = fused_forward(model, params, x, valid_to=jnp.asarray(lengths),
+                        interpret=True)
+    want = _xla_forward(model, params, x, valid_to=jnp.asarray(lengths))
+    for g, w, name in zip(got, want, ("mu", "logvar", "q")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, err_msg=name)
+    # row r out of the batch == the same row run solo (zero-padded tail)
+    for r in range(B):
+        solo_x = np.zeros((1, 5, T), np.float32)
+        solo_x[0, :, :lengths[r]] = x[r, :, :lengths[r]]
+        solo = fused_forward(model, params, solo_x,
+                             valid_to=jnp.asarray(lengths[r:r + 1]),
+                             interpret=True)
+        L = lengths[r]
+        for g, s, name in zip(got, solo, ("mu", "logvar", "q")):
+            np.testing.assert_allclose(np.asarray(g)[r, :, :L],
+                                       np.asarray(s)[0, :, :L],
+                                       atol=2e-6, err_msg=f"row {r} {name}")
+
+
+def test_infer_forward_dispatch(setup):
+    """VAEHMM.infer_forward: use_pallas paths agree; off-TPU default is
+    the XLA path."""
+    model, params = setup
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    a = model.infer_forward(params, x, use_pallas=False)
+    b = _xla_forward(model, params, x)
+    for g, w in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_supported_and_batch_multiple(setup):
+    model, _ = setup
+    assert supported(model.cfg, 16, 200)
+    assert not supported(model.cfg, 16, 201)   # T % 8
+    assert batch_multiple(32) == 4
+    assert batch_multiple(64) == 2
+    assert batch_multiple(128) == 1
+    assert batch_multiple(200) == 16

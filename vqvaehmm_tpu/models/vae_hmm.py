@@ -261,6 +261,30 @@ class VAEHMM:
         """Mean-field regime posterior q:(B,K,T) = softmax(encode(x))."""
         return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
+    def infer_forward(self, params: Params, x: jnp.ndarray,
+                      valid_to=None, use_pallas: Optional[bool] = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """The serving forward (mu, logvar, q) — encode -> precise softmax
+        -> decode — with valid_to as a scalar or per-sequence (B,) vector.
+
+        use_pallas=None auto-dispatches: on TPU, qualifying shapes run the
+        fully fused VMEM-resident kernel (ops/pallas_infer.py — the XLA
+        forward is memory-bound and costs more than the fused TRAIN step
+        at B=64; BENCH_NOTES.md 'Serving forward'); other shapes and
+        other backends use the XLA path."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas_infer import fused_forward, supported
+
+            B, _, T = x.shape
+            if supported(self.cfg, B, T):
+                return fused_forward(self, params, x, valid_to=valid_to)
+        logits = self.encode(params, x, valid_to=valid_to)
+        q = psoftmax(logits, axis=1)
+        mu, logvar = self.decode(params, q, valid_to=valid_to)
+        return mu, logvar, q
+
     def _evidence_inputs(self, params: Params, x: jnp.ndarray,
                          u: jnp.ndarray, lengths, use_pallas):
         """(log_pi, log_A, log_obs) for the exact-inference paths; on TPU

@@ -55,19 +55,18 @@ class InferenceModel:
         self._jnp = jnp
 
         def _infer(x, valid_to):
-            logits = self.model.encode(self.params, x, valid_to=valid_to)
-            from ..ops.precise import psoftmax
-
-            q = psoftmax(logits, axis=1)
-            mu, logvar = self.model.decode(self.params, q,
-                                           valid_to=valid_to)
-            return mu, logvar, q
+            # encode -> precise softmax -> decode; on TPU this
+            # auto-dispatches to the fused forward kernel
+            # (ops/pallas_infer.py) when shapes qualify.
+            return self.model.infer_forward(self.params, x,
+                                            valid_to=valid_to)
 
         # valid_to may be a scalar (solo path) or a per-sequence (B,)
         # vector (micro-batched path, serve/batching.py): requests of
         # different lengths coalesced into one batch each keep their own
         # bound, so a batched row is bit-identical to its solo result
-        # (_time_bound_mask vector form).
+        # (_time_bound_mask vector form; the fused kernel takes the same
+        # (1, N) mask row).
         self._infer = jax.jit(_infer)
         # Exact-inference modes jit once per padding bucket, like _infer —
         # repeated same-bucket requests hit a cached executable instead of
@@ -90,7 +89,18 @@ class InferenceModel:
                 f"shape {arr.shape}")
         C, T = arr.shape
         pad_to = next((b for b in DEFAULT_BUCKETS if b >= T), T)
-        padded = np.zeros((1, C, pad_to), np.float32)
+        # Pad the batch dimension up to the fused kernel's lane multiple
+        # (ops/pallas_infer.batch_multiple) so solo and micro-batched
+        # requests share the same block geometry — on TPU both then take
+        # the fused kernel and stay bit-identical to each other.
+        bm = 1
+        if pad_to % 8 == 0:
+            from ..ops.pallas_infer import batch_multiple, supported
+
+            m = batch_multiple(pad_to)
+            if m <= 8 and supported(self.cfg.model, m, pad_to):
+                bm = m
+        padded = np.zeros((bm, C, pad_to), np.float32)
         padded[0, :, :T] = arr
         return padded, T
 
@@ -123,7 +133,9 @@ class InferenceModel:
             up = np.zeros((1, u_arr.shape[0], padded.shape[2]), np.float32)
             up[0, :, :T] = u_arr
             lengths = jnp.asarray(np.array([T], np.int32))
-            xp, upj = jnp.asarray(padded), jnp.asarray(up)
+            # exact-inference modes run B=1 (row 0 carries the request;
+            # the extra kernel-alignment rows are a mean-field concern)
+            xp, upj = jnp.asarray(padded[:1]), jnp.asarray(up)
             if mode == "smoothed":
                 g = self._smoothed(xp, upj, lengths)
             elif mode == "filtered":

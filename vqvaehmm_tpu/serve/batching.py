@@ -96,9 +96,14 @@ class BatchingModel:
         buckets = sorted({next((b for b in DEFAULT_BUCKETS if b >= T), T)
                           for T in lengths})
         for pad_to in buckets:
+            probe, _ = self.model._padded(
+                [[0.0] * pad_to for _ in range(C)])
+            bm = probe.shape[0]  # solo batch multiple for this bucket
             for pad_b in _BATCH_LADDER:
-                if pad_b > self.max_batch:
+                if pad_b > max(self.max_batch, bm):
                     break
+                if pad_b < bm:
+                    continue
                 x = jnp.zeros((pad_b, C, pad_to), jnp.float32)
                 ln = jnp.ones((pad_b,), jnp.int32)
                 self.model._infer(x, ln)
@@ -175,7 +180,11 @@ class BatchingModel:
         jnp = self.model._jnp
         try:
             B = len(group)
-            pad_b = next(b for b in _BATCH_LADDER if b >= B)
+            # at least the solo path's batch multiple (kernel-eligible
+            # block geometry — see app._padded) so batched dispatches use
+            # the same fused executable family as solo requests
+            bm = group[0].padded.shape[0]
+            pad_b = max(next(b for b in _BATCH_LADDER if b >= B), bm)
             C, pad_to = group[0].padded.shape[1:]
             batch = np.zeros((pad_b, C, pad_to), np.float32)
             lengths = np.zeros(pad_b, np.int32)  # padded rows: bound at 0
