@@ -156,6 +156,55 @@ def bench_viterbi_p50() -> float:
     return p50
 
 
+def bench_serving_forward() -> float:
+    """Serving forward goodput (seqs/sec/chip) at B=64, T=200 through the
+    real serving path (VAEHMM.infer_forward -> fused kernel on TPU,
+    ops/pallas_infer.py) at the default matmul_precision="highest"
+    (matches the XLA forward to ~1e-7).  Saturated repeat-in-call
+    marginal (index-perturbed; both points >> the transport window)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import make_model
+
+    model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
+                       trans_hidden=TRANS_HIDDEN)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    vt = jnp.asarray(T, jnp.int32)
+
+    def make(R):
+        @jax.jit
+        def f():
+            def body(c, i):
+                mu, _, q = model.infer_forward(
+                    params, x + (i * 1e-7).astype(jnp.float32), valid_to=vt)
+                return c + jnp.sum(q[:, 0, -1]) + jnp.sum(mu[:, 0, -1]), None
+            tot, _ = jax.lax.scan(body, jnp.zeros(()),
+                                  jnp.arange(R, dtype=jnp.int32))
+            return tot
+        return f
+
+    R = 500
+    f1, f2 = make(R), make(2 * R)
+    float(f1())
+    float(f2())
+
+    def med(f, n=7):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    us = (med(f2) - med(f1)) / R * 1e6
+    sps = B / us * 1e6
+    log(f"serving forward: {us:.1f} us/fwd at B={B} -> {sps:.0f} seqs/s")
+    return sps
+
+
 def bench_torch_cpu() -> float:
     """Functional-torch reference train step (forward + backward + Adam)."""
     import torch
@@ -249,6 +298,11 @@ def main():
         log(f"viterbi bench failed: {e}")
         vit_p50 = None
     try:
+        serve_sps = bench_serving_forward()
+    except Exception as e:  # secondary metric; never sink the headline
+        log(f"serving forward bench failed: {e}")
+        serve_sps = None
+    try:
         torch_sps = bench_torch_cpu()
     except Exception as e:  # torch baseline is an anchor, not a dependency
         log(f"torch baseline failed: {e}")
@@ -265,6 +319,10 @@ def main():
         "viterbi_decode_p50_us_per_batch":
             round(vit_p50, 1) if vit_p50 is not None else None,
         "viterbi_shape": f"B={B},T={T},K={K}",
+        # serving forward through the fused kernel (ops/pallas_infer.py),
+        # default full-f32 precision — the production /infer hot path
+        "serving_forward_seqs_per_sec_per_chip":
+            round(serve_sps) if serve_sps is not None else None,
     }))
 
 

@@ -27,6 +27,17 @@ g = viterbi_pallas(log_pi, log_A, log_obs, interpret=False)
 print("viterbi TPU paths equal:", bool((np.asarray(r.states)==np.asarray(g.states)).all()),
       "score maxdiff:", float(jnp.abs(r.score-g.score).max()))
 
+# 2b. fused serving forward on TPU (ops/pallas_infer.py)
+from vqvaehmm_tpu.ops.pallas_infer import fused_forward
+xs = jnp.asarray(rng.normal(size=(16, 5, 200)).astype(np.float32))
+mu_r, lv_r, q_r = model.infer_forward(params, xs, valid_to=jnp.asarray(200),
+                                      use_pallas=False)
+mu_g, lv_g, q_g = fused_forward(model, params, xs,
+                                valid_to=jnp.asarray(200), interpret=False)
+print("fused_forward TPU maxdiff:",
+      float(jnp.abs(mu_r - mu_g).max()),
+      float(jnp.abs(q_r - q_g).max()))
+
 # 3. pallas VQ on TPU
 z = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
 cb = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
