@@ -162,3 +162,36 @@ def test_httpd_serves_with_batching(model, tmp_path):
             np.testing.assert_array_equal(np.array(out["regime_probs"]), q0)
     finally:
         httpd.shutdown()
+
+
+def test_close_rejects_and_drains(model):
+    """After close(), queued work is failed (not hung) and new requests
+    are rejected."""
+    from vqvaehmm_tpu.serve.batching import BatchingModel
+
+    b = BatchingModel(model, max_batch=4, max_wait_ms=5.0)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.infer(np.zeros((5, 10)).tolist())
+
+
+def test_warmup_covers_non_power_of_two_max_batch(model):
+    """max_batch=10 can dispatch pad_b=16 (next ladder rung); warmup must
+    compile that shape too."""
+    from vqvaehmm_tpu.serve.batching import BatchingModel
+
+    b = BatchingModel(model, max_batch=10, max_wait_ms=1.0)
+    seen = []
+    orig = model._infer
+
+    def spy(x, lengths):
+        seen.append(tuple(x.shape))
+        return orig(x, lengths)
+
+    model._infer = spy
+    try:
+        b.warmup([20])  # bucket 32
+        assert any(s[0] == 16 for s in seen), seen
+    finally:
+        model._infer = orig
+        b.close()

@@ -157,3 +157,35 @@ def test_http_stream_endpoint(tmp_path):
             np.testing.assert_allclose(got[s_], batch[:, s_], atol=1e-5)
     finally:
         httpd.shutdown()
+
+
+def test_frame_buffer_stays_bounded(setup):
+    """Streams prune settled frames: memory is O(window), not O(T)."""
+    model, params, _, _ = setup
+    from vqvaehmm_tpu.models.online import OnlineFilter
+
+    rng = np.random.default_rng(11)
+    f = OnlineFilter(model, params)
+    for t in range(60):
+        f.update(rng.normal(size=5), rng.normal(size=4))
+    assert len(f._x) <= OnlineFilter.W + 2, len(f._x)
+    assert f.n_frames == 60
+
+
+def test_sessions_share_one_step_fn_and_expire(setup):
+    model, params, _, _ = setup
+    import time
+
+    from vqvaehmm_tpu.models.online import StreamManager
+
+    rng = np.random.default_rng(13)
+    mgr = StreamManager(model, params, ttl_seconds=300.0)
+    mgr.update("a", rng.normal(size=5), rng.normal(size=4))
+    mgr.update("b", rng.normal(size=5), rng.normal(size=4))
+    assert mgr._sessions["a"]._step is mgr._sessions["b"]._step
+
+    short = StreamManager(model, params, ttl_seconds=0.05)
+    short.update("a", rng.normal(size=5), rng.normal(size=4))
+    time.sleep(0.1)
+    short.update("c", rng.normal(size=5), rng.normal(size=4))
+    assert "a" not in short._sessions and "c" in short._sessions

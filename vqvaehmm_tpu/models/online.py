@@ -31,6 +31,29 @@ import numpy as np
 from ..ops.precise import plog_softmax, plogsumexp, psoftmax
 
 
+def make_step_fn(model):
+    """One jitted evidence+forward step for OnlineFilter.  Module-level so
+    a server compiles it ONCE per model and shares it across sessions
+    (a per-instance closure would re-trace — and re-compile — for every
+    new stream session, stalling other sessions behind the compile)."""
+
+    def _step(params, xwin, u_t, col, valid_to, alpha_prev, is_first):
+        # evidence column: encoder over the 5-frame window, bounded at
+        # valid_to exactly like the batch path's max(lengths) bound
+        logits = model.encode(params, xwin, valid_to=valid_to)
+        logq = plog_softmax(logits, axis=1)[0, :, col]
+        # pointwise transition for this step from u_t (prior MLP);
+        # (1,1,U) is dim-sniffed as (B,T,U), the layout we mean
+        log_pi, log_A = model.prior(params, u_t[None, None, :])
+        lA = log_A[0, 0]
+        a_first = log_pi + logq
+        a_next = plogsumexp(alpha_prev[:, None] + lA, axis=0) + logq
+        alpha = jnp.where(is_first, a_first, a_next)
+        return alpha, psoftmax(alpha)
+
+    return jax.jit(_step)
+
+
 class OnlineFilter:
     """Incremental filtered regime posterior over a live stream.
 
@@ -45,35 +68,21 @@ class OnlineFilter:
 
     W = 5  # window width = encoder receptive field (2 convs, radius 2)
 
-    def __init__(self, model, params):
+    def __init__(self, model, params, step_fn=None):
         self.model = model
         self.params = params
         cfg = model.cfg
         self.K, self.C, self.U = cfg.K, cfg.input_dim, (cfg.u_dim or 0)
+        # frames are pruned once no future settle/peek can read them:
+        # _x[0] holds global frame index _base (see _prune)
         self._x: List[np.ndarray] = []
         self._u: List[np.ndarray] = []
+        self._base = 0
+        self._n = 0                          # total frames received
         self._next = 0                       # next frame index to settle
         self._alpha = np.zeros(self.K, np.float32)
         self._finished = False
-
-        W = self.W
-
-        def _step(params, xwin, u_t, col, valid_to, alpha_prev, is_first):
-            # evidence column: encoder over the 5-frame window, bounded at
-            # valid_to exactly like the batch path's max(lengths) bound
-            logits = model.encode(params, xwin, valid_to=valid_to)
-            logq = plog_softmax(logits, axis=1)[0, :, col]
-            # pointwise transition for this step from u_t (prior MLP);
-            # (1,1,U) is dim-sniffed as (B,T,U), the layout we mean
-            log_pi, log_A = model.prior(params, u_t[None, None, :])
-            lA = log_A[0, 0]
-            a_first = log_pi + logq
-            a_next = plogsumexp(alpha_prev[:, None] + lA, axis=0) + logq
-            alpha = jnp.where(is_first, a_first, a_next)
-            return alpha, psoftmax(alpha)
-
-        self._step = jax.jit(_step)
-        del W
+        self._step = step_fn if step_fn is not None else make_step_fn(model)
 
     # ------------------------------------------------------------------
 
@@ -86,11 +95,22 @@ class OnlineFilter:
         u_t = np.asarray(u_t, np.float32).reshape(self.U)
         self._x.append(x_t)
         self._u.append(u_t)
+        self._n += 1
         out = []
-        n = len(self._x)
-        while self._next <= n - 3:
-            out.append(self._settle(self._next, limit=n))
+        while self._next <= self._n - 3:
+            out.append(self._settle(self._next, limit=self._n))
+        self._prune()
         return out
+
+    def _prune(self):
+        """Drop frames no future settle or peek can read (window left edge
+        is _next - 2), so memory stays O(1) over unbounded streams."""
+        keep_from = max(0, self._next - 2)
+        if keep_from > self._base:
+            drop = keep_from - self._base
+            del self._x[:drop]
+            del self._u[:drop]
+            self._base = keep_from
 
     def finish(self) -> List[Tuple[int, np.ndarray]]:
         """End of stream: settle the remaining (up to two) frames with
@@ -98,10 +118,9 @@ class OnlineFilter:
         if self._finished:
             return []
         self._finished = True
-        n = len(self._x)
         out = []
-        while self._next < n:
-            out.append(self._settle(self._next, limit=n))
+        while self._next < self._n:
+            out.append(self._settle(self._next, limit=self._n))
         return out
 
     def peek(self) -> Optional[np.ndarray]:
@@ -109,24 +128,25 @@ class OnlineFilter:
         the stream ended now (zero right-context — this is exactly what the
         batch filtered_posterior reports at the sequence end).  Does not
         advance the filter state."""
-        n = len(self._x)
-        if n == 0:
+        if self._n == 0:
             return None
-        alpha, nxt = self._alpha, self._next
+        alpha = self._alpha
         q = psoftmax(jnp.asarray(alpha))  # only used when already settled
-        for s in range(nxt, n):
-            alpha, q = self._run_step(s, limit=n, alpha=alpha)
+        for s in range(self._next, self._n):
+            alpha, q = self._run_step(s, limit=self._n, alpha=alpha)
         return np.asarray(q)
 
     def reset(self):
         self._x, self._u = [], []
+        self._base = 0
+        self._n = 0
         self._next = 0
         self._alpha = np.zeros(self.K, np.float32)
         self._finished = False
 
     @property
     def n_frames(self) -> int:
-        return len(self._x)
+        return self._n
 
     # ------------------------------------------------------------------
 
@@ -141,13 +161,13 @@ class OnlineFilter:
         """
         w0 = max(0, s - 2)
         xwin = np.zeros((1, self.C, self.W), np.float32)
-        hi = min(limit, len(self._x), w0 + self.W)
-        for g in range(w0, hi):
-            xwin[0, :, g - w0] = self._x[g]
+        hi = min(limit, self._n, w0 + self.W)
+        for g in range(max(w0, self._base), hi):
+            xwin[0, :, g - w0] = self._x[g - self._base]
         col = s - w0
         valid_to = min(limit - w0, self.W)
         return self._step(self.params, jnp.asarray(xwin),
-                          jnp.asarray(self._u[s]),
+                          jnp.asarray(self._u[s - self._base]),
                           jnp.asarray(col, jnp.int32),
                           jnp.asarray(valid_to, jnp.int32),
                           jnp.asarray(alpha),
@@ -161,24 +181,46 @@ class OnlineFilter:
 
 
 class StreamManager:
-    """Named OnlineFilter sessions for the serving layer (POST /stream)."""
+    """Named OnlineFilter sessions for the serving layer (POST /stream).
 
-    def __init__(self, model, params, max_sessions: int = 256):
+    Sessions share ONE jitted step function (compiled on the first
+    session) and expire after ttl_seconds without traffic, so abandoned
+    streams (clients that never send finish=true) cannot pin slots or
+    memory forever."""
+
+    def __init__(self, model, params, max_sessions: int = 256,
+                 ttl_seconds: float = 3600.0):
         self.model, self.params = model, params
         self.max_sessions = max_sessions
+        self.ttl_seconds = ttl_seconds
         self._sessions: Dict[str, OnlineFilter] = {}
+        self._touched: Dict[str, float] = {}
+        self._step_fn = make_step_fn(model)
         import threading
 
         self._lock = threading.Lock()
 
+    def _expire(self, now: float) -> None:
+        stale = [k for k, t in self._touched.items()
+                 if now - t > self.ttl_seconds]
+        for k in stale:
+            del self._sessions[k]
+            del self._touched[k]
+
     def update(self, session: str, x_t, u_t, finish: bool = False) -> dict:
+        import time as _time
+
         with self._lock:
+            now = _time.monotonic()
+            self._expire(now)
             f = self._sessions.get(session)
             if f is None:
                 if len(self._sessions) >= self.max_sessions:
                     raise ValueError("too many open stream sessions")
-                f = OnlineFilter(self.model, self.params)
+                f = OnlineFilter(self.model, self.params,
+                                 step_fn=self._step_fn)
                 self._sessions[session] = f
+            self._touched[session] = now
             settled = f.update(x_t, u_t) if x_t is not None else []
             out = {"settled": [{"t": t, "regime_probs": q.tolist()}
                                for t, q in settled]}
@@ -186,6 +228,7 @@ class StreamManager:
                 out["settled"] += [{"t": t, "regime_probs": q.tolist()}
                                    for t, q in f.finish()]
                 del self._sessions[session]
+                del self._touched[session]
             else:
                 peek = f.peek()
                 out["peek"] = peek.tolist() if peek is not None else None

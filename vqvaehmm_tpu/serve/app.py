@@ -71,6 +71,12 @@ class InferenceModel:
         # Exact-inference modes jit once per padding bucket, like _infer —
         # repeated same-bucket requests hit a cached executable instead of
         # retracing per request.
+        # created eagerly: a lazy hasattr-guarded init would race under
+        # the threaded servers (two first /stream requests could each
+        # build a manager, silently dropping one's sessions)
+        from ..models.online import StreamManager
+
+        self._streams = StreamManager(self.model, self.params)
         self._smoothed = jax.jit(
             lambda x, u, lens: self.model.smoothed_posterior(
                 self.params, x, u, lens))
@@ -95,10 +101,15 @@ class InferenceModel:
         # the fused kernel and stay bit-identical to each other.
         bm = 1
         if pad_to % 8 == 0:
+            import jax
+
             from ..ops.pallas_infer import batch_multiple, supported
 
             m = batch_multiple(pad_to)
-            if m <= 8 and supported(self.cfg.model, m, pad_to):
+            # TPU only: off-TPU the fused kernel never runs, so the extra
+            # rows would just multiply the XLA forward's work
+            if m <= 8 and jax.default_backend() == "tpu" \
+                    and supported(self.cfg.model, m, pad_to):
                 bm = m
         padded = np.zeros((bm, C, pad_to), np.float32)
         padded[0, :, :T] = arr
@@ -188,10 +199,6 @@ class InferenceModel:
                     f"u_t must be [U={self.cfg.model.u_dim}] floats")
         else:
             x_arr = u_arr = None
-        if not hasattr(self, "_streams"):
-            from ..models.online import StreamManager
-
-            self._streams = StreamManager(self.model, self.params)
         return self._streams.update(session, x_arr, u_arr, finish=finish)
 
     def _get_head(self):
@@ -250,6 +257,22 @@ def create_app(config_path: str = "inference_config.json"):
     def predict(req: InferRequest):
         try:
             return get_model(config_path).predict(req.x)
+        except ValueError as e:
+            raise HTTPException(status_code=400, detail=str(e))
+        except Exception as e:
+            raise HTTPException(status_code=500, detail=str(e))
+
+    class StreamRequest(BaseModel):
+        session: str
+        x_t: Optional[List[float]] = None
+        u_t: Optional[List[float]] = None
+        finish: bool = False
+
+    @app.post("/stream")
+    def stream(req: StreamRequest):
+        try:
+            return get_model(config_path).stream(
+                req.session, x_t=req.x_t, u_t=req.u_t, finish=req.finish)
         except ValueError as e:
             raise HTTPException(status_code=400, detail=str(e))
         except Exception as e:

@@ -99,11 +99,12 @@ class BatchingModel:
             probe, _ = self.model._padded(
                 [[0.0] * pad_to for _ in range(C)])
             bm = probe.shape[0]  # solo batch multiple for this bucket
-            for pad_b in _BATCH_LADDER:
-                if pad_b > max(self.max_batch, bm):
-                    break
-                if pad_b < bm:
-                    continue
+            # exactly the pad_b values _run can dispatch: the next ladder
+            # rung >= each possible group size (which may exceed
+            # max_batch when it is not itself a rung), floored at bm
+            pad_bs = {max(next(b for b in _BATCH_LADDER if b >= B), bm)
+                      for B in range(1, self.max_batch + 1)}
+            for pad_b in sorted(pad_bs):
                 x = jnp.zeros((pad_b, C, pad_to), jnp.float32)
                 ln = jnp.ones((pad_b,), jnp.int32)
                 self.model._infer(x, ln)
@@ -116,6 +117,8 @@ class BatchingModel:
         padded, T = self.model._padded(x)  # validates shape; raises ValueError
         item = _Pending(padded, T)
         with self._lock:
+            if self._stop:
+                raise RuntimeError("batching dispatcher shut down")
             self._queue.append(item)
             self.requests += 1
         self._wakeup.set()
@@ -131,10 +134,17 @@ class BatchingModel:
         return self.model.stream(*args, **kwargs)
 
     def close(self):
-        self._stop = True
+        with self._lock:
+            self._stop = True
         self._wakeup.set()
         self._thread.join(timeout=5)
         self._pool.shutdown(wait=True)
+        # fail anything still queued so no caller hangs on event.wait()
+        with self._lock:
+            leftovers, self._queue = self._queue, []
+        for it in leftovers:
+            it.error = RuntimeError("batching dispatcher shut down")
+            it.event.set()
 
     # -- dispatcher --------------------------------------------------------
 

@@ -67,16 +67,21 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
 
 def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
           port: int = 8000, background: bool = False, batch: bool = False,
-          max_batch: int = 16, max_wait_ms: float = 2.0
-          ) -> Optional[ThreadingHTTPServer]:
+          max_batch: int = 16, max_wait_ms: float = 2.0,
+          warmup_lengths=(200,)) -> Optional[ThreadingHTTPServer]:
     """batch=True coalesces concurrent /infer requests into single device
-    calls (serve/batching.py) — the TPU-native serving shape under load."""
+    calls (serve/batching.py) — the TPU-native serving shape under load.
+    warmup_lengths: sequence lengths whose batch-ladder executables are
+    compiled BEFORE serving starts (no live request pays a compile); pass
+    your deployment's expected lengths, or () to skip."""
     model = get_model(config_path)
     if batch:
         from .batching import BatchingModel
 
         model = BatchingModel(model, max_batch=max_batch,
                               max_wait_ms=max_wait_ms)
+        if warmup_lengths:
+            model.warmup(warmup_lengths)
     httpd = ThreadingHTTPServer((host, port), _make_handler(model))
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
