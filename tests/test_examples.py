@@ -29,6 +29,13 @@ def test_calibration_example_runs(capsys):
     assert "converged" in out
 
 
+def test_streaming_example_runs(capsys):
+    mod = _load("streaming_example.py")
+    mod.main()
+    out = capsys.readouterr().out
+    assert "matches batch filtered_posterior: True" in out
+
+
 @pytest.mark.parametrize("name", ["train_example.py", "backtest_example.py",
                                   "vqvae_example.py"])
 def test_examples_import(name):
