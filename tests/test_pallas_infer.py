@@ -98,3 +98,23 @@ def test_supported_and_batch_multiple(setup):
     assert batch_multiple(64) == 2
     assert batch_multiple(128) == 1
     assert batch_multiple(200) == 16
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(C=7, H=48, K=2, H2=16, B=8, T=32),
+    dict(C=3, H=16, K=5, H2=8, B=24, T=40),
+    dict(C=5, H=24, K=3, H2=12, B=8, T=8),   # minimal T
+    dict(C=1, H=8, K=2, H2=4, B=4, T=16),    # single channel
+])
+def test_fused_forward_fuzz_configs(cfg):
+    """Kernel stays exact across channel counts, K, B, T."""
+    model = make_model(cfg["C"], cfg["H"], cfg["K"], cfg["H2"],
+                       u_dim=2, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(cfg["K"]))
+    rng = np.random.default_rng(cfg["B"])
+    x = rng.normal(size=(cfg["B"], cfg["C"], cfg["T"])).astype(np.float32)
+    got = fused_forward(model, params, x, interpret=True)
+    want = _xla_forward(model, params, x)
+    for g, w, name in zip(got, want, ("mu", "logvar", "q")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=3e-5, err_msg=name)
