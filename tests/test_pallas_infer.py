@@ -118,3 +118,32 @@ def test_fused_forward_fuzz_configs(cfg):
     for g, w, name in zip(got, want, ("mu", "logvar", "q")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=3e-5, err_msg=name)
+
+
+def test_infer_forward_mesh_matches_single_device(setup):
+    """Bulk scoring across the 8-device virtual mesh: batch-sharded
+    forward equals the unsharded one (no cross-sequence math)."""
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu.parallel import create_mesh
+
+    model, params = setup
+    mesh = create_mesh(8)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(16, 5, 24)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(8, 25, size=16).astype(np.int32))
+    ref = model.infer_forward(params, x, valid_to=lengths)
+    got = model.infer_forward(params, x, valid_to=lengths, mesh=mesh)
+    for g, w, name in zip(got, ref, ("mu", "logvar", "q")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-6, err_msg=name)
+    # scalar bound and no bound also shard cleanly
+    got2 = model.infer_forward(params, x, valid_to=jnp.asarray(24),
+                               mesh=mesh)
+    ref2 = model.infer_forward(params, x, valid_to=jnp.asarray(24))
+    np.testing.assert_allclose(np.asarray(got2[2]), np.asarray(ref2[2]),
+                               atol=1e-6)
+    got3 = model.infer_forward(params, x, mesh=mesh)
+    ref3 = model.infer_forward(params, x)
+    np.testing.assert_allclose(np.asarray(got3[2]), np.asarray(ref3[2]),
+                               atol=1e-6)

@@ -262,7 +262,8 @@ class VAEHMM:
         return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
     def infer_forward(self, params: Params, x: jnp.ndarray,
-                      valid_to=None, use_pallas: Optional[bool] = None
+                      valid_to=None, use_pallas: Optional[bool] = None,
+                      mesh=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """The serving forward (mu, logvar, q) — encode -> precise softmax
         -> decode — with valid_to as a scalar or per-sequence (B,) vector.
@@ -271,7 +272,35 @@ class VAEHMM:
         fully fused VMEM-resident kernel (ops/pallas_infer.py — the XLA
         forward is memory-bound and costs more than the fused TRAIN step
         at B=64; BENCH_NOTES.md 'Serving forward'); other shapes and
-        other backends use the XLA path."""
+        other backends use the XLA path.
+
+        mesh: bulk scoring across chips — the batch axis is sharded over
+        the mesh's 'data' axis via shard_map (XLA cannot partition the
+        Pallas kernel itself), each shard taking its own fused/XLA
+        dispatch.  The forward has no cross-sequence math, so no
+        collectives are needed; B must divide the data axis."""
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            vt = None if valid_to is None else jnp.asarray(valid_to)
+            if vt is None:
+                def per_shard(p, xx):
+                    return self.infer_forward(p, xx, use_pallas=use_pallas)
+
+                in_specs = (P(), P("data"))
+                args = (params, x)
+            else:
+                def per_shard(p, xx, v):
+                    return self.infer_forward(p, xx, valid_to=v,
+                                              use_pallas=use_pallas)
+
+                in_specs = (P(), P("data"),
+                            P("data") if vt.ndim else P())
+                args = (params, x, vt)
+            return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                             out_specs=(P("data"),) * 3,
+                             check_rep=False)(*args)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
