@@ -136,7 +136,9 @@ class VAEHMM:
         if fused:
             from ..ops.pallas_encoder import fused_encode
 
-            return fused_encode(params, x, valid_to=valid_to)
+            return fused_encode(
+                params, x, valid_to=valid_to,
+                highest=self.cfg.matmul_precision == "highest")
         p = self._cast_params(params["encoder"])
         x = self._cast_in(x)
         h = jax.nn.relu(ops.conv1d_same(p["conv1"], x, precision=self.precision, impl=self.conv_impl))
@@ -257,8 +259,19 @@ class VAEHMM:
     forward = __call__
 
     def posterior(self, params: Params, x: jnp.ndarray,
-                  fused: bool = False) -> jnp.ndarray:
-        """Mean-field regime posterior q:(B,K,T) = softmax(encode(x))."""
+                  fused: Optional[bool] = None) -> jnp.ndarray:
+        """Mean-field regime posterior q:(B,K,T) = softmax(encode(x)).
+
+        fused=None auto-dispatches the VMEM-resident encoder kernel
+        (ops/pallas_encoder.py) on TPU when shapes qualify — the
+        backtester's posterior extraction hot path; explicit True/False
+        forces a path."""
+        if fused is None:
+            from ..ops.pallas_encoder import encode_supported
+
+            B, _, T = x.shape
+            fused = (jax.default_backend() == "tpu"
+                     and encode_supported(self.cfg, B, T))
         return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
     def infer_forward(self, params: Params, x: jnp.ndarray,

@@ -49,7 +49,8 @@ _NEG = -1e30
 
 def _evidence_rows(xt_ref, ut_ref, vm_ref, col,
                    ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
-                   pw1_ref, pb1_ref, pw2_ref, pb2_ref, *, T: int, K: int):
+                   pw1_ref, pb1_ref, pw2_ref, pb2_ref, *, T: int, K: int,
+                   highest: bool = True):
     """Shared evidence computation: encoder conv stack -> precise
     log-softmax rows (K x (1, N)), prior MLP -> precise per-row
     log-softmax transition rows {(p, k): (1, N)}.  No length masking —
@@ -61,8 +62,14 @@ def _evidence_rows(xt_ref, ut_ref, vm_ref, col,
     left_ok = (col > 0).astype(f32)
     right_ok = (col < T - 1).astype(f32)
 
+    # follows the model's matmul_precision: Mosaic's default dot uses
+    # single bf16 MXU passes (~1e-3 deviation class vs the XLA path at
+    # "highest"); full-f32 passes restore ~1e-7 agreement and 100% decode
+    # path agreement on-chip
+    prec = lax.Precision.HIGHEST if highest else lax.Precision.DEFAULT
+
     def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32)
+        return jnp.dot(a, b, preferred_element_type=f32, precision=prec)
 
     def conv3(h, w_ref, b_ref):
         hm = jnp.roll(h, 1, axis=1) * left_ok
@@ -96,7 +103,7 @@ def _evidence_rows(xt_ref, ut_ref, vm_ref, col,
 def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
             ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
             logpi_ref, pw1_ref, pb1_ref, pw2_ref, pb2_ref,
-            states_ref, *, T: int, K: int):
+            states_ref, *, T: int, K: int, highest: bool):
     f32 = jnp.float32
     mf = mf_ref[:]                      # (1, N) length mask
     N = xt_ref.shape[1]
@@ -104,7 +111,7 @@ def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
     obs_raw, A_raw = _evidence_rows(
         xt_ref, ut_ref, vm_ref, col,
         ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
-        pw1_ref, pb1_ref, pw2_ref, pb2_ref, T=T, K=K)
+        pw1_ref, pb1_ref, pw2_ref, pb2_ref, T=T, K=K, highest=highest)
     # inert padding (ops/hmm._mask_inputs): obs -> 0, A -> identity
     obs = [jnp.where(mf > 0, obs_raw[k], 0.0) for k in range(K)]
     A = {(p, k): jnp.where(mf > 0, A_raw[(p, k)],
@@ -175,8 +182,8 @@ def _kernel(xt_ref, ut_ref, mf_ref, vm_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "T", "block_b",
-                                             "interpret"))
-def _call(xt, ut, mf, vm, weights, *, K, T, block_b, interpret):
+                                             "interpret", "highest"))
+def _call(xt, ut, mf, vm, weights, *, K, T, block_b, interpret, highest):
     C, N = xt.shape
     U = ut.shape[0]
     NP = block_b * T
@@ -189,7 +196,7 @@ def _call(xt, ut, mf, vm, weights, *, K, T, block_b, interpret):
         return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
 
     return pl.pallas_call(
-        functools.partial(_kernel, T=T, K=K),
+        functools.partial(_kernel, T=T, K=K, highest=highest),
         grid=(N // NP,),
         in_specs=[tok(C), tok(U), tok(1), tok(1)]
         + [full(w) for w in weights],
@@ -206,21 +213,22 @@ def supported(B: int, T: int) -> bool:
 def _evidence_kernel(xt_ref, ut_ref, vm_ref,
                      ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
                      pw1_ref, pb1_ref, pw2_ref, pb2_ref,
-                     obs_ref, logA_ref, *, T: int, K: int):
+                     obs_ref, logA_ref, *, T: int, K: int, highest: bool):
     N = xt_ref.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
     obs, A = _evidence_rows(
         xt_ref, ut_ref, vm_ref, col,
         ew1_ref, eb1_ref, ew2_ref, eb2_ref, ew3_ref, eb3_ref,
-        pw1_ref, pb1_ref, pw2_ref, pb2_ref, T=T, K=K)
+        pw1_ref, pb1_ref, pw2_ref, pb2_ref, T=T, K=K, highest=highest)
     obs_ref[:] = jnp.concatenate(obs, axis=0)
     logA_ref[:] = jnp.concatenate(
         [A[(p, k)] for p in range(K) for k in range(K)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "T", "block_b",
-                                             "interpret"))
-def _evidence_call(xt, ut, vm, weights, *, K, T, block_b, interpret):
+                                             "interpret", "highest"))
+def _evidence_call(xt, ut, vm, weights, *, K, T, block_b, interpret,
+                   highest):
     C, N = xt.shape
     U = ut.shape[0]
     NP = block_b * T
@@ -233,7 +241,7 @@ def _evidence_call(xt, ut, vm, weights, *, K, T, block_b, interpret):
         return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
 
     return pl.pallas_call(
-        functools.partial(_evidence_kernel, T=T, K=K),
+        functools.partial(_evidence_kernel, T=T, K=K, highest=highest),
         grid=(N // NP,),
         in_specs=[tok(C), tok(U), tok(1)] + [full(w) for w in weights],
         out_specs=(pl.BlockSpec((K, NP), lambda i: (0, i)),
@@ -277,9 +285,10 @@ def fused_evidence(model, params: Params, x: jnp.ndarray, u: jnp.ndarray,
 
     weights = pack_encoder_prior_weights(params)
     logpi_col = weights[6]
-    obs, logA = _evidence_call(xt, ut, vm, weights[:6] + weights[7:],
-                               K=K, T=T, block_b=block_b,
-                               interpret=interpret)
+    obs, logA = _evidence_call(
+        xt, ut, vm, weights[:6] + weights[7:], K=K, T=T, block_b=block_b,
+        interpret=interpret,
+        highest=model.cfg.matmul_precision == "highest")
     log_obs = jnp.transpose(obs.reshape(K, B, T), (1, 2, 0))
     log_A = jnp.transpose(logA.reshape(K, K, B, T), (2, 3, 0, 1))
     return logpi_col[:, 0], log_A, log_obs
@@ -320,5 +329,6 @@ def fused_viterbi_states(model, params: Params, x: jnp.ndarray,
 
     weights = pack_encoder_prior_weights(params)
     states = _call(xt, ut, mf, vm, weights, K=K, T=T, block_b=block_b,
-                   interpret=interpret)
+                   interpret=interpret,
+                   highest=model.cfg.matmul_precision == "highest")
     return states.reshape(B, T)

@@ -30,38 +30,72 @@ Params = Dict
 
 
 def _encoder_kernel(xt_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                    tmask_ref, out_ref, *, T: int):
+                    tmask_ref, out_ref, *, T: int, highest: bool):
     """xt: (C_in, N=B*T); weights in (dt, C_out, C_in) stacks; tmask (1, N)
-    zeroing invalid time positions between the two k=3 convs."""
+    zeroing invalid time positions between the two k=3 convs.
+
+    highest follows the model's matmul_precision (full-f32 MXU passes vs
+    single bf16 passes), so the kernel matches the XLA path run at the
+    same precision instead of silently shifting numerics by ~1e-3 when
+    auto-dispatched."""
     xt = xt_ref[:]
     N = xt.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (1, N), 1) % T
     left_ok = (col > 0).astype(xt.dtype)        # can read t-1
     right_ok = (col < T - 1).astype(xt.dtype)   # can read t+1
+    prec = lax.Precision.HIGHEST if highest else lax.Precision.DEFAULT
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
 
     def conv3(h, w_ref, b_ref):
         # dt = -1: y[t] += W[-1] x[t-1]  => shift right
         h_m1 = jnp.roll(h, 1, axis=1) * left_ok
         h_p1 = jnp.roll(h, -1, axis=1) * right_ok
-        acc = jnp.dot(w_ref[0], h_m1, preferred_element_type=jnp.float32)
-        acc += jnp.dot(w_ref[1], h, preferred_element_type=jnp.float32)
-        acc += jnp.dot(w_ref[2], h_p1, preferred_element_type=jnp.float32)
+        acc = dot(w_ref[0], h_m1)
+        acc += dot(w_ref[1], h)
+        acc += dot(w_ref[2], h_p1)
         return acc + b_ref[:]
 
     h1 = jnp.maximum(conv3(xt, w1_ref, b1_ref), 0.0)
     h1 = h1 * tmask_ref[:]  # batch-max padding semantics (valid_to)
     h2 = jnp.maximum(conv3(h1, w2_ref, b2_ref), 0.0)
-    out_ref[:] = jnp.dot(w3_ref[0], h2,
-                         preferred_element_type=jnp.float32) + b3_ref[:]
+    out_ref[:] = dot(w3_ref[0], h2) + b3_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_supported(cfg, B: int, T: int) -> bool:
+    """True when the gridded fused encoder can run at these shapes (lane
+    tiling satisfiable and block working set within the VMEM budget)."""
+    from .pallas_train import _VMEM_BUDGET_BYTES, _pick_block_b
+
+    if T % 8 != 0:
+        return False
+    bb = _pick_block_b(B, T)
+    if bb == 0:
+        return False
+    rows = 4 * cfg.input_dim + 4 * cfg.hidden_dim + 2 * cfg.hidden_dim2 \
+        + cfg.K + 8
+    return rows * bb * T * 4 <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "highest"))
 def fused_encode(params: Params, x: jnp.ndarray,
                  valid_to: Optional[jnp.ndarray] = None,
-                 interpret: Optional[bool] = None) -> jnp.ndarray:
+                 interpret: Optional[bool] = None,
+                 highest: bool = True) -> jnp.ndarray:
     """x: (B, C, T) -> regime logits (B, K, T); numerically equivalent to
-    the XLA encode path (same masking semantics given valid_to)."""
+    the XLA encode path run at the same matmul precision (same masking
+    semantics given valid_to).
+
+    Gridded over batch blocks (block lanes % 128 == 0) so VMEM stays
+    bounded at any B; shapes with no qualifying block fall back to one
+    whole-array block (small inputs only)."""
+    import math
+
     from jax.experimental import pallas as pl
+
+    from .pallas_train import _pick_block_b
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -71,6 +105,10 @@ def fused_encode(params: Params, x: jnp.ndarray,
     H2 = p["conv2"]["weight"].shape[0]
     K = p["to_logits"]["weight"].shape[0]
     N = B * T
+    block_b = _pick_block_b(B, T) if not interpret \
+        else (B if B <= 8 else math.gcd(B, 8))
+    if block_b == 0:
+        block_b = B  # single whole-array block (legacy small-shape path)
 
     # (B, C, T) -> (C, B*T)
     xt = jnp.transpose(x, (1, 0, 2)).reshape(C, N)
@@ -89,8 +127,21 @@ def fused_encode(params: Params, x: jnp.ndarray,
         tmask = jnp.broadcast_to((col < valid_to).astype(x.dtype),
                                  (B, T)).reshape(1, N)
 
+    NP = block_b * T
+
+    def tok(c):
+        return pl.BlockSpec((c, NP), lambda i: (0, i))
+
+    def full(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
+
     out = pl.pallas_call(
-        functools.partial(_encoder_kernel, T=T),
+        functools.partial(_encoder_kernel, T=T, highest=highest),
+        grid=(N // NP,),
+        in_specs=[tok(C), full(w1), full(b1), full(w2), full(b2),
+                  full(w3), full(b3), tok(1)],
+        out_specs=tok(K),
         out_shape=jax.ShapeDtypeStruct((K, N), jnp.float32),
         interpret=interpret,
     )(xt, w1, b1, w2, b2, w3, b3, tmask)
