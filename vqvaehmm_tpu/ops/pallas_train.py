@@ -53,19 +53,28 @@ def _make_dots(bf16_matmuls: bool):
     """MXU matmul helpers, f32 accumulate.  bf16_matmuls casts the INPUTS
     to bfloat16 (one MXU pass — the same precision class as XLA's default
     matmul precision used by the fast training config); elementwise math
-    stays float32 either way."""
+    stays float32 either way.
+
+    NOTE: unlike the inference kernels, the f32 mode deliberately keeps
+    Mosaic's default dots: Precision.HIGHEST multi-pass scratch blows the
+    fwd+bwd kernel past the 16 MB scoped-VMEM limit at the benchmark
+    shapes (measured 50.2 MB at block_b=16).  The fused train step is a
+    THROUGHPUT path; <=1e-4 parity runs use the XLA step (module
+    docstring)."""
     cast = (lambda a: a.astype(jnp.bfloat16)) if bf16_matmuls \
         else (lambda a: a)
+    prec = None
 
     def dot(a, b):
         # (M, K) @ (K, N)
         return jnp.dot(cast(a), cast(b),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=prec)
 
     def dot_nt(a, b):
         # contract the lane (token) axis of both: (M, N) x (C, N) -> (M, C)
         return lax.dot_general(cast(a), cast(b), (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
     return dot, dot_nt
 
