@@ -174,6 +174,8 @@ def bench_serving_forward() -> float:
     x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
     vt = jnp.asarray(T, jnp.int32)
 
+    from vqvaehmm_tpu.utils.benchmarking import saturated_marginal
+
     def make(R):
         @jax.jit
         def f():
@@ -186,20 +188,7 @@ def bench_serving_forward() -> float:
             return tot
         return f
 
-    R = 500
-    f1, f2 = make(R), make(2 * R)
-    float(f1())
-    float(f2())
-
-    def med(f, n=7):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(f())
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    us = (med(f2) - med(f1)) / R * 1e6
+    us, _ = saturated_marginal(make, est_us=100.0)
     sps = B / us * 1e6
     log(f"serving forward: {us:.1f} us/fwd at B={B} -> {sps:.0f} seqs/s")
     return sps

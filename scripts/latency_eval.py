@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,23 +26,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def saturated_marginal(make_repeat, est_us: float, floor_ms: float = 50.0,
-                       trials: int = 7):
-    """make_repeat(R) -> jitted zero-arg callable returning a scalar."""
-    R = max(64, int(floor_ms * 1e3 / max(est_us, 1.0)))
-    f1, f2 = make_repeat(R), make_repeat(2 * R)
-    float(f1())
-    float(f2())
-
-    def med(f):
-        ts = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(f())
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return (med(f2) - med(f1)) / R * 1e6, R
+from vqvaehmm_tpu.utils.benchmarking import saturated_marginal  # noqa: E402
 
 
 def main():

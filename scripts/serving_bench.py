@@ -96,21 +96,10 @@ def device_goodput(model, T: int):
                 return tot
             return f
 
-        # repeat-in-call, index-perturbed; both points >> transport window
-        R = max(64, int(60e3 / (10.0 * max(1, B // 8))))
-        f1, f2 = make(R), make(2 * R)
-        float(f1())
-        float(f2())
+        from vqvaehmm_tpu.utils.benchmarking import saturated_marginal
 
-        def med(f, n=7):
-            ts = []
-            for _ in range(n):
-                t0 = time.monotonic()
-                float(f())
-                ts.append(time.monotonic() - t0)
-            return float(np.median(ts))
-
-        us = (med(f2) - med(f1)) / R * 1e6
+        us, _ = saturated_marginal(make, est_us=10.0 * max(1, B // 8),
+                                   floor_ms=60.0)
         rows.append((B, us, B / us * 1e6))
         print(f"device forward B={B:2d}: {us:7.1f} us/call   "
               f"{B / us * 1e6:9.0f} seqs/sec/chip", file=sys.stderr)

@@ -99,6 +99,21 @@ class InferenceModel:
         # (ops/pallas_infer.batch_multiple) so solo and micro-batched
         # requests share the same block geometry — on TPU both then take
         # the fused kernel and stay bit-identical to each other.
+        padded = np.zeros((self._batch_align(pad_to), C, pad_to),
+                          np.float32)
+        padded[0, :, :T] = arr
+        return padded, T
+
+    def _batch_align(self, pad_to: int) -> int:
+        """Batch rows to allocate for this length bucket: the fused
+        kernel's lane multiple on TPU (so solo and micro-batched requests
+        share one block geometry and stay bit-identical), 1 elsewhere —
+        off-TPU the kernel never runs and extra rows would just multiply
+        the XLA forward's work.  Memoized per bucket: the backend probe
+        and support check are constants, not per-request work."""
+        cache = self.__dict__.setdefault("_batch_align_cache", {})
+        if pad_to in cache:
+            return cache[pad_to]
         bm = 1
         if pad_to % 8 == 0:
             import jax
@@ -106,14 +121,11 @@ class InferenceModel:
             from ..ops.pallas_infer import batch_multiple, supported
 
             m = batch_multiple(pad_to)
-            # TPU only: off-TPU the fused kernel never runs, so the extra
-            # rows would just multiply the XLA forward's work
             if m <= 8 and jax.default_backend() == "tpu" \
                     and supported(self.cfg.model, m, pad_to):
                 bm = m
-        padded = np.zeros((bm, C, pad_to), np.float32)
-        padded[0, :, :T] = arr
-        return padded, T
+        cache[pad_to] = bm
+        return bm
 
     def infer(self, x: List[List[float]], u: Optional[List[List[float]]] = None,
               mode: str = "mean_field"):

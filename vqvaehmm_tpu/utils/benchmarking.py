@@ -1,0 +1,44 @@
+"""Shared measurement helper: saturated repeat-in-call marginal cost.
+
+The two-point method through a dev tunnel UNDERESTIMATES small per-op
+costs when total device time per call sits below the transport window
+(device work overlaps the RPC — BENCH_NOTES.md "Measurement-methodology
+correction").  The honest recipe, used by bench.py,
+scripts/latency_eval.py, and scripts/serving_bench.py:
+
+  * a jitted scan repeats the op R times per device call on
+    index-perturbed inputs (so XLA cannot CSE the iterations),
+  * R is sized so BOTH measured points spend far longer on device than
+    the transport window,
+  * the marginal is (t(2R) - t(R)) / R over medians.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import numpy as np
+
+
+def saturated_marginal(make_repeat: Callable[[int], Callable[[], float]],
+                       est_us: float, floor_ms: float = 50.0,
+                       trials: int = 7) -> Tuple[float, int]:
+    """make_repeat(R) -> jitted zero-arg callable returning a scalar.
+
+    Returns (microseconds per repeat, R used).  est_us sizes R so each
+    call spends ~floor_ms on device."""
+    R = max(64, int(floor_ms * 1e3 / max(est_us, 1.0)))
+    f1, f2 = make_repeat(R), make_repeat(2 * R)
+    float(f1())
+    float(f2())
+
+    def med(f):
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return (med(f2) - med(f1)) / R * 1e6, R
