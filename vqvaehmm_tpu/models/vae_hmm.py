@@ -408,8 +408,8 @@ class VAEHMM:
         use_pallas=None auto-dispatches: on TPU, qualifying shapes run the
         FULLY fused end-to-end kernel (evidence + prior + doubling Viterbi
         in one pass, ops/pallas_decode.py); other shapes use the fused
-        Viterbi recursion kernel (ops/pallas_hmm.py, 34-43x over lax.scan
-        at B=64/256 — BENCH_NOTES.md); off-TPU the scan path avoids
+        Viterbi recursion kernel (ops/pallas_hmm.py, 13.7x over lax.scan at
+        the saturated benchmark measurement — BENCH_NOTES.md); off-TPU the scan path avoids
         interpret-mode overhead."""
         from ..ops import hmm as hmm_ops
 
