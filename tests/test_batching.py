@@ -195,3 +195,31 @@ def test_warmup_covers_non_power_of_two_max_batch(model):
     finally:
         model._infer = orig
         b.close()
+
+
+def test_env_knob_batches_all_surfaces(tmp_path, monkeypatch):
+    """VQHMM_BATCH=1 makes get_model return the micro-batcher so the
+    FastAPI/ASGI/stdlib servers all coalesce without code changes."""
+    cfg = {
+        "model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                  "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+        "checkpoint_path": str(tmp_path / "nonexistent"),
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from vqvaehmm_tpu.serve.app import get_model
+    from vqvaehmm_tpu.serve.batching import BatchingModel
+
+    monkeypatch.setenv("VQHMM_BATCH", "1")
+    monkeypatch.setenv("VQHMM_WARMUP_LENGTHS", "")  # keep the test fast
+    get_model.cache_clear()
+    try:
+        m = get_model(str(cfg_path))
+        assert isinstance(m, BatchingModel)
+        x = np.random.default_rng(7).normal(size=(5, 13)).tolist()
+        out = m.infer(x)
+        assert np.array(out["regime_probs"]).shape == (3, 13)
+    finally:
+        m.close()
+        get_model.cache_clear()

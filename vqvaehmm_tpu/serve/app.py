@@ -234,8 +234,25 @@ class InferenceModel:
 
 
 @lru_cache(maxsize=1)
-def get_model(config_path: str = "inference_config.json") -> InferenceModel:
-    return InferenceModel(config_path)
+def get_model(config_path: str = "inference_config.json"):
+    """Process-wide model singleton shared by all serving surfaces.
+
+    VQHMM_BATCH=1 wraps it in the micro-batcher (serve/batching.py) so
+    the FastAPI/ASGI/stdlib servers all coalesce concurrent /infer
+    requests — the env knob lets Docker/k8s turn it on without code
+    (VQHMM_MAX_BATCH, VQHMM_MAX_WAIT_MS, VQHMM_WARMUP_LENGTHS tune it)."""
+    model = InferenceModel(config_path)
+    if os.environ.get("VQHMM_BATCH", "") not in ("", "0"):
+        from .batching import BatchingModel
+
+        model = BatchingModel(
+            model,
+            max_batch=int(os.environ.get("VQHMM_MAX_BATCH", "16")),
+            max_wait_ms=float(os.environ.get("VQHMM_MAX_WAIT_MS", "2")))
+        lengths = os.environ.get("VQHMM_WARMUP_LENGTHS", "200")
+        if lengths:
+            model.warmup([int(v) for v in lengths.split(",")])
+    return model
 
 
 def create_app(config_path: str = "inference_config.json"):

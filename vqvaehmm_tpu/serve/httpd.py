@@ -75,9 +75,10 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
     compiled BEFORE serving starts (no live request pays a compile); pass
     your deployment's expected lengths, or () to skip."""
     model = get_model(config_path)
-    if batch:
-        from .batching import BatchingModel
+    from .batching import BatchingModel
 
+    if batch and not isinstance(model, BatchingModel):
+        # get_model may already have wrapped it (VQHMM_BATCH env)
         model = BatchingModel(model, max_batch=max_batch,
                               max_wait_ms=max_wait_ms)
         if warmup_lengths:
