@@ -269,13 +269,18 @@ def bench_torch_cpu() -> float:
         return float(loss)
 
     step()  # warmup
+    # best of 3 windows: the 1-core host's transient load has been seen
+    # to swing a single window by ~4x, which would swing vs_baseline too
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        step()
-    dt = time.perf_counter() - t0
-    sps = iters * B / dt
-    log(f"torch-cpu: {iters} steps in {dt:.3f}s -> {sps:.1f} seqs/s")
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            step()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    sps = iters * B / best_dt
+    log(f"torch-cpu: best {iters}-step window {best_dt:.3f}s "
+        f"-> {sps:.1f} seqs/s")
     return sps
 
 
