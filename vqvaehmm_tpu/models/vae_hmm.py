@@ -331,9 +331,17 @@ class VAEHMM:
                          u: jnp.ndarray, lengths, use_pallas):
         """(log_pi, log_A, log_obs) for the exact-inference paths; on TPU
         the fused evidence kernel (ops/pallas_decode.py) computes all
-        three in one pass when shapes qualify."""
+        three in one pass when shapes qualify.
+
+        Auto-dispatch (use_pallas=None) takes the kernel only in the
+        bf16-pass precision mode, where it wins (~1.4x); at "highest" the
+        kernel's full-f32 multi-pass dots erase the fusion gain and XLA
+        is 4-7% faster (BENCH_NOTES.md saturated table) — the slower path
+        must never be picked silently.  The fully fused DECODE kernel is
+        unaffected (3.2x either way)."""
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = (jax.default_backend() == "tpu"
+                          and self.cfg.matmul_precision != "highest")
         if use_pallas:
             from ..ops.pallas_decode import fused_evidence, supported
 
