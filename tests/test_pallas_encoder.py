@@ -62,3 +62,26 @@ def test_batch_boundary_isolation():
                                np.asarray(solo_a[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(combined[1]),
                                np.asarray(solo_b[0]), atol=1e-5)
+
+
+def test_fused_encode_vector_valid_to(rng):
+    """Per-sequence (B,) bounds match the XLA path (the micro-batcher's
+    unified solo/batched geometry feeds vectors here too)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.ops.pallas_encoder import fused_encode
+
+    model = make_model(5, 8, 3, 4, u_dim=2, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    B, T = 4, 24
+    x = rng.normal(size=(B, 5, T)).astype(np.float32)
+    lengths = np.array([24, 17, 9, 20], np.int32)
+    for r in range(B):
+        x[r, :, lengths[r]:] = 0.0
+    got = fused_encode(params, jnp.asarray(x),
+                       valid_to=jnp.asarray(lengths), interpret=True)
+    want = model.encode(params, jnp.asarray(x),
+                        valid_to=jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

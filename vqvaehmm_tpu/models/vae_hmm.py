@@ -270,7 +270,11 @@ class VAEHMM:
             from ..ops.pallas_encoder import encode_supported
 
             B, _, T = x.shape
+            # compute_dtype gate: the kernel computes in f32, so for a
+            # bf16-activation model auto-switching would silently change
+            # numeric class between qualifying and non-qualifying shapes
             fused = (jax.default_backend() == "tpu"
+                     and self.compute_dtype == jnp.float32
                      and encode_supported(self.cfg, B, T))
         return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
@@ -315,7 +319,9 @@ class VAEHMM:
                              out_specs=(P("data"),) * 3,
                              check_rep=False)(*args)
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # compute_dtype gate: see posterior() — the kernel is f32
+            use_pallas = (jax.default_backend() == "tpu"
+                          and self.compute_dtype == jnp.float32)
         if use_pallas:
             from ..ops.pallas_infer import fused_forward, supported
 
@@ -341,7 +347,8 @@ class VAEHMM:
         unaffected (3.2x either way)."""
         if use_pallas is None:
             use_pallas = (jax.default_backend() == "tpu"
-                          and self.cfg.matmul_precision != "highest")
+                          and self.cfg.matmul_precision != "highest"
+                          and self.compute_dtype == jnp.float32)
         if use_pallas:
             from ..ops.pallas_decode import fused_evidence, supported
 
@@ -422,7 +429,9 @@ class VAEHMM:
         from ..ops import hmm as hmm_ops
 
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # compute_dtype gate: see posterior() — the kernels are f32
+            use_pallas = (jax.default_backend() == "tpu"
+                          and self.compute_dtype == jnp.float32)
         if use_pallas:
             from ..ops.pallas_decode import fused_viterbi_states, supported
 

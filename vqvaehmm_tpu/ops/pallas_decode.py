@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-from .pallas_train import _pick_block_b, pack_encoder_prior_weights
+from .pallas_train import (_pick_block_b, full_spec,
+                           pack_encoder_prior_weights, tok_spec)
 from .precise import pexp, plog
 
 Params = Dict
@@ -188,19 +189,12 @@ def _call(xt, ut, mf, vm, weights, *, K, T, block_b, interpret, highest):
     U = ut.shape[0]
     NP = block_b * T
 
-    def tok(c):
-        return pl.BlockSpec((c, NP), lambda i: (0, i))
-
-    def full(a):
-        nd = a.ndim
-        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
-
     return pl.pallas_call(
         functools.partial(_kernel, T=T, K=K, highest=highest),
         grid=(N // NP,),
-        in_specs=[tok(C), tok(U), tok(1), tok(1)]
-        + [full(w) for w in weights],
-        out_specs=pl.BlockSpec((1, NP), lambda i: (0, i)),
+        in_specs=[tok_spec(c, NP) for c in (C, U, 1, 1)]
+        + [full_spec(w) for w in weights],
+        out_specs=tok_spec(1, NP),
         out_shape=jax.ShapeDtypeStruct((1, N), jnp.int32),
         interpret=interpret,
     )(xt, ut, mf, vm, *weights)
@@ -233,19 +227,12 @@ def _evidence_call(xt, ut, vm, weights, *, K, T, block_b, interpret,
     U = ut.shape[0]
     NP = block_b * T
 
-    def tok(c):
-        return pl.BlockSpec((c, NP), lambda i: (0, i))
-
-    def full(a):
-        nd = a.ndim
-        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
-
     return pl.pallas_call(
         functools.partial(_evidence_kernel, T=T, K=K, highest=highest),
         grid=(N // NP,),
-        in_specs=[tok(C), tok(U), tok(1)] + [full(w) for w in weights],
-        out_specs=(pl.BlockSpec((K, NP), lambda i: (0, i)),
-                   pl.BlockSpec((K * K, NP), lambda i: (0, i))),
+        in_specs=[tok_spec(c, NP) for c in (C, U, 1)]
+        + [full_spec(w) for w in weights],
+        out_specs=(tok_spec(K, NP), tok_spec(K * K, NP)),
         out_shape=(jax.ShapeDtypeStruct((K, N), jnp.float32),
                    jax.ShapeDtypeStruct((K * K, N), jnp.float32)),
         interpret=interpret,

@@ -67,16 +67,14 @@ def _encoder_kernel(xt_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
 def encode_supported(cfg, B: int, T: int) -> bool:
     """True when the gridded fused encoder can run at these shapes (lane
     tiling satisfiable and block working set within the VMEM budget)."""
-    from .pallas_train import _VMEM_BUDGET_BYTES, _pick_block_b
+    from .pallas_train import _pick_block_b, fits_vmem
 
     if T % 8 != 0:
         return False
     bb = _pick_block_b(B, T)
-    if bb == 0:
-        return False
     rows = 4 * cfg.input_dim + 4 * cfg.hidden_dim + 2 * cfg.hidden_dim2 \
         + cfg.K + 8
-    return rows * bb * T * 4 <= _VMEM_BUDGET_BYTES
+    return bb != 0 and fits_vmem(rows, bb, T)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "highest"))
@@ -124,24 +122,22 @@ def fused_encode(params: Params, x: jnp.ndarray,
         tmask = jnp.ones((1, N), x.dtype)
     else:
         col = jnp.arange(T, dtype=jnp.int32)[None, :]
-        tmask = jnp.broadcast_to((col < valid_to).astype(x.dtype),
-                                 (B, T)).reshape(1, N)
+        vt = jnp.asarray(valid_to)
+        if vt.ndim == 0:
+            tmask = jnp.broadcast_to((col < vt).astype(x.dtype),
+                                     (B, T)).reshape(1, N)
+        else:  # per-sequence (B,) bounds, same semantics as the XLA path
+            tmask = (col < vt[:, None]).astype(x.dtype).reshape(1, N)
 
     NP = block_b * T
-
-    def tok(c):
-        return pl.BlockSpec((c, NP), lambda i: (0, i))
-
-    def full(a):
-        nd = a.ndim
-        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
+    from .pallas_train import full_spec, tok_spec
 
     out = pl.pallas_call(
         functools.partial(_encoder_kernel, T=T, highest=highest),
         grid=(N // NP,),
-        in_specs=[tok(C), full(w1), full(b1), full(w2), full(b2),
-                  full(w3), full(b3), tok(1)],
-        out_specs=tok(K),
+        in_specs=[tok_spec(C, NP)] + [full_spec(w) for w in
+                  (w1, b1, w2, b2, w3, b3)] + [tok_spec(1, NP)],
+        out_specs=tok_spec(K, NP),
         out_shape=jax.ShapeDtypeStruct((K, N), jnp.float32),
         interpret=interpret,
     )(xt, w1, b1, w2, b2, w3, b3, tmask)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-from .pallas_train import _VMEM_BUDGET_BYTES, _pick_block_b
+from .pallas_train import _pick_block_b, fits_vmem, full_spec, tok_spec
 from .precise import pexp, plog
 
 Params = Dict
@@ -101,18 +101,12 @@ def _call(xt, vm, weights, *, K: int, T: int, block_b: int,
     C, N = xt.shape
     NP = block_b * T
 
-    def tok(c):
-        return pl.BlockSpec((c, NP), lambda i: (0, i))
-
-    def full(a):
-        nd = a.ndim
-        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
-
     return pl.pallas_call(
         functools.partial(_kernel, T=T, K=K, highest=highest),
         grid=(N // NP,),
-        in_specs=[tok(C), tok(1)] + [full(w) for w in weights],
-        out_specs=(tok(C), tok(C), tok(K)),
+        in_specs=[tok_spec(C, NP), tok_spec(1, NP)]
+        + [full_spec(w) for w in weights],
+        out_specs=(tok_spec(C, NP), tok_spec(C, NP), tok_spec(K, NP)),
         out_shape=(jax.ShapeDtypeStruct((C, N), jnp.float32),
                    jax.ShapeDtypeStruct((C, N), jnp.float32),
                    jax.ShapeDtypeStruct((K, N), jnp.float32)),
@@ -133,9 +127,7 @@ def supported(cfg, B: int, T: int) -> bool:
     if T % 8 != 0:
         return False
     bb = _pick_block_b(B, T)
-    if bb == 0:
-        return False
-    return _infer_rows_estimate(cfg) * bb * T * 4 <= _VMEM_BUDGET_BYTES
+    return bb != 0 and fits_vmem(_infer_rows_estimate(cfg), bb, T)
 
 
 def batch_multiple(T: int) -> int:

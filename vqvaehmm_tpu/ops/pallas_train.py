@@ -323,16 +323,9 @@ def _fused_call(xt, ut, mf, vm, pm, weights, scales, *, K: int, T: int,
     NB = N // (block_b * T)
     NP = block_b * T
 
-    def tok(shape_c):
-        return pl.BlockSpec((shape_c, NP), lambda i: (0, i))
-
-    def full(a):
-        nd = a.ndim
-        return pl.BlockSpec(a.shape, lambda i: (0,) * nd)
-
-    in_specs = [tok(C), tok(U), tok(1), tok(1), tok(1)]
-    in_specs += [full(w) for w in weights]
-    in_specs += [full(scales)]  # (1, 128) scale row, same block every step
+    in_specs = [tok_spec(c, NP) for c in (C, U, 1, 1, 1)]
+    in_specs += [full_spec(w) for w in weights]
+    in_specs += [full_spec(scales)]  # (1, 128) scale row, same every step
 
     out_shapes = [
         jax.ShapeDtypeStruct((1, 128), jnp.float32),       # partials
@@ -355,8 +348,7 @@ def _fused_call(xt, ut, mf, vm, pm, weights, scales, *, K: int, T: int,
         jax.ShapeDtypeStruct((2 * C, D), jnp.float32),     # gdw3
         jax.ShapeDtypeStruct((2 * C, 1), jnp.float32),
     ]
-    out_specs = [pl.BlockSpec(s.shape, lambda i, nd=len(s.shape):
-                              (0,) * nd) for s in out_shapes]
+    out_specs = [full_spec(s) for s in out_shapes]
 
     return pl.pallas_call(
         functools.partial(_kernel, T=T, K=K, bf16_matmuls=bf16_matmuls),
@@ -409,6 +401,25 @@ def _pick_block_b(B: int, T: int) -> int:
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
+def fits_vmem(rows: int, block_b: int, T: int) -> bool:
+    """Shared VMEM guard for the token-layout kernels: True when a block
+    with `rows` live f32 sublane-rows over block_b*T lanes fits the
+    budget.  (Single source of truth for pallas_train/encoder/infer's
+    supported() predicates.)"""
+    return rows * block_b * T * 4 <= _VMEM_BUDGET_BYTES
+
+
+def tok_spec(c: int, NP: int):
+    """BlockSpec for a (c, N) token-layout array blocked over lanes."""
+    return pl.BlockSpec((c, NP), lambda i: (0, i))
+
+
+def full_spec(a):
+    """BlockSpec replicating a whole (weight) array to every grid step."""
+    nd = a.ndim
+    return pl.BlockSpec(a.shape, lambda i, nd=nd: (0,) * nd)
+
+
 def _train_rows_estimate(cfg) -> int:
     """Rough live-row count (channels on sublanes) of the fused train
     kernel's working set: taps-stacked conv inputs dominate."""
@@ -425,9 +436,7 @@ def train_step_supported(cfg, B: int, T: int) -> bool:
     if T % 8 != 0:
         return False
     bb = _pick_block_b(B, T)
-    if bb == 0:
-        return False
-    return _train_rows_estimate(cfg) * bb * T * 4 <= _VMEM_BUDGET_BYTES
+    return bb != 0 and fits_vmem(_train_rows_estimate(cfg), bb, T)
 
 
 def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,

@@ -299,6 +299,11 @@ def create_app(config_path: str = "inference_config.json"):
 
     @app.post("/stream")
     def stream(req: StreamRequest):
+        # NOTE: stream sessions are per-PROCESS state.  Under a
+        # multi-worker server (gunicorn -w N) consecutive frames of one
+        # session land on different workers and each sees a gap-filled
+        # stream — run streaming on a single-worker deployment or with
+        # session-affine routing (docs/serving.md "Streaming sessions").
         try:
             return get_model(config_path).stream(
                 req.session, x_t=req.x_t, u_t=req.u_t, finish=req.finish)
@@ -306,6 +311,13 @@ def create_app(config_path: str = "inference_config.json"):
             raise HTTPException(status_code=400, detail=str(e))
         except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
+
+    if os.environ.get("VQHMM_BATCH", "") not in ("", "0"):
+        # eager init: build the model and warm the batch ladder at app
+        # construction (worker boot), BEFORE the server starts accepting
+        # traffic — otherwise the first request to each worker pays every
+        # compile and the readiness probe lies.
+        get_model(config_path)
 
     return app
 

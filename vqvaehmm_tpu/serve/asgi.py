@@ -49,7 +49,11 @@ async def _respond(send, status: int, payload: dict) -> None:
 
 
 def create_asgi_app(config_path: str = "inference_config.json"):
-    """Build the ASGI callable (model loads lazily on first request)."""
+    """Build the ASGI callable (model loads lazily on first request —
+    unless VQHMM_BATCH is set, in which case it loads and warms its
+    executable ladder eagerly so no live request pays a compile)."""
+    if os.environ.get("VQHMM_BATCH", "") not in ("", "0"):
+        get_model(config_path)
 
     async def app(scope, receive, send):
         if scope["type"] == "lifespan":  # uvicorn startup/shutdown chatter

@@ -44,7 +44,10 @@ class _Pending:
     __slots__ = ("padded", "T", "event", "result", "error")
 
     def __init__(self, padded: np.ndarray, T: int):
-        self.padded = padded          # (1, C, pad_to)
+        # (bm, C, pad_to): row 0 carries the request; rows 1..bm-1 are the
+        # kernel batch-alignment padding from app._padded (bm encodes the
+        # fused kernel's lane multiple for this bucket — _run reads it)
+        self.padded = padded
         self.T = T
         self.event = threading.Event()
         self.result = None
