@@ -16,10 +16,18 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the benchmark's kernels can take minutes
+# to compile through a remote-compile relay; caching makes repeat runs
+# (and the driver's round-end run) start from warm executables.  Must be
+# set before jax initializes its backends.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 B, C, T, K, U = 64, 5, 200, 3, 4
 HIDDEN, HIDDEN2, TRANS_HIDDEN = 64, 32, 128
