@@ -208,3 +208,51 @@ def test_exact_modes_hit_cached_executable():
             m.infer(x, u=u, mode="filtered")
             m.infer(x, u=u, mode="viterbi")
         assert counts == {"smoothed": 1, "filtered": 1, "viterbi": 1}, counts
+
+
+def test_lifecycle_train_save_serve(tmp_path):
+    """Full lifecycle: train briefly, save, serve from the checkpoint —
+    the server's /infer must reproduce the trained model's posterior
+    (covers InferenceModel's npz AND .pt loading paths, which every other
+    serving test skips by pointing at a nonexistent checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    import vqvaehmm_tpu as vt
+    from vqvaehmm_tpu.data.checkpoint import save_params_npz
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+    from vqvaehmm_tpu.serve.app import InferenceModel
+    from vqvaehmm_tpu.utils import save_torch_file
+
+    xs, us, _ = synthetic_sequences(4, 80, seed=0)
+    ds = vt.RandomChunkDataset(xs, us, min_len=16, max_len=32,
+                               samples_per_epoch=32, seed=0)
+    model = vt.make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    state, _ = vt.train_model(model, ds, num_epochs=2, lr=1e-3,
+                              batch_size=16, log_fn=None)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(5, 20)).astype(np.float32)
+    want = np.asarray(model.posterior(
+        state.params, jnp.asarray(x[None]), fused=False))[0]
+
+    base_cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                          "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8}}
+
+    # npz path
+    save_params_npz(str(tmp_path / "trained.npz"), state.params)
+    cfg = dict(base_cfg, checkpoint_path=str(tmp_path / "trained"))
+    p = tmp_path / "cfg_npz.json"
+    p.write_text(json.dumps(cfg))
+    out = InferenceModel(str(p)).infer(x.tolist())
+    np.testing.assert_allclose(np.array(out["regime_probs"]),
+                               want[:, :20], atol=1e-5)
+
+    # reference-format .pt path (the migration loader)
+    save_torch_file(state.params, str(tmp_path / "trained.pt"))
+    cfg = dict(base_cfg, checkpoint_path=str(tmp_path / "trained.pt"))
+    p = tmp_path / "cfg_pt.json"
+    p.write_text(json.dumps(cfg))
+    out = InferenceModel(str(p)).infer(x.tolist())
+    np.testing.assert_allclose(np.array(out["regime_probs"]),
+                               want[:, :20], atol=1e-5)
