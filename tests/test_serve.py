@@ -256,3 +256,31 @@ def test_lifecycle_train_save_serve(tmp_path):
     out = InferenceModel(str(p)).infer(x.tolist())
     np.testing.assert_allclose(np.array(out["regime_probs"]),
                                want[:, :20], atol=1e-5)
+
+
+def test_cli_vae_stack_with_trained_checkpoint(tmp_path, capsys):
+    """serve.cli --stack vae runs end-to-end from a saved npz checkpoint
+    (the gmm stack has its own CLI test; the vae stack had none)."""
+    import jax
+
+    import vqvaehmm_tpu as vt
+    from vqvaehmm_tpu.data.checkpoint import save_params_npz
+    from vqvaehmm_tpu.serve.cli import main as cli_main
+
+    model = vt.make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    save_params_npz(str(tmp_path / "m.npz"), params)
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+           "portfolio": {"n_assets": 4, "hidden_dim": 8}}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    x = np.random.default_rng(0).normal(size=(1, 5, 30)).astype(np.float32)
+    data_path = str(tmp_path / "x.npy")
+    np.save(data_path, x)
+
+    cli_main(["--config", str(cfg_path),
+              "--checkpoint", str(tmp_path / "m.npz"),
+              "--data", data_path])
+    out = capsys.readouterr().out
+    assert "Current regime:" in out and "Allocation:" in out
