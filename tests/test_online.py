@@ -189,3 +189,41 @@ def test_sessions_share_one_step_fn_and_expire(setup):
     time.sleep(0.1)
     short.update("c", rng.normal(size=5), rng.normal(size=4))
     assert "a" not in short._sessions and "c" in short._sessions
+
+
+def test_session_export_import_continues_identically(setup):
+    """A session exported from one manager and imported into another
+    continues the stream with identical settled outputs (worker hand-off
+    for multi-process serving)."""
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import OnlineFilter, StreamManager
+
+    T = x.shape[1]
+    # uninterrupted reference
+    ref = OnlineFilter(model, params)
+    got_ref = {}
+    for t in range(T):
+        got_ref.update(dict(ref.update(x[:, t], u[:, t])))
+    got_ref.update(dict(ref.finish()))
+
+    a = StreamManager(model, params)
+    for t in range(9):
+        a.update("s", x[:, t], u[:, t])
+    blob = a.export_session("s")
+    assert "s" not in a._sessions
+    import json as _json
+
+    blob = _json.loads(_json.dumps(blob))  # must survive JSON transport
+
+    b = StreamManager(model, params)
+    b.import_session("s", blob)
+    got = {}
+    for t in range(9, T):
+        out = b.update("s", x[:, t], u[:, t],
+                       finish=t == T - 1)
+        for d in out["settled"]:
+            got[d["t"]] = np.array(d["regime_probs"])
+    for s_ in got:
+        np.testing.assert_allclose(got[s_], got_ref[s_], atol=1e-6,
+                                   err_msg=f"column {s_}")
+    assert max(got) == T - 1

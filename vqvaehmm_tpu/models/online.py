@@ -148,6 +148,32 @@ class OnlineFilter:
     def n_frames(self) -> int:
         return self._n
 
+    # -- session migration ---------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Complete, JSON-serializable filter state: a session exported
+        here and imported elsewhere (load_state) continues the stream
+        with identical outputs — the escape hatch for the per-process
+        session limitation of multi-worker serving (docs/serving.md)."""
+        return {
+            "x": [v.tolist() for v in self._x],
+            "u": [v.tolist() for v in self._u],
+            "base": self._base,
+            "n": self._n,
+            "next": self._next,
+            "alpha": self._alpha.tolist(),
+            "finished": self._finished,
+        }
+
+    def load_state(self, state: dict) -> None:
+        self._x = [np.asarray(v, np.float32) for v in state["x"]]
+        self._u = [np.asarray(v, np.float32) for v in state["u"]]
+        self._base = int(state["base"])
+        self._n = int(state["n"])
+        self._next = int(state["next"])
+        self._alpha = np.asarray(state["alpha"], np.float32)
+        self._finished = bool(state["finished"])
+
     # ------------------------------------------------------------------
 
     def _run_step(self, s: int, limit: int, alpha):
@@ -199,6 +225,28 @@ class StreamManager:
         import threading
 
         self._lock = threading.Lock()
+
+    def export_session(self, session: str) -> dict:
+        """Serialize and REMOVE a session (hand-off to another worker)."""
+        with self._lock:
+            f = self._sessions.pop(session, None)
+            self._touched.pop(session, None)
+            if f is None:
+                raise ValueError(f"no open session {session!r}")
+            return f.state_dict()
+
+    def import_session(self, session: str, state: dict) -> None:
+        """Adopt a session exported elsewhere; continues bit-identically."""
+        with self._lock:
+            if len(self._sessions) >= self.max_sessions:
+                raise ValueError("too many open stream sessions")
+            f = OnlineFilter(self.model, self.params,
+                             step_fn=self._step_fn)
+            f.load_state(state)
+            self._sessions[session] = f
+            import time as _time
+
+            self._touched[session] = _time.monotonic()
 
     def _expire(self, now: float) -> None:
         stale = [k for k, t in self._touched.items()
