@@ -19,10 +19,18 @@ import os
 import sys
 
 if __name__ == "__main__" and os.environ.get("_SCALING_CHILD") != "1":
-    # re-exec with the virtual device count pinned before jax loads
+    # re-exec with the virtual device count pinned before jax loads;
+    # strip any ambient interposer that would override JAX_PLATFORMS via
+    # jax.config and silently run "the mesh" on one remote TPU (see
+    # tests/conftest.py — same defense)
     env = dict(os.environ)
     env["_SCALING_CHILD"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
+    for k in [k for k in env if k.startswith(("PALLAS_AXON", "AXON_"))]:
+        del env[k]
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
     flags = [f for f in env.get("XLA_FLAGS", "").split()
              if not f.startswith("--xla_force_host_platform_device_count")]
     env["XLA_FLAGS"] = " ".join(
@@ -30,6 +38,8 @@ if __name__ == "__main__" and os.environ.get("_SCALING_CHILD") != "1":
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import time  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
@@ -78,6 +88,34 @@ def main():
     worst = max(r[3] for r in rows)
     print(f"worst collective/partitioner overhead: {worst * 100:+.1f}% "
           f"(bounded: {'yes' if worst < 0.25 else 'NO'})")
+
+    # bulk inference sharded over the mesh (serving scale-out;
+    # infer_forward(mesh=...) — no collectives, so overhead isolates pure
+    # shard_map partitioning cost)
+    print("\nbulk inference (per-device B fixed at 64):", flush=True)
+    t1 = None
+    for n in (1, 2, 4, 8):
+        B = PER_DEV_B * n
+        x = jnp.asarray(rng.normal(size=(B, 5, T)).astype(np.float32))
+        lens = jnp.asarray(rng.integers(T // 2, T + 1, size=B)
+                           .astype(np.int32))
+        mesh = create_mesh(n)
+        fwd = jax.jit(lambda p, xx, ll, m=mesh: model.infer_forward(
+            p, xx, valid_to=ll, mesh=m))
+        mu, _, q = fwd(params, x, lens)
+        q.block_until_ready()
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            mu, _, q = fwd(params, x, lens)
+            q.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        if t1 is None:
+            t1 = t
+        overhead = t / (n * t1) - 1.0
+        print(f"n={n} global_B={B:4d} fwd={t * 1e3:8.2f} ms "
+              f"overhead_vs_linear={overhead * 100:+6.1f}%", flush=True)
 
 
 if __name__ == "__main__":

@@ -53,3 +53,14 @@ def test_indivisible_t_raises(mesh):
     with pytest.raises(ValueError):
         forward_sharded(jnp.zeros(3), jnp.zeros((1, 10, 3, 3)),
                         jnp.zeros((1, 10, 3)), mesh)
+
+
+def test_create_mesh_refuses_silent_truncation():
+    """Requesting more devices than exist must raise — an '8-device mesh'
+    quietly running on fewer devices invalidates scaling measurements."""
+    import pytest
+
+    from vqvaehmm_tpu.parallel import create_mesh
+
+    with pytest.raises(ValueError, match="99-device mesh"):
+        create_mesh(99)

@@ -24,6 +24,14 @@ def create_mesh(num_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            # refuse to silently truncate: an "8-device mesh" quietly
+            # running on 1 device invalidates every scaling measurement
+            # and hides missing xla_force_host_platform_device_count
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"({jax.default_backend()} backend)")
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis_name,))
 
