@@ -317,7 +317,13 @@ def create_app(config_path: str = "inference_config.json"):
         # construction (worker boot), BEFORE the server starts accepting
         # traffic — otherwise the first request to each worker pays every
         # compile and the readiness probe lies.
-        get_model(config_path)
+        try:
+            get_model(config_path)
+        except Exception:
+            # missing/incomplete config: fall back to lazy init (the
+            # first request surfaces the real error); lru_cache does not
+            # cache exceptions, so the retry is clean
+            pass
 
     return app
 

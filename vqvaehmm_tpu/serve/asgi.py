@@ -53,7 +53,13 @@ def create_asgi_app(config_path: str = "inference_config.json"):
     unless VQHMM_BATCH is set, in which case it loads and warms its
     executable ladder eagerly so no live request pays a compile)."""
     if os.environ.get("VQHMM_BATCH", "") not in ("", "0"):
-        get_model(config_path)
+        try:
+            get_model(config_path)
+        except Exception:
+            # missing/incomplete config at import time: fall back to lazy
+            # init so `import vqvaehmm_tpu.serve.asgi` never crashes; the
+            # first request surfaces the real error as a 500
+            pass
 
     async def app(scope, receive, send):
         if scope["type"] == "lifespan":  # uvicorn startup/shutdown chatter
