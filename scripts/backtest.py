@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--n-days", type=int, default=252)
     ap.add_argument("--outdir", default=".")
     args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
 
     import jax
     import jax.numpy as jnp
