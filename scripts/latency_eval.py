@@ -30,6 +30,8 @@ from vqvaehmm_tpu.utils.benchmarking import saturated_marginal  # noqa: E402
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -37,8 +39,15 @@ def main():
     from vqvaehmm_tpu.ops import hmm as hops
     from vqvaehmm_tpu.ops.pallas_hmm import viterbi_pallas
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--precision", choices=("highest", "default"),
+                    default="highest",
+                    help="model matmul_precision (every kernel follows it)")
+    args = ap.parse_args()
+
     B, C, T, K, U = 64, 5, 200, 3, 4
-    model = make_model(C, 64, K, 32, u_dim=U, trans_hidden=128)
+    model = make_model(C, 64, K, 32, u_dim=U, trans_hidden=128,
+                       matmul_precision=args.precision)
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))

@@ -339,16 +339,17 @@ class VAEHMM:
         the fused evidence kernel (ops/pallas_decode.py) computes all
         three in one pass when shapes qualify.
 
-        Auto-dispatch (use_pallas=None) takes the kernel only in the
-        bf16-pass precision mode, where it wins (~1.4x); at "highest" the
-        kernel's full-f32 multi-pass dots erase the fusion gain and XLA
-        is 4-7% faster (BENCH_NOTES.md saturated table) — the slower path
-        must never be picked silently.  The fully fused DECODE kernel is
-        unaffected (3.2x either way)."""
+        Auto-dispatch (use_pallas=None) never takes the evidence kernel:
+        at MATCHED matmul precision the XLA evidence wins at both
+        settings (99.0 vs 113.6 us smoothed-e2e at "default", 132.6 vs
+        137.9 at "highest" — BENCH_NOTES.md "fused evidence, fair
+        comparison"; the kernel's earlier 1.2-1.5x lead was measured
+        against an XLA path running at a HIGHER precision than the
+        kernel).  use_pallas=True still forces it, and the same
+        _evidence_rows fusion remains the winning basis of the fully
+        fused DECODE kernel (3-4x either way)."""
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
-                          and self.cfg.matmul_precision != "highest"
-                          and self.compute_dtype == jnp.float32)
+            use_pallas = False
         if use_pallas:
             from ..ops.pallas_decode import fused_evidence, supported
 
