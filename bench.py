@@ -113,53 +113,35 @@ def bench_viterbi_p50() -> float:
 
     from vqvaehmm_tpu import make_model
 
+    from vqvaehmm_tpu.utils.benchmarking import saturated_marginal
+
     model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
                        trans_hidden=TRANS_HIDDEN)
     params = model.init(jax.random.PRNGKey(0))
-    x, u, lengths = make_batch()
-    x, u = jnp.asarray(x), jnp.asarray(u)
-    lengths = jnp.asarray(lengths)
+    xb, ub, lb = make_batch()
+    x, u = jnp.asarray(xb), jnp.asarray(ub)
+    lengths = jnp.asarray(lb)
 
-    # Marginal cost via two-point fused measurement: lax.scan M decodes in
-    # one device call and difference the medians, so the ~26 ms/call tunnel
-    # round trip cancels (same methodology as the training headline).
-    def decode_many(p, xs_, us_, ll):
-        def body(c, xu):
-            xx, uu = xu
-            s = model.viterbi_decode(p, xx, uu, ll)
-            return c + jnp.sum(s), None
-        tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (xs_, us_))
-        return tot
+    # Saturated repeat-in-call marginal (index-perturbed inputs so XLA
+    # cannot CSE the iterations; R sized so BOTH points spend far longer
+    # on device than the ~26 ms transport window).  The earlier stacked
+    # two-point variant used a fixed M calibrated for ~250 us decodes;
+    # once the decode got 3-10x faster that M sat inside the transport
+    # overlap and under-reported (BENCH_NOTES.md "measurement
+    # methodology").
+    def make(R):
+        @jax.jit
+        def f():
+            def body(c, i):
+                s = model.viterbi_decode(
+                    params, x + (i * 1e-7).astype(jnp.float32), u, lengths)
+                return c + jnp.sum(s), None
+            tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(R, dtype=jnp.int32))
+            return tot
+        return f
 
-    decode_many = jax.jit(decode_many)
-    rng = np.random.default_rng(1)
-    # BOTH points sit in the saturated regime (device time >> the ~26 ms
-    # transport window): below ~36 fused decodes per call, device compute
-    # overlaps the RPC and the two-point marginal underestimates the true
-    # per-batch cost (measured: 19.5 us apparent vs ~55 us saturated —
-    # BENCH_NOTES.md "measurement methodology").
-    M_LO, M_HI = 68, 132
-
-    def stacked(m):
-        xs_ = jnp.asarray(x[None] + 0.01 * rng.normal(
-            size=(m, B, C, T)).astype(np.float32))
-        us_ = jnp.asarray(u[None] + 0.01 * rng.normal(
-            size=(m, B, U, T)).astype(np.float32))
-        return xs_, us_
-
-    lo, hi = stacked(M_LO), stacked(M_HI)
-    int(decode_many(params, *lo, lengths))   # compile + sync
-    int(decode_many(params, *hi, lengths))
-
-    def med(args, n=9):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            int(decode_many(params, *args, lengths))  # host fetch = sync
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    p50 = (med(hi) - med(lo)) / (M_HI - M_LO) * 1e6
+    p50, _ = saturated_marginal(make, est_us=60.0, floor_ms=60.0)
     log(f"viterbi: p50 {p50:.1f} us/batch marginal (B={B}, T={T}, K={K})")
     return p50
 

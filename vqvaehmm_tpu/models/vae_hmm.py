@@ -421,24 +421,23 @@ class VAEHMM:
         exact Viterbi instead of the reference's argmax(q) hard decode
         (reference: backtesting.py:155).
 
-        use_pallas=None auto-dispatches: on TPU, qualifying shapes run the
-        FULLY fused end-to-end kernel (evidence + prior + doubling Viterbi
-        in one pass, ops/pallas_decode.py); other shapes use the fused
-        Viterbi recursion kernel (ops/pallas_hmm.py, 13.7x over lax.scan at
-        the saturated benchmark measurement — BENCH_NOTES.md); off-TPU the scan path avoids
-        interpret-mode overhead."""
+        use_pallas=None auto-dispatches: on TPU the decode runs two-stage
+        — XLA evidence (which wins matched-precision comparisons) feeding
+        the fused doubling-scan Viterbi recursion kernel
+        (ops/pallas_hmm.py).  Measured end-to-end at B=64/T=200 this
+        beats BOTH the lax.scan path (52.6 vs 206.4 us at "highest",
+        21.2 vs 181.1 at "default") and the fully fused one-kernel decode
+        (64.4 / 44.3 us — its in-kernel evidence pays the same cost the
+        standalone evidence kernel did; BENCH_NOTES.md "decode dispatch,
+        matched precision").  The one-kernel path stays available as
+        ops.pallas_decode.fused_viterbi_states.  Off-TPU the scan path
+        avoids interpret-mode overhead."""
         from ..ops import hmm as hmm_ops
 
         if use_pallas is None:
             # compute_dtype gate: see posterior() — the kernels are f32
             use_pallas = (jax.default_backend() == "tpu"
                           and self.compute_dtype == jnp.float32)
-        if use_pallas:
-            from ..ops.pallas_decode import fused_viterbi_states, supported
-
-            B, _, T = x.shape
-            if supported(B, T):
-                return fused_viterbi_states(self, params, x, u, lengths)
         log_pi, log_A = self.prior(params, u)
         log_obs = self._hmm_evidence(params, x, lengths)
         if use_pallas:
