@@ -1,0 +1,516 @@
+"""Run the reference's full published workflow end-to-end and commit artifacts.
+
+Reference recipe (README.md:113-125, configs/config.yaml:3-34):
+  VAE_HMM(input_dim=5, hidden_dim=64, K=3, hidden_dim2=32, u_dim=4,
+  trans_hidden=128) trained with batch_size=64, 150 epochs, lr=1e-5,
+  beta warmup, grad clip 1.0, on yfinance market features -> checkpoint
+  (models/vae_hmm.pt) -> evaluation -> portfolio head (models/portfolio.pt)
+  -> backtest (backtest_results.png) -> Monte Carlo (monte_carlo_results.png).
+
+This script reproduces every stage with this framework on the committed
+market fixture (tests/fixtures/market_fixture.csv — simulated panel, see
+scripts/make_market_fixture.py; the build environment has no network so the
+live yfinance pull cannot run). Outputs land in artifacts/.
+
+Stages (run all by default, or --stage NAME):
+  data       fixture -> reference feature recipe -> sequences + ground truth
+  train      published recipe via TrainPipeline (resumable, periodic ckpts)
+  quality    converged run (lr 1e-3) + regime-recovery vs fixture ground truth
+  eval       masked recon MSE report (eval/evaluate.py CLI path)
+  head       ImprovedPortfolioOptimizer on frozen posteriors (training.py:126)
+  backtest   Backtester + equal-weight benchmark -> backtest_results.png
+  montecarlo regime-conditional MC -> monte_carlo_results.png
+  report     artifacts/RECIPE_REPORT.md
+
+Run: python scripts/full_recipe.py [--stage all] [--outdir artifacts]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+FIXTURE = os.path.join("tests", "fixtures", "market_fixture.csv")
+SEQ_LEN, STRIDE = 100, 20
+
+
+def _np(path):
+    return np.load(path)
+
+
+def stage_data(outdir):
+    """Fixture -> the exact reference feature recipe -> windowed sequences,
+    plus per-window ground-truth regime labels for the quality stage."""
+    import pandas as pd
+
+    from vqvaehmm_tpu.data.market import (create_sequences,
+                                          load_fixture_frames,
+                                          prepare_sequences)
+
+    prices, regime_data, regimes = load_fixture_frames(FIXTURE)
+    x_data, u_data, returns, aligned_prices = prepare_sequences(
+        prices, regime_data)
+    x_seq, u_seq = create_sequences(x_data, u_data, SEQ_LEN, STRIDE)
+    x_seq = np.transpose(x_seq, (0, 2, 1)).astype(np.float32)
+    u_seq = np.transpose(u_seq, (0, 2, 1)).astype(np.float32)
+
+    # ground-truth regime label per (window, t), aligned through the dropna
+    z_aligned = regimes.loc[returns.index].values
+    z_win = np.stack([z_aligned[i:i + SEQ_LEN]
+                      for i in range(0, len(x_data) - SEQ_LEN, STRIDE)])
+
+    d = os.path.join(outdir, "data")
+    os.makedirs(d, exist_ok=True)
+    np.save(os.path.join(d, "x_sequences.npy"), x_seq)
+    np.save(os.path.join(d, "u_sequences.npy"), u_seq)
+    np.save(os.path.join(d, "z_windows.npy"), z_win)
+    np.save(os.path.join(d, "x_panel.npy"), x_data.astype(np.float32))
+    np.save(os.path.join(d, "u_panel.npy"), u_data.astype(np.float32))
+    np.save(os.path.join(d, "z_panel.npy"), z_aligned)
+    returns.to_csv(os.path.join(d, "returns.csv"))
+    aligned_prices.to_csv(os.path.join(d, "prices.csv"))
+    print(f"data: x {x_seq.shape} u {u_seq.shape} "
+          f"panel T={len(x_data)} assets={returns.shape[1]}")
+
+
+def _recipe_config(outdir, quality=False):
+    """The reference's published configuration (configs/config.yaml:3-34),
+    expressed in this framework's typed config."""
+    from vqvaehmm_tpu.core.config import (Config, DataConfig, ModelConfig,
+                                          PortfolioConfig, TrainConfig)
+
+    d = os.path.join(outdir, "data")
+    tag = "quality" if quality else "published"
+    return Config(
+        model=ModelConfig(input_dim=5, hidden_dim=64, K=3, hidden_dim2=32,
+                          u_dim=4, trans_hidden=128),
+        data=DataConfig(min_len=20, max_len=200,
+                        x_sequences_path=os.path.join(d, "x_sequences.npy"),
+                        u_sequences_path=os.path.join(d, "u_sequences.npy")),
+        training=TrainConfig(
+            batch_size=64,
+            num_epochs=40 if quality else 150,
+            learning_rate=1e-3 if quality else 1e-5,
+            beta_warmup=True, gradient_clip=1.0, seed=42,
+            checkpoint_dir=os.path.join(outdir, "checkpoints_" + tag),
+            save_freq=10),
+        portfolio=PortfolioConfig(n_assets=10, hidden_dim=64,
+                                  transaction_cost=0.001, max_weight=0.3),
+    )
+
+
+def _write_config(cfg, path):
+    from vqvaehmm_tpu.core.config import config_to_dict
+
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2, default=str)
+    return path
+
+
+def _train(outdir, quality):
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+    from vqvaehmm_tpu.utils.torch_interop import save_torch_file
+
+    tag = "quality" if quality else "published"
+    cfg = _recipe_config(outdir, quality)
+    _write_config(cfg, os.path.join(outdir, f"config_{tag}.json"))
+
+    history = []
+
+    def log(msg):
+        print(msg)
+        if msg.startswith("Epoch"):
+            history.append(float(msg.rsplit(" ", 1)[-1]))
+
+    t0 = time.time()
+    state = TrainPipeline(cfg).train(log_fn=log)
+    wall = time.time() - t0
+
+    ckdir = cfg.training.checkpoint_dir
+    # reference-loadable torch state_dict export (models/vae_hmm.pt analog)
+    save_torch_file(state.params, os.path.join(ckdir, "vae_hmm.pt"))
+    with open(os.path.join(outdir, f"train_history_{tag}.json"), "w") as f:
+        json.dump({"loss": history, "wall_seconds": wall,
+                   "epochs": cfg.training.num_epochs,
+                   "lr": cfg.training.learning_rate}, f, indent=2)
+    _plot_loss(history, os.path.join(outdir, f"loss_curve_{tag}.png"),
+               f"{tag} recipe: {cfg.training.num_epochs} epochs @ "
+               f"lr={cfg.training.learning_rate}")
+    print(f"train[{tag}]: {wall:.1f}s, final loss {history[-1]:.4f}")
+
+
+def _plot_loss(history, path, title):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(9, 4))
+    ax.plot(np.arange(1, len(history) + 1), history)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("negative ELBO")
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def stage_train(outdir):
+    _train(outdir, quality=False)
+
+
+def _load_trained(outdir, quality=False):
+    import jax.numpy as jnp  # noqa: F401
+
+    from vqvaehmm_tpu.data.checkpoint import load_params_npz
+    from vqvaehmm_tpu.models.vae_hmm import VAEHMM
+
+    cfg = _recipe_config(outdir, quality)
+    model = VAEHMM(cfg.model)
+    params = load_params_npz(os.path.join(cfg.training.checkpoint_dir,
+                                          "vae_hmm_trained.npz"))
+    return cfg, model, params
+
+
+def _best_perm_acc(pred, true, K=3):
+    import itertools
+
+    best, best_perm = 0.0, None
+    for perm in itertools.permutations(range(K)):
+        acc = float((np.asarray(perm)[pred] == true).mean())
+        if acc > best:
+            best, best_perm = acc, perm
+    return best, best_perm
+
+
+def stage_quality(outdir):
+    """Converged-config run + regime recovery vs the fixture's ground truth
+    for all three decode modes (VERDICT round-2 item 7)."""
+    import jax.numpy as jnp
+
+    _train(outdir, quality=True)
+    cfg, model, params = _load_trained(outdir, quality=True)
+    d = os.path.join(outdir, "data")
+    x = jnp.asarray(_np(os.path.join(d, "x_sequences.npy")))
+    u = jnp.asarray(_np(os.path.join(d, "u_sequences.npy")))
+    z = _np(os.path.join(d, "z_windows.npy"))
+
+    q = np.asarray(model.posterior(params, x))          # (N,K,T)
+    gamma = np.asarray(model.smoothed_posterior(params, x, u))
+    vit = np.asarray(model.viterbi_decode(params, x, u))
+
+    zf = z.reshape(-1)
+    out = {}
+    for name, pred in [("meanfield_argmax", q.argmax(1).reshape(-1)),
+                       ("smoothed_argmax", gamma.argmax(1).reshape(-1)),
+                       ("viterbi", vit.reshape(-1))]:
+        acc, perm = _best_perm_acc(pred, zf)
+        out["regime_acc_" + name] = round(acc, 4)
+    # regime stability: fraction of t with label change (lower = more stable)
+    for name, pred in [("meanfield_argmax", q.argmax(1)),
+                       ("smoothed_argmax", gamma.argmax(1)),
+                       ("viterbi", vit)]:
+        flips = (np.diff(pred, axis=1) != 0).mean()
+        out["switch_rate_" + name] = round(float(flips), 4)
+    out["switch_rate_ground_truth"] = round(
+        float((np.diff(z, axis=1) != 0).mean()), 4)
+
+    with open(os.path.join(outdir, "quality_fixture.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("quality:", json.dumps(out))
+
+
+def stage_eval(outdir):
+    from vqvaehmm_tpu.eval.evaluate import evaluate
+
+    d = os.path.join(outdir, "data")
+    x = _np(os.path.join(d, "x_sequences.npy"))
+    u = _np(os.path.join(d, "u_sequences.npy"))
+    for tag in ("published", "quality"):
+        cfgp = os.path.join(outdir, f"config_{tag}.json")
+        ck = os.path.join(outdir, f"checkpoints_{tag}",
+                          "vae_hmm_trained.npz")
+        if not (os.path.exists(cfgp) and os.path.exists(ck)):
+            continue
+        mse = evaluate(cfgp, ck, data=(x, u),
+                       output=os.path.join(outdir,
+                                           f"eval_results_{tag}.txt"))
+        print(f"eval[{tag}]: masked recon MSE {mse:.6f}")
+
+
+def _head_batches(outdir, batch_size=16, horizon=20):
+    """Window batches + realized post-window return horizons, the aligned
+    analog of the reference's returns_data[idx] (training.py:133-148)."""
+    import pandas as pd
+
+    d = os.path.join(outdir, "data")
+    x = _np(os.path.join(d, "x_sequences.npy"))
+    u = _np(os.path.join(d, "u_sequences.npy"))
+    rets = pd.read_csv(os.path.join(d, "returns.csv"), index_col=0).values
+
+    starts = np.arange(len(x)) * STRIDE
+    keep = starts + SEQ_LEN + horizon <= len(rets)
+    x, u, starts = x[keep], u[keep], starts[keep]
+    horizons = np.stack([rets[s + SEQ_LEN: s + SEQ_LEN + horizon]
+                         for s in starts]).astype(np.float32)
+
+    batches, returns_data = [], []
+    for i in range(0, len(x), batch_size):
+        xb, ub = x[i:i + batch_size], u[i:i + batch_size]
+        lengths = np.full(len(xb), xb.shape[2], np.int32)
+        batches.append((xb, ub, lengths))
+        returns_data.append(horizons[i:i + batch_size])
+    return batches, returns_data
+
+
+def stage_head(outdir):
+    import jax
+
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               ImprovedPortfolioOptimizer)
+    from vqvaehmm_tpu.train.heads import train_portfolio
+    from vqvaehmm_tpu.utils.torch_interop import save_torch_file  # noqa: F401
+
+    cfg, model, params = _load_trained(outdir, quality=True)
+    head = ImprovedPortfolioOptimizer(HeadConfig(K=3, n_assets=10,
+                                                 hidden_dim=64))
+    head_params = head.init(jax.random.PRNGKey(7))
+    batches, returns_data = _head_batches(outdir)
+    res = train_portfolio(head, head_params, model, params, batches,
+                          returns_data, num_epochs=100, lr=1e-3,
+                          log_fn=None)
+    from vqvaehmm_tpu.data.checkpoint import save_params_npz
+
+    save_params_npz(os.path.join(outdir, "portfolio_head.npz"), res.params)
+    with open(os.path.join(outdir, "head_history.json"), "w") as f:
+        json.dump({"loss": res.history}, f, indent=2)
+    print(f"head: {len(res.history)} epochs, "
+          f"loss {res.history[0]:.4f} -> {res.history[-1]:.4f}")
+
+
+def stage_backtest(outdir):
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from vqvaehmm_tpu.backtest.backtester import (Backtester,
+                                                  compare_strategies,
+                                                  plot_results)
+    from vqvaehmm_tpu.data.checkpoint import load_params_npz
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               ImprovedPortfolioOptimizer)
+
+    cfg, model, params = _load_trained(outdir, quality=True)
+    head = ImprovedPortfolioOptimizer(HeadConfig(K=3, n_assets=10,
+                                                 hidden_dim=64))
+    head_params = load_params_npz(os.path.join(outdir, "portfolio_head.npz"))
+
+    d = os.path.join(outdir, "data")
+    x_panel = _np(os.path.join(d, "x_panel.npy"))     # (T, 5)
+    prices = pd.read_csv(os.path.join(d, "prices.csv"), index_col=0).values
+    rets = pd.read_csv(os.path.join(d, "returns.csv"), index_col=0).values
+
+    data = np.transpose(x_panel)[None]                 # (1, 5, T)
+    model_fn = jax.jit(lambda q: head(head_params, q))
+    posterior_fn = jax.jit(lambda x: model.posterior(params, x))
+
+    bt = Backtester(initial_capital=100000.0, tx_cost=0.001,
+                    slippage=0.0005)
+    result = bt.run(model_fn, posterior_fn, data, prices, rets,
+                    rebalance_freq=5)
+
+    # equal-weight benchmark (reference backtest.py:295-305)
+    n_assets = prices.shape[1]
+    eq_fn = jax.jit(lambda q: jnp.full((q.shape[0], n_assets),
+                                       1.0 / n_assets))
+    eq_result = bt.run(eq_fn, posterior_fn, data, prices, rets,
+                       rebalance_freq=5)
+
+    comparison = compare_strategies({"regime_portfolio": result,
+                                     "equal_weight": eq_result})
+    fig = plot_results(result, title="Regime portfolio (fixture panel)")
+    if fig is not None:
+        fig.savefig(os.path.join(outdir, "backtest_results.png"), dpi=120)
+    payload = {"regime_portfolio": result.metrics,
+               "equal_weight": eq_result.metrics}
+    with open(os.path.join(outdir, "backtest_metrics.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+    print(result.summary())
+    print("equal-weight:", json.dumps(eq_result.metrics, default=float))
+    if comparison is not None:
+        print(comparison)
+
+
+def stage_montecarlo(outdir):
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from vqvaehmm_tpu.backtest.montecarlo import (analyze_monte_carlo,
+                                                  monte_carlo_simulation,
+                                                  plot_monte_carlo,
+                                                  regime_statistics)
+    from vqvaehmm_tpu.data.checkpoint import load_params_npz
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               ImprovedPortfolioOptimizer)
+
+    cfg, model, params = _load_trained(outdir, quality=True)
+    head = ImprovedPortfolioOptimizer(HeadConfig(K=3, n_assets=10,
+                                                 hidden_dim=64))
+    head_params = load_params_npz(os.path.join(outdir, "portfolio_head.npz"))
+
+    d = os.path.join(outdir, "data")
+    x_panel = _np(os.path.join(d, "x_panel.npy"))
+    u_panel = _np(os.path.join(d, "u_panel.npy"))
+    rets = pd.read_csv(os.path.join(d, "returns.csv"), index_col=0).values
+
+    # exact-Viterbi regime path over the whole panel (upgrade over the
+    # reference's argmax decode, SURVEY.md "HMM inference")
+    x = jnp.asarray(np.transpose(x_panel)[None])
+    u = jnp.asarray(np.transpose(u_panel)[None])
+    regimes = np.asarray(model.viterbi_decode(params, x, u))[0]
+
+    means, covs = regime_statistics(rets.astype(np.float32), regimes, K=3)
+
+    def weight_fn(onehot):
+        return head(head_params, onehot[None])[0]
+
+    mc = monte_carlo_simulation(weight_fn, means, covs,
+                                jax.random.PRNGKey(0), n_sim=1000,
+                                n_days=252)
+    stats = analyze_monte_carlo(mc)
+    plot_monte_carlo(mc, os.path.join(outdir, "monte_carlo_results.png"))
+    with open(os.path.join(outdir, "monte_carlo_stats.json"), "w") as f:
+        json.dump({k: float(v) for k, v in stats.items()}, f, indent=2)
+    print("monte carlo:", json.dumps({k: round(float(v), 4)
+                                      for k, v in stats.items()}))
+
+
+def stage_report(outdir):
+    def load(name, default=None):
+        p = os.path.join(outdir, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return default
+
+    pub = load("train_history_published.json", {})
+    qual = load("train_history_quality.json", {})
+    q = load("quality_fixture.json", {})
+    bt = load("backtest_metrics.json", {})
+    mc = load("monte_carlo_stats.json", {})
+    evals = {}
+    for tag in ("published", "quality"):
+        p = os.path.join(outdir, f"eval_results_{tag}.txt")
+        if os.path.exists(p):
+            evals[tag] = open(p).read().strip()
+
+    lines = [
+        "# Full-recipe reproduction report",
+        "",
+        "The reference's complete published workflow "
+        "(README.md:113-125, configs/config.yaml:3-34) executed end-to-end "
+        "by this framework on one TPU chip. Every stage below ran through "
+        "the same public APIs a user would call; artifacts in this "
+        "directory are the direct outputs.",
+        "",
+        "**Data honesty note:** the build environment has no network "
+        "egress, so the reference's live yfinance pull cannot run. All "
+        "numbers below come from the committed fixture panel "
+        "(`tests/fixtures/market_fixture.csv`) — a deterministic 3-regime "
+        "Markov-switching simulation calibrated to 2015-2024 stylized "
+        "facts (`scripts/make_market_fixture.py`). The feature recipe, "
+        "training, evaluation, backtest and Monte Carlo stages are "
+        "byte-identical to the live path from `prepare_sequences` onward.",
+        "",
+        "## 1. Published training recipe (150 epochs, B=64, lr=1e-5)",
+        "",
+        f"- final negative ELBO: **{pub.get('loss', ['?'])[-1]}** "
+        f"(loss curve: `loss_curve_published.png`)",
+        f"- wall clock: {round(pub.get('wall_seconds', 0), 1)}s on one "
+        "TPU v5e chip (reference: torch CPU/CUDA, unbenchmarked)",
+        "- exported reference-loadable checkpoint: "
+        "`checkpoints_published/vae_hmm.pt` + orbax + .npz",
+        "",
+        "## 2. Converged run (40 epochs, lr=1e-3)",
+        "",
+        f"- final negative ELBO: **{qual.get('loss', ['?'])[-1]}** "
+        f"(`loss_curve_quality.png`), wall "
+        f"{round(qual.get('wall_seconds', 0), 1)}s",
+        "- the published lr (1e-5) moves the loss only slightly in 150 "
+        "epochs; the converged run is what the downstream stages use.",
+        "",
+        "## 3. Evaluation (masked recon MSE)",
+        "",
+    ]
+    for tag, txt in evals.items():
+        lines.append(f"- {tag}: `{txt}`")
+    lines += [
+        "",
+        "## 4. Regime recovery vs fixture ground truth",
+        "",
+        "| decode mode | accuracy (best perm) | switch rate |",
+        "|---|---|---|",
+    ]
+    for mode in ("meanfield_argmax", "smoothed_argmax", "viterbi"):
+        lines.append(
+            f"| {mode} | {q.get('regime_acc_' + mode, '?')} | "
+            f"{q.get('switch_rate_' + mode, '?')} |")
+    lines += [
+        f"| ground truth | 1.0 | {q.get('switch_rate_ground_truth', '?')} |",
+        "",
+        "## 5. Backtest (tx cost 10bp, slippage 5bp, rebalance every 5d)",
+        "",
+        "| metric | regime portfolio | equal weight |",
+        "|---|---|---|",
+    ]
+    rp, ew = bt.get("regime_portfolio", {}), bt.get("equal_weight", {})
+    for k in sorted(set(rp) | set(ew)):
+        lines.append(f"| {k} | {round(rp.get(k, float('nan')), 4)} | "
+                     f"{round(ew.get(k, float('nan')), 4)} |")
+    lines += [
+        "",
+        "Plot: `backtest_results.png` (equity / drawdown / returns hist — "
+        "reference backtesting.py:184-211).",
+        "",
+        "## 6. Monte Carlo (1000 paths x 252 days, regime-conditional)",
+        "",
+    ]
+    for k, v in mc.items():
+        lines.append(f"- {k}: {round(v, 4)}")
+    lines += [
+        "",
+        "Plot: `monte_carlo_results.png` (reference backtest.py:253-290).",
+        "",
+        "Reproduce: `python scripts/full_recipe.py` (stages are resumable "
+        "and individually addressable with `--stage`).",
+    ]
+    with open(os.path.join(outdir, "RECIPE_REPORT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {os.path.join(outdir, 'RECIPE_REPORT.md')}")
+
+
+STAGES = ["data", "train", "quality", "eval", "head", "backtest",
+          "montecarlo", "report"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all", choices=STAGES + ["all"])
+    ap.add_argument("--outdir", default="artifacts")
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    todo = STAGES if args.stage == "all" else [args.stage]
+    for s in todo:
+        print(f"=== stage: {s} ===")
+        globals()["stage_" + s](args.outdir)
+
+
+if __name__ == "__main__":
+    main()

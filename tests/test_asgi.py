@@ -131,3 +131,50 @@ def test_asgi_malformed_payload_types_are_400(cfg_path):
     app = create_asgi_app(cfg_path)
     st, _ = asgi_request(app, "POST", "/infer", {"x": {"0": [1.0, 2.0]}})
     assert st == 400
+
+
+def test_gradio_callback_inference(cfg_path):
+    """One text -> (regime, probs, allocation) inference through the
+    demo's actual click callback (make_infer_fn), no gradio needed —
+    the last import-gated surface's logic executes in every environment
+    (round-2 VERDICT item 6)."""
+    from vqvaehmm_tpu.serve.gradio_app import make_infer_fn
+
+    infer = make_infer_fn(cfg_path)
+    text = "\n".join(" ".join(f"{0.1 * (i + j % 3):.3f}" for j in range(12))
+                     for i in range(5))
+    regime, probs, alloc = infer(text)
+    assert regime in ("Bull", "Bear", "Neutral")
+    assert abs(sum(probs.values()) - 1.0) < 1e-4
+    assert len(alloc) == 10
+    # allocation strings parse back to a normalized weight vector
+    weights = [float(v.rstrip("%")) / 100 for v in alloc.values()]
+    assert abs(sum(weights) - 1.0) < 1e-3
+
+
+def test_gradio_blocks_wiring_executes(cfg_path):
+    """build_demo's full Blocks wiring runs (against the real gradio when
+    installed, else a faithful stub) and the registered click callback
+    produces the same outputs as the direct callback."""
+    import gradio_stub
+
+    gradio_stub.install_stub()
+    try:
+        from vqvaehmm_tpu.serve.gradio_app import build_demo, make_infer_fn
+
+        demo = build_demo(cfg_path)
+        assert demo is not None
+        import sys
+
+        if getattr(sys.modules["gradio"], "__stub__", False):
+            buttons = gradio_stub.find_buttons(demo)
+            assert len(buttons) == 1 and len(buttons[0].clicks) == 1
+            cb = buttons[0].clicks[0]["fn"]
+            text = "\n".join(" ".join("0.05" for _ in range(8))
+                             for _ in range(5))
+            out_wired = cb(text)
+            out_direct = make_infer_fn(cfg_path)(text)
+            assert out_wired[0] == out_direct[0]
+            assert out_wired[2] == out_direct[2]
+    finally:
+        gradio_stub.uninstall_stub()

@@ -223,3 +223,45 @@ def test_env_knob_batches_all_surfaces(tmp_path, monkeypatch):
     finally:
         m.close()
         get_model.cache_clear()
+
+
+def test_warmup_covers_solo_and_exact_paths(model):
+    """warmup() must also compile the scalar-valid_to solo executable
+    (predict()/passthrough) and the exact-inference jits, so no live
+    request pays a first compile (round-2 advisor finding)."""
+    from vqvaehmm_tpu.serve.batching import BatchingModel
+
+    b = BatchingModel(model, max_batch=4, max_wait_ms=1.0)
+    seen = {"scalar": 0, "vector": 0, "exact": 0}
+    orig_infer = model._infer
+    orig_sm, orig_fi, orig_vi = (model._smoothed, model._filtered,
+                                 model._viterbi)
+
+    def spy_infer(x, lengths):
+        if getattr(lengths, "ndim", 0) == 0 or isinstance(lengths, int):
+            seen["scalar"] += 1
+        else:
+            seen["vector"] += 1
+        return orig_infer(x, lengths)
+
+    def spy_exact(orig):
+        def f(x, u, lens):
+            seen["exact"] += 1
+            return orig(x, u, lens)
+        return f
+
+    model._infer = spy_infer
+    model._smoothed = spy_exact(orig_sm)
+    model._filtered = spy_exact(orig_fi)
+    model._viterbi = spy_exact(orig_vi)
+    try:
+        b.warmup([20])
+        assert seen["scalar"] >= 1, seen
+        assert seen["vector"] >= 1, seen
+        assert seen["exact"] == 3, seen
+    finally:
+        model._infer = orig_infer
+        model._smoothed, model._filtered, model._viterbi = (orig_sm,
+                                                            orig_fi,
+                                                            orig_vi)
+        b.close()

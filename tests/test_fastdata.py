@@ -8,7 +8,8 @@ from vqvaehmm_tpu.data.dataset import _fastdata
 from vqvaehmm_tpu.data.synthetic import synthetic_sequences
 
 pytestmark = pytest.mark.skipif(_fastdata is None,
-                                reason="native extension not built")
+                                reason="native extension not built (run: python setup.py "
+                                       "build_ext --inplace)")
 
 
 def _ds(seed=0):

@@ -70,3 +70,37 @@ def test_elbo_gradient_finite_difference():
     l0 = float(loss_fn(params))
     l1 = float(loss_fn(unravel(flat_p - 1e-2 * flat_g)))
     assert l1 < l0
+
+
+def test_grad_through_posterior_auto_dispatch(monkeypatch):
+    """jax.grad through posterior() with the default fused=None must take
+    the XLA path even when the TPU auto-dispatch gate would otherwise pick
+    the (VJP-less) Pallas encoder (round-2 advisor finding).  Simulated by
+    forcing the backend/shape gates open; the autodiff-tracer gate must be
+    the one that says no."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.models import vae_hmm as vh
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 5, 16)).astype(np.float32))
+
+    monkeypatch.setattr(vh.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr("vqvaehmm_tpu.ops.pallas_encoder.encode_supported",
+                        lambda cfg, B, T: True)
+
+    def loss(p):
+        return model.posterior(p, x).sum()
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    # outside autodiff the forced-open gate still picks the fused path
+    # (we only verify the decision, not the kernel, on CPU)
+    assert vh._under_autodiff(params, x) is False

@@ -227,3 +227,101 @@ def test_session_export_import_continues_identically(setup):
         np.testing.assert_allclose(got[s_], got_ref[s_], atol=1e-6,
                                    err_msg=f"column {s_}")
     assert max(got) == T - 1
+
+
+def test_client_carried_state_across_workers(setup):
+    """Multi-worker story with ZERO manual export/import: the client sets
+    carry_state=true, echoes the returned state with each request, and
+    alternates between two independent StreamManagers ("workers"); the
+    settled columns must equal a single-worker run of the same stream."""
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import StreamManager
+
+    T = x.shape[1]
+
+    # single-worker reference run
+    solo = StreamManager(model, params)
+    ref_rows = []
+    for t in range(T):
+        out = solo.update("s", x[:, t], u[:, t], finish=(t == T - 1))
+        ref_rows += out["settled"]
+
+    # two workers, alternating per frame; nothing shared between them
+    workers = [StreamManager(model, params), StreamManager(model, params)]
+    rows, carried = [], None
+    for t in range(T):
+        w = workers[t % 2]
+        out = w.update("s", x[:, t], u[:, t], finish=(t == T - 1),
+                       state=carried, carry_state=True)
+        rows += out["settled"]
+        carried = out.get("state")
+        if t > 0:
+            # every hand-off after the first frame resumes from state
+            assert out.get("resumed") or t % 2 == (t - 1) % 2
+        # consume the session on this worker so the next hit of the SAME
+        # worker also resumes from carried state (pure client-carried mode)
+        if not out["settled"] or t < T - 1:
+            try:
+                w.export_session("s")
+            except ValueError:
+                pass
+
+    assert [r["t"] for r in rows] == [r["t"] for r in ref_rows]
+    for a, b in zip(rows, ref_rows):
+        np.testing.assert_allclose(a["regime_probs"], b["regime_probs"],
+                                   rtol=0, atol=0)
+
+
+def test_new_session_flag(setup):
+    """A fresh or expired session id must be flagged explicitly so clients
+    detect resets instead of inferring them from t indices."""
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import StreamManager
+
+    m = StreamManager(model, params, ttl_seconds=0.0)  # instant expiry
+    out1 = m.update("a", x[:, 0], u[:, 0])
+    assert out1["new_session"] is True and out1["resumed"] is False
+    import time
+
+    time.sleep(0.01)
+    # TTL expired: same id silently restarts -> flagged
+    out2 = m.update("a", x[:, 1], u[:, 1])
+    assert out2["new_session"] is True
+    # with client-carried state the restart resumes instead
+    m2 = StreamManager(model, params)
+    o = m2.update("b", x[:, 0], u[:, 0], carry_state=True)
+    assert o["new_session"] is True
+    m3 = StreamManager(model, params)
+    o2 = m3.update("b", x[:, 1], u[:, 1], state=o["state"])
+    assert o2["new_session"] is False and o2["resumed"] is True
+    assert o2["t_peek"] == 1
+
+
+def test_sessions_do_not_serialize_behind_one_lock(setup):
+    """The manager's global lock must not be held across filter compute:
+    with one session's per-session lock held, a DIFFERENT session's update
+    must still complete (head-of-line blocking fix)."""
+    import threading
+
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import StreamManager
+
+    m = StreamManager(model, params)
+    m.update("a", x[:, 0], u[:, 0])
+    m.update("b", x[:, 0], u[:, 0])
+
+    # hold session a's compute lock and drive session b from another thread
+    with m._session_locks["a"]:
+        done = threading.Event()
+        result = {}
+
+        def drive_b():
+            result["out"] = m.update("b", x[:, 1], u[:, 1])
+            done.set()
+
+        th = threading.Thread(target=drive_b)
+        th.start()
+        ok = done.wait(timeout=30.0)
+        th.join(timeout=5.0)
+    assert ok, "session b blocked behind session a's lock"
+    assert result["out"]["t_peek"] == 1

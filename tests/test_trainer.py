@@ -187,3 +187,106 @@ def test_mesh_epoch_numerics_at_full_per_device_batch():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_optimizer_trajectory_matches_torch_oracle():
+    """N-step Adam + global-norm-clip + beta-schedule trajectory against a
+    functional-torch implementation of the reference update
+    (VQ_VAE_HMM_fixed.py:145-162 loss/Adam + src/training/trainer.py:31
+    clip).  Same init, same batches; per-step losses must agree to <=1e-4
+    so a subtle optax-vs-torch divergence cannot hide until a full run."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    from vqvaehmm_tpu.utils.torch_interop import vae_hmm_params_to_state_dict
+
+    C, H, K, H2, U, TH = 5, 8, 3, 4, 2, 8
+    B, T = 4, 16
+    LR, CLIP, EPOCHS, BATCHES = 1e-3, 1.0, 8, 3
+
+    model = make_model(C, H, K, H2, u_dim=U, trans_hidden=TH)
+    params = model.init(jax.random.PRNGKey(3))
+    tx = make_optimizer(LR, gradient_clip=CLIP)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, donate=False)
+
+    # torch mirror: identical init via the state_dict export
+    sd = vae_hmm_params_to_state_dict(params)
+    tp = {k: torch.from_numpy(np.array(v)).requires_grad_()
+          for k, v in sd.items()}
+    opt = torch.optim.Adam(tp.values(), lr=LR)
+
+    def torch_loss(x, u, lengths, beta):
+        mask = torch.arange(T)[None, :] < lengths[:, None]
+        ut = u.permute(0, 2, 1).reshape(B * T, U)
+        h = F.relu(F.linear(ut, tp["prior.transition_net.0.weight"],
+                            tp["prior.transition_net.0.bias"]))
+        log_A = F.log_softmax(
+            F.linear(h, tp["prior.transition_net.2.weight"],
+                     tp["prior.transition_net.2.bias"]).view(B, T, K, K),
+            dim=-1)
+        log_pi = F.log_softmax(tp["prior.log_prior"], dim=-1)
+        h = F.relu(F.conv1d(x, tp["encoder.conv1.weight"],
+                            tp["encoder.conv1.bias"], padding=1))
+        h = F.relu(F.conv1d(h, tp["encoder.conv2.weight"],
+                            tp["encoder.conv2.bias"], padding=1))
+        logits = F.conv1d(h, tp["encoder.to_logits.weight"],
+                          tp["encoder.to_logits.bias"])
+        q = F.softmax(logits, dim=1)
+        e = torch.matmul(q.permute(0, 2, 1),
+                         tp["decoder.embeddings.weight"]).permute(0, 2, 1)
+        h = F.relu(F.conv1d(e, tp["decoder.conv1.weight"],
+                            tp["decoder.conv1.bias"], padding=1))
+        h = F.relu(F.conv1d(h, tp["decoder.conv2.weight"],
+                            tp["decoder.conv2.bias"], padding=1))
+        out = F.conv1d(h, tp["decoder.to_params.weight"],
+                       tp["decoder.to_params.bias"])
+        mu, logvar = out[:, :C], out[:, C:]
+        var = logvar.exp().clamp(min=1e-8)
+        nll = 0.5 * (torch.log(2 * math.pi * var) + (mu - x) ** 2 / var)
+        recon = (nll * mask.unsqueeze(1).float()).sum() / \
+            (mask.sum() * C).clamp(min=1.0)
+        init_t = (q[:, :, 0] * log_pi.unsqueeze(0)).sum(1)
+        qp = q[:, :, :-1].permute(0, 2, 1).unsqueeze(-1)
+        qn = q[:, :, 1:].permute(0, 2, 1).unsqueeze(-2)
+        trans = (qp * qn * log_A[:, 1:]).sum(dim=(2, 3))
+        tm = (mask[:, 1:] & mask[:, :-1]).float()
+        prior_l = -(init_t + (trans * tm).sum(1)).mean()
+        ent = -(q * F.log_softmax(logits, dim=1)).sum(1)
+        ent = (ent * mask.float()).sum() / B
+        return recon + beta * (prior_l - ent)
+
+    rng = np.random.default_rng(11)
+    jl, tl = [], []
+    for ep in range(EPOCHS):
+        beta = beta_schedule(ep, EPOCHS)
+        for _ in range(BATCHES):
+            x = rng.normal(size=(B, C, T)).astype(np.float32)
+            u = rng.normal(size=(B, U, T)).astype(np.float32)
+            lengths = rng.integers(T // 2, T + 1, size=B).astype(np.int32)
+            lengths[0] = T
+
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(u),
+                               jnp.asarray(lengths), jnp.float32(beta))
+            jl.append(float(loss))
+
+            opt.zero_grad()
+            tloss = torch_loss(torch.from_numpy(x), torch.from_numpy(u),
+                               torch.from_numpy(lengths.astype(np.int64)),
+                               beta)
+            tloss.backward()
+            torch.nn.utils.clip_grad_norm_(tp.values(), CLIP)
+            opt.step()
+            tl.append(float(tloss.detach()))
+
+    jl, tl = np.asarray(jl), np.asarray(tl)
+    np.testing.assert_allclose(jl, tl, atol=1e-4, rtol=1e-4)
+
+    # the trajectories must also land on the same parameters
+    sd_end = vae_hmm_params_to_state_dict(state.params)
+    for k, v in sd_end.items():
+        np.testing.assert_allclose(
+            v, tp[k].detach().numpy(), atol=2e-4, rtol=1e-3,
+            err_msg=f"param divergence at {k}")

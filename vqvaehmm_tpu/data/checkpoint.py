@@ -26,15 +26,24 @@ except Exception:  # pragma: no cover - orbax is in the image, but be safe
 
 def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
     """Save a TrainState (or any pytree); metadata goes to a sidecar JSON
-    (kept out of the array tree so restore templates stay clean)."""
+    (kept out of the array tree so restore templates stay clean).
+
+    Mesh-sharded states are gathered to host numpy before writing, so the
+    on-disk format is mesh-free: a checkpoint written under an 8-device
+    mesh restores under any other device count (place it back on a mesh
+    with `place_state`). For this model the whole TrainState is replicated
+    under data parallelism (only batches are sharded), so the gather is a
+    local copy, not a collective."""
     import json
 
     path = os.path.abspath(path)
+    host_state = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, state)
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, state, force=True)
+        ckptr.save(path, host_state, force=True)
     else:
-        flat, treedef = jax.tree_util.tree_flatten(state)
+        flat, treedef = jax.tree_util.tree_flatten(host_state)
         np.savez(path + ".npz", *[np.asarray(a) for a in flat])
     if metadata:
         with open(path + ".meta.json", "w") as f:

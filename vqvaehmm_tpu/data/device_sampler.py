@@ -1,0 +1,111 @@
+"""Device-side epoch assembly: host samples indices, the chip gathers.
+
+The reference feeds training through a host DataLoader that materializes
+every padded batch in Python (VQ_VAE_HMM_fixed.py:164-179).  At TPU
+training rates the host becomes the bottleneck: assembling a
+(batches, B, C, T) epoch in numpy/C costs tens of MB of host writes per
+epoch while the fused train step consumes it in ~1 ms.  The TPU-native
+fix is to stop shipping *data* per epoch at all:
+
+* the source sequence pool is uploaded ONCE, zero-padded to a static
+  (N, C, Tpad) block;
+* per epoch the host draws only the (seq_idx, start, length) integer
+  triples — identical distribution (and, per seed, the identical stream)
+  to RandomChunkDataset.__getitem__ — a few KB instead of tens of MB;
+* a jitted vmapped dynamic-slice gather + length mask materializes the
+  padded epoch entirely in HBM.
+
+The resulting epoch tensors are bit-identical to the numpy host path
+(tests/test_data.py::test_device_sampler_matches_host_path), so training
+results are unchanged; only the host<->device traffic collapses.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dataset import RandomChunkDataset
+
+
+class DeviceEpochSampler:
+    """Epoch producer with device-resident sources and on-device gather."""
+
+    def __init__(self, dataset: RandomChunkDataset, device=None):
+        self.dataset = dataset
+        self.max_len = dataset.max_len
+        self.min_len = dataset.min_len
+        n = len(dataset.x_seqs)
+        self.seq_lens = np.array([x.shape[1] for x in dataset.x_seqs],
+                                 np.int32)
+        C = dataset.x_seqs[0].shape[0]
+        U = dataset.u_seqs[0].shape[0]
+        # pad every sequence to Tmax + max_len so a max_len-wide
+        # dynamic_slice at any start <= seq_len never clamps (clamping
+        # would silently shift the window)
+        tpad = int(self.seq_lens.max()) + self.max_len
+        xsrc = np.zeros((n, C, tpad), np.float32)
+        usrc = np.zeros((n, U, tpad), np.float32)
+        for i, (xs, us) in enumerate(zip(dataset.x_seqs, dataset.u_seqs)):
+            xsrc[i, :, :xs.shape[1]] = xs
+            usrc[i, :, :us.shape[1]] = us
+        self.xsrc = jax.device_put(jnp.asarray(xsrc), device)
+        self.usrc = jax.device_put(jnp.asarray(usrc), device)
+
+        max_len = self.max_len
+
+        def gather_one(src, si, st, ln):
+            seq = jnp.take(src, si, axis=0)            # (C, Tpad)
+            win = jax.lax.dynamic_slice(
+                seq, (jnp.int32(0), st), (seq.shape[0], max_len))
+            mask = (jnp.arange(max_len, dtype=jnp.int32) < ln)
+            return win * mask[None, :].astype(win.dtype)
+
+        def gather_epoch(xsrc, usrc, seq_idx, starts, lengths):
+            # (nb, B) int32 each -> (nb, B, C, max_len) etc.
+            flat = lambda a: a.reshape(-1)
+            gx = jax.vmap(gather_one, in_axes=(None, 0, 0, 0))
+            x = gx(xsrc, flat(seq_idx), flat(starts), flat(lengths))
+            u = gx(usrc, flat(seq_idx), flat(starts), flat(lengths))
+            nb, B = seq_idx.shape
+            return (x.reshape(nb, B, *x.shape[1:]),
+                    u.reshape(nb, B, *u.shape[1:]), lengths)
+
+        self._gather = jax.jit(gather_epoch)
+
+    def sample_indices(self, batch_size: int,
+                       num_batches: Optional[int] = None
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host-side index triples, drawn with the dataset's own rng in
+        the exact per-item order __getitem__ uses, so a given seed yields
+        the same sample stream as the numpy host path."""
+        ds = self.dataset
+        if num_batches is None:
+            num_batches = len(ds) // batch_size
+        n_items = num_batches * batch_size
+        seq_idx = np.empty(n_items, np.int32)
+        starts = np.empty(n_items, np.int32)
+        lengths = np.empty(n_items, np.int32)
+        for i in range(n_items):
+            si = int(ds.rng.integers(0, len(ds.x_seqs)))
+            seq_len = int(self.seq_lens[si])
+            hi = min(ds.max_len, seq_len)
+            ln = int(ds.rng.integers(ds.min_len, hi + 1))
+            st = int(ds.rng.integers(0, seq_len - ln + 1))
+            seq_idx[i], starts[i], lengths[i] = si, st, ln
+        shape = (num_batches, batch_size)
+        return (seq_idx.reshape(shape), starts.reshape(shape),
+                lengths.reshape(shape))
+
+    def epoch(self, batch_size: int, num_batches: Optional[int] = None):
+        """(x:(N,B,C,max_len), u:(N,B,U,max_len), lengths:(N,B)) device
+        arrays for one epoch — same contract as data.dataset.epoch_arrays
+        but assembled in HBM."""
+        seq_idx, starts, lengths = self.sample_indices(batch_size,
+                                                       num_batches)
+        return self._gather(self.xsrc, self.usrc,
+                            jnp.asarray(seq_idx), jnp.asarray(starts),
+                            jnp.asarray(lengths))

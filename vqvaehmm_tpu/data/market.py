@@ -87,19 +87,54 @@ def create_sequences(x_data: np.ndarray, u_data: np.ndarray,
     return np.array(xs), np.array(us)
 
 
+def load_fixture_frames(fixture_path: str):
+    """Load a committed close-price panel (tests/fixtures/market_fixture.csv)
+    into the same (prices, regime_data) frames `download_data` returns, so
+    the whole feature recipe (reference: data_loader.py:28-70) runs on it
+    without network access. A `__regime__` ground-truth column, if present,
+    is split off and returned third (else None)."""
+    import pandas as pd
+
+    frame = pd.read_csv(fixture_path, index_col="Date", parse_dates=True)
+    regimes = None
+    if "__regime__" in frame.columns:
+        regimes = frame.pop("__regime__").astype(int)
+    regime_cols = [c for c in REGIME_TICKERS if c in frame.columns]
+    prices = frame[[c for c in frame.columns if c not in regime_cols]]
+    regime_data = frame[regime_cols]
+    return prices, regime_data, regimes
+
+
 def load_portfolio_data(tickers: Optional[List[str]] = None,
                         start_date: str = "2015-01-01",
                         end_date: str = "2024-01-01",
                         fallback_synthetic: bool = True,
+                        fixture_path: Optional[str] = None,
                         log_fn=print) -> Dict:
     """Complete pipeline (reference: data_loader.py:73-102); returns dict of
-    (N, feat, T) float32 arrays + aligned returns/prices frames."""
+    (N, feat, T) float32 arrays + aligned returns/prices frames.
+
+    With `fixture_path` (or env VQHMM_MARKET_FIXTURE) the prices come from a
+    committed CSV panel instead of yfinance; everything downstream of
+    `download_data` is byte-identical to the live path."""
+    import os
+
     tickers = tickers or DEFAULT_TICKERS
+    fixture_path = fixture_path or os.environ.get("VQHMM_MARKET_FIXTURE")
     try:
-        if log_fn:
-            log_fn("Downloading data...")
-        prices, regime_data = download_data(tickers, REGIME_TICKERS,
-                                            start_date, end_date)
+        if fixture_path:
+            if log_fn:
+                log_fn(f"Loading fixture {fixture_path}...")
+            prices, regime_data, _ = load_fixture_frames(fixture_path)
+            prices = prices.loc[start_date:end_date]
+            regime_data = regime_data.loc[start_date:end_date]
+        else:
+            if log_fn:
+                log_fn("Downloading data...")
+            prices, regime_data = download_data(tickers, REGIME_TICKERS,
+                                                start_date, end_date)
+        if fixture_path:
+            tickers = list(prices.columns)
         x_data, u_data, returns, aligned = prepare_sequences(prices,
                                                              regime_data)
         x_seq, u_seq = create_sequences(x_data, u_data)

@@ -224,16 +224,27 @@ class StreamManager:
         self._step_fn = make_step_fn(model)
         import threading
 
+        self._threading = threading
+        # The global lock guards ONLY the session tables (lookup, TTL,
+        # create/delete); filter compute runs under a per-session lock so
+        # concurrent streams never serialize behind one device step
+        # (round-2 advisor finding, head-of-line blocking).
         self._lock = threading.Lock()
+        self._session_locks: Dict[str, object] = {}
 
     def export_session(self, session: str) -> dict:
         """Serialize and REMOVE a session (hand-off to another worker)."""
         with self._lock:
             f = self._sessions.pop(session, None)
             self._touched.pop(session, None)
+            lock = self._session_locks.pop(session, None)
             if f is None:
                 raise ValueError(f"no open session {session!r}")
-            return f.state_dict()
+        # wait out any in-flight update on this session before serializing
+        if lock is not None:
+            with lock:
+                return f.state_dict()
+        return f.state_dict()
 
     def import_session(self, session: str, state: dict) -> None:
         """Adopt a session exported elsewhere; continues bit-identically."""
@@ -244,6 +255,7 @@ class StreamManager:
                              step_fn=self._step_fn)
             f.load_state(state)
             self._sessions[session] = f
+            self._session_locks[session] = self._threading.Lock()
             import time as _time
 
             self._touched[session] = _time.monotonic()
@@ -254,31 +266,61 @@ class StreamManager:
         for k in stale:
             del self._sessions[k]
             del self._touched[k]
+            self._session_locks.pop(k, None)
 
-    def update(self, session: str, x_t, u_t, finish: bool = False) -> dict:
+    def update(self, session: str, x_t, u_t, finish: bool = False,
+               state: Optional[dict] = None,
+               carry_state: bool = False) -> dict:
+        """Feed one frame to a named session.
+
+        Multi-worker story (docs/serving.md): pass `carry_state=True` and
+        the response includes the complete serialized filter state; a
+        client that sends that state back with its next request
+        (`state=...`) can hit ANY worker — an unknown/expired session with
+        a client-carried state resumes bit-identically, no manual
+        export/import.  The response's `new_session` flag tells the client
+        whether this request started a fresh filter (so a silently expired
+        session can be detected instead of inferred from t indices —
+        round-2 advisor finding).
+        """
         import time as _time
 
         with self._lock:
             now = _time.monotonic()
             self._expire(now)
             f = self._sessions.get(session)
+            new_session = f is None
+            resumed = False
             if f is None:
                 if len(self._sessions) >= self.max_sessions:
                     raise ValueError("too many open stream sessions")
                 f = OnlineFilter(self.model, self.params,
                                  step_fn=self._step_fn)
+                if state is not None:
+                    f.load_state(state)
+                    resumed = True
                 self._sessions[session] = f
+                self._session_locks[session] = self._threading.Lock()
             self._touched[session] = now
+            slock = self._session_locks[session]
+
+        with slock:
             settled = f.update(x_t, u_t) if x_t is not None else []
             out = {"settled": [{"t": t, "regime_probs": q.tolist()}
-                               for t, q in settled]}
+                               for t, q in settled],
+                   "new_session": new_session and not resumed,
+                   "resumed": resumed}
             if finish:
                 out["settled"] += [{"t": t, "regime_probs": q.tolist()}
                                    for t, q in f.finish()]
-                del self._sessions[session]
-                del self._touched[session]
+                with self._lock:
+                    self._sessions.pop(session, None)
+                    self._touched.pop(session, None)
+                    self._session_locks.pop(session, None)
             else:
                 peek = f.peek()
                 out["peek"] = peek.tolist() if peek is not None else None
                 out["t_peek"] = f.n_frames - 1
+                if carry_state:
+                    out["state"] = f.state_dict()
             return out

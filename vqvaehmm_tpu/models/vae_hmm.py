@@ -37,6 +37,21 @@ from ..ops.precise import pexp, plog, plog_softmax, psoftmax
 Params = Dict
 
 
+def _under_autodiff(*trees) -> bool:
+    """True when any leaf is an autodiff tracer (jax.grad/jvp/vjp in
+    flight).  Auto-dispatch gates on this because the Pallas kernels have
+    no VJP — differentiating callers must get the XLA path, not an error.
+    JAX's grad machinery has used both JVPTracer and (0.9+) LinearizeTracer
+    for the forward pass of a linearization, so both are checked."""
+    from jax._src.interpreters import ad as _ad
+
+    types = tuple(t for t in (getattr(_ad, "JVPTracer", None),
+                              getattr(_ad, "LinearizeTracer", None))
+                  if t is not None)
+    return any(isinstance(leaf, types) for tree in trees
+               for leaf in jax.tree_util.tree_leaves(tree))
+
+
 class VAEHMM:
     """Mean-field VAE with an input-conditioned HMM prior over K regimes."""
 
@@ -265,7 +280,9 @@ class VAEHMM:
         fused=None auto-dispatches the VMEM-resident encoder kernel
         (ops/pallas_encoder.py) on TPU when shapes qualify — the
         backtester's posterior extraction hot path; explicit True/False
-        forces a path."""
+        forces a path.  The kernel has no VJP, so auto-dispatch steps
+        aside when x or params is an autodiff tracer (jax.grad through
+        posterior() then takes the XLA path instead of raising)."""
         if fused is None:
             from ..ops.pallas_encoder import encode_supported
 
@@ -275,7 +292,8 @@ class VAEHMM:
             # numeric class between qualifying and non-qualifying shapes
             fused = (jax.default_backend() == "tpu"
                      and self.compute_dtype == jnp.float32
-                     and encode_supported(self.cfg, B, T))
+                     and encode_supported(self.cfg, B, T)
+                     and not _under_autodiff(params, x))
         return psoftmax(self.encode(params, x, fused=fused), axis=1)
 
     def infer_forward(self, params: Params, x: jnp.ndarray,

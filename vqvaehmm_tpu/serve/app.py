@@ -190,11 +190,18 @@ class InferenceModel:
                 "regime_probs": np.asarray(q)[0, :, T - 1].tolist()}
 
     def stream(self, session: str, x_t=None, u_t=None,
-               finish: bool = False):
+               finish: bool = False, state=None, carry_state: bool = False):
         """Streaming filtered-posterior session (models/online.py): POST a
         frame at a time, get settled columns (2-frame encoder lag) plus a
         provisional peek for the newest frame.  finish=True flushes the
-        tail and closes the session."""
+        tail and closes the session.
+
+        Multi-worker: carry_state=True returns the serialized filter
+        state in the response; a client that posts it back (`state`) may
+        hit any worker — an unknown session resumes from the carried
+        state bit-identically.  `new_session` in the response flags a
+        fresh filter (e.g. TTL-expired session id) so clients detect
+        resets explicitly."""
         if not isinstance(session, str) or not session:
             raise ValueError("field 'session' (non-empty string) required")
         if x_t is None and not finish:
@@ -211,7 +218,12 @@ class InferenceModel:
                     f"u_t must be [U={self.cfg.model.u_dim}] floats")
         else:
             x_arr = u_arr = None
-        return self._streams.update(session, x_arr, u_arr, finish=finish)
+        if state is not None and not isinstance(state, dict):
+            raise ValueError("field 'state' must be an exported "
+                             "session-state object")
+        return self._streams.update(session, x_arr, u_arr, finish=finish,
+                                    state=state,
+                                    carry_state=bool(carry_state))
 
     def _get_head(self):
         if not hasattr(self, "_head"):
@@ -296,17 +308,21 @@ def create_app(config_path: str = "inference_config.json"):
         x_t: Optional[List[float]] = None
         u_t: Optional[List[float]] = None
         finish: bool = False
+        state: Optional[dict] = None
+        carry_state: bool = False
 
     @app.post("/stream")
     def stream(req: StreamRequest):
         # NOTE: stream sessions are per-PROCESS state.  Under a
         # multi-worker server (gunicorn -w N) consecutive frames of one
-        # session land on different workers and each sees a gap-filled
-        # stream — run streaming on a single-worker deployment or with
-        # session-affine routing (docs/serving.md "Streaming sessions").
+        # session land on different workers; clients that set
+        # carry_state=true and echo the returned `state` back survive
+        # worker fan-out with no affinity (docs/serving.md "Streaming
+        # sessions"); otherwise run single-worker or session-affine.
         try:
             return get_model(config_path).stream(
-                req.session, x_t=req.x_t, u_t=req.u_t, finish=req.finish)
+                req.session, x_t=req.x_t, u_t=req.u_t, finish=req.finish,
+                state=req.state, carry_state=req.carry_state)
         except ValueError as e:
             raise HTTPException(status_code=400, detail=str(e))
         except Exception as e:

@@ -82,10 +82,12 @@ def create_asgi_app(config_path: str = "inference_config.json"):
                 req = json.loads((await _read_body(receive)) or b"{}")
                 model = get_model(config_path)
                 if path == "/stream":
-                    out = model.stream(req.get("session"),
-                                       x_t=req.get("x_t"),
-                                       u_t=req.get("u_t"),
-                                       finish=bool(req.get("finish", False)))
+                    out = model.stream(
+                        req.get("session"), x_t=req.get("x_t"),
+                        u_t=req.get("u_t"),
+                        finish=bool(req.get("finish", False)),
+                        state=req.get("state"),
+                        carry_state=bool(req.get("carry_state", False)))
                     await _respond(send, 200, out)
                     return
                 if "x" not in req:

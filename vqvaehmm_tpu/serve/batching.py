@@ -88,10 +88,16 @@ class BatchingModel:
                                         daemon=True)
         self._thread.start()
 
-    def warmup(self, lengths=(200,)):
+    def warmup(self, lengths=(200,), exact_modes: bool = True):
         """Compile the executable ladder up front (every batch-bucket x
         length-bucket pair that dispatches could hit) so no request pays a
-        compile.  Production servers should call this at startup."""
+        compile.  Production servers should call this at startup.
+
+        Covers the vector-valid_to batched executables AND the
+        scalar-valid_to solo path (used by predict() and the non-mean-field
+        passthrough, which bypass the dispatcher — round-2 advisor
+        finding); exact_modes also warms the smoothed/filtered/viterbi
+        jits per bucket."""
         from .app import DEFAULT_BUCKETS
 
         jnp = self.model._jnp
@@ -111,6 +117,16 @@ class BatchingModel:
                 x = jnp.zeros((pad_b, C, pad_to), jnp.float32)
                 ln = jnp.ones((pad_b,), jnp.int32)
                 self.model._infer(x, ln)
+            # solo scalar-valid_to executable (predict / passthrough path)
+            self.model._infer(jnp.asarray(probe), pad_to)
+            if exact_modes:
+                U = self.model.cfg.model.u_dim or 0
+                xp = jnp.asarray(probe[:1])
+                up = jnp.zeros((1, U, pad_to), jnp.float32)
+                lens = jnp.asarray([pad_to], jnp.int32)
+                self.model._smoothed(xp, up, lens)
+                self.model._filtered(xp, up, lens)
+                self.model._viterbi(xp, up, lens)
 
     # -- the contract surface (same as InferenceModel) --------------------
 

@@ -51,13 +51,14 @@ def run_inference(text: str, posterior_fn, weight_fn,
                     zip(REGIME_NAMES[:q.shape[1]], q[0, :, -1])}, alloc
 
 
-def build_demo(config_path: str = "inference_config.json"):
-    """Construct the Gradio Blocks app (requires `pip install gradio`)."""
-    import gradio as gr
-
-    from .app import get_model
-    from ..models.portfolio import HeadConfig, TransformerPortfolioOptimizer
+def make_infer_fn(config_path: str = "inference_config.json"):
+    """The demo's click callback, text -> (regime, probs, allocation),
+    independent of gradio so the inference path is testable and reusable
+    anywhere (reference: app.py:56-98's predict closure)."""
     import jax
+
+    from ..models.portfolio import HeadConfig, TransformerPortfolioOptimizer
+    from .app import get_model
 
     m = get_model(config_path)
     head = TransformerPortfolioOptimizer(HeadConfig(
@@ -66,9 +67,6 @@ def build_demo(config_path: str = "inference_config.json"):
     head_params = head.init(jax.random.PRNGKey(0))
 
     def infer(text):
-        out = m.infer  # noqa: F841 - model warm
-        import jax.numpy as jnp
-
         def posterior_fn(x):
             return m.model.posterior(m.params, x)
 
@@ -76,6 +74,15 @@ def build_demo(config_path: str = "inference_config.json"):
             return head(head_params, q)
 
         return run_inference(text, posterior_fn, weight_fn)
+
+    return infer
+
+
+def build_demo(config_path: str = "inference_config.json"):
+    """Construct the Gradio Blocks app (requires `pip install gradio`)."""
+    import gradio as gr
+
+    infer = make_infer_fn(config_path)
 
     with gr.Blocks(title="VQ-VAE-HMM regime detection") as demo:
         gr.Markdown("# Market regime detection & allocation")

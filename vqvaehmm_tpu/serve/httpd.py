@@ -43,7 +43,9 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
                     self._send(200, model.stream(
                         req.get("session"), x_t=req.get("x_t"),
                         u_t=req.get("u_t"),
-                        finish=bool(req.get("finish", False))))
+                        finish=bool(req.get("finish", False)),
+                        state=req.get("state"),
+                        carry_state=bool(req.get("carry_state", False))))
                     return
                 if "x" not in req:
                     self._send(400, {"detail": "missing field 'x'"})
