@@ -260,7 +260,9 @@ def _head_batches(outdir, batch_size=16, horizon=20):
                          for s in starts]).astype(np.float32)
 
     batches, returns_data = [], []
-    for i in range(0, len(x), batch_size):
+    for i in range(0, len(x) - batch_size + 1, batch_size):
+        # uniform batches only (ragged tail dropped): the fused scan
+        # trainer stacks them
         xb, ub = x[i:i + batch_size], u[i:i + batch_size]
         lengths = np.full(len(xb), xb.shape[2], np.int32)
         batches.append((xb, ub, lengths))
@@ -273,17 +275,17 @@ def stage_head(outdir):
 
     from vqvaehmm_tpu.models.portfolio import (HeadConfig,
                                                ImprovedPortfolioOptimizer)
-    from vqvaehmm_tpu.train.heads import train_portfolio
-    from vqvaehmm_tpu.utils.torch_interop import save_torch_file  # noqa: F401
+    from vqvaehmm_tpu.train.heads import train_portfolio_fused
 
     cfg, model, params = _load_trained(outdir, quality=True)
     head = ImprovedPortfolioOptimizer(HeadConfig(K=3, n_assets=10,
                                                  hidden_dim=64))
     head_params = head.init(jax.random.PRNGKey(7))
     batches, returns_data = _head_batches(outdir)
-    res = train_portfolio(head, head_params, model, params, batches,
-                          returns_data, num_epochs=100, lr=1e-3,
-                          log_fn=None)
+    # single-scan fused trainer: same math as the reference's loop
+    # (training.py:126-163), 1+N dispatches instead of 2*E*N
+    res = train_portfolio_fused(head, head_params, model, params, batches,
+                                returns_data, num_epochs=100, lr=1e-3)
     from vqvaehmm_tpu.data.checkpoint import save_params_npz
 
     save_params_npz(os.path.join(outdir, "portfolio_head.npz"), res.params)

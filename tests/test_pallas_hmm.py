@@ -76,3 +76,49 @@ def test_posterior_mode_pallas_dispatch():
     s_scan = hmm.posterior_mode(x, lengths, use_pallas=False)
     s_pal = hmm.posterior_mode(x, lengths, use_pallas=True)
     np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_pal))
+
+
+def test_viterbi_vmem_gate_bounds_T():
+    """Auto-dispatch must refuse the doubling-scan kernel when its O(T)
+    VMEM tapes exceed the scoped budget (found live: a T=2327 whole-panel
+    decode was rejected by Mosaic at 24.84 MB), falling back to the scan
+    path instead of failing to compile."""
+    from vqvaehmm_tpu.ops.pallas_hmm import viterbi_supported
+
+    assert viterbi_supported(200, 3)        # the benchmark shape fits
+    assert viterbi_supported(512, 3)
+    assert not viterbi_supported(2327, 3)   # the live failure
+    assert not viterbi_supported(2000, 8)
+
+
+def test_viterbi_decode_auto_dispatch_long_T(monkeypatch):
+    """With the backend gate forced open, a long-T viterbi_decode must
+    route to the scan path (and succeed) rather than the Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.models import vae_hmm as vh
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    T = 2327
+    x = jnp.asarray(rng.normal(size=(1, 5, T)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(1, 4, T)).astype(np.float32))
+
+    calls = {"pallas": 0}
+    import vqvaehmm_tpu.ops.pallas_hmm as ph
+
+    real = ph.viterbi_pallas
+
+    def spy(*a, **k):
+        calls["pallas"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(ph, "viterbi_pallas", spy)
+    monkeypatch.setattr(vh.jax, "default_backend", lambda: "tpu")
+    states = model.viterbi_decode(params, x, u)
+    assert states.shape == (1, T)
+    assert calls["pallas"] == 0, "long-T decode must not take the kernel"

@@ -177,3 +177,27 @@ def test_walkforward_single_executable():
     # one trace of the window fit (+ one eager model call per evaluate);
     # a per-window retrace would add one call per window
     assert calls["n"] == 1 + 3, calls
+
+
+def test_train_portfolio_fused_matches_stepwise(frozen_vae, rng):
+    """The single-scan fused head trainer must reproduce the step-wise
+    train_portfolio per-epoch losses and final params (same math, ~2EN
+    fewer dispatches)."""
+    from vqvaehmm_tpu.train.heads import train_portfolio_fused
+
+    vae, vae_params = frozen_vae
+    head, head_params = _head()
+    batches = _batches(rng, n_batches=3)
+    rets = synthetic_returns(3, 8, horizon=20, n_assets=4, seed=2)
+
+    ref = train_portfolio(head, head_params, vae, vae_params, batches,
+                          rets, num_epochs=4, lr=0.01, log_fn=None)
+    fused = train_portfolio_fused(head, head_params, vae, vae_params,
+                                  batches, rets, num_epochs=4, lr=0.01)
+
+    np.testing.assert_allclose(fused.history, ref.history, rtol=1e-5,
+                               atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(fused.params),
+                    jax.tree_util.tree_leaves(ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -100,12 +100,41 @@ class DeviceEpochSampler:
         return (seq_idx.reshape(shape), starts.reshape(shape),
                 lengths.reshape(shape))
 
-    def epoch(self, batch_size: int, num_batches: Optional[int] = None):
+    def sample_indices_fast(self, batch_size: int,
+                            num_batches: Optional[int] = None
+                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized index draws: the same distribution as
+        sample_indices but one rng call per field instead of one per item
+        (~3 orders of magnitude less host work — the per-item loop would
+        itself bottleneck a fused TPU train step).  The sample STREAM
+        differs from the numpy path for a given seed; distribution is
+        identical (mirrors the native C sampler's contract,
+        data/dataset.py::epoch_arrays use_native)."""
+        ds = self.dataset
+        if num_batches is None:
+            num_batches = len(ds) // batch_size
+        n = num_batches * batch_size
+        si = ds.rng.integers(0, len(ds.x_seqs), size=n)
+        seq_len = self.seq_lens[si].astype(np.int64)
+        hi = np.minimum(ds.max_len, seq_len)
+        ln = ds.rng.integers(ds.min_len, hi + 1)
+        st = ds.rng.integers(0, seq_len - ln + 1)
+        shape = (num_batches, batch_size)
+        return (si.astype(np.int32).reshape(shape),
+                st.astype(np.int32).reshape(shape),
+                ln.astype(np.int32).reshape(shape))
+
+    def epoch(self, batch_size: int, num_batches: Optional[int] = None,
+              exact_stream: bool = True):
         """(x:(N,B,C,max_len), u:(N,B,U,max_len), lengths:(N,B)) device
         arrays for one epoch — same contract as data.dataset.epoch_arrays
-        but assembled in HBM."""
-        seq_idx, starts, lengths = self.sample_indices(batch_size,
-                                                       num_batches)
+        but assembled in HBM.  exact_stream=True reproduces the numpy host
+        path's sample stream bit-for-bit (per-item draws);
+        exact_stream=False uses the vectorized host draws (same
+        distribution, negligible host cost — the production setting)."""
+        draw = (self.sample_indices if exact_stream
+                else self.sample_indices_fast)
+        seq_idx, starts, lengths = draw(batch_size, num_batches)
         return self._gather(self.xsrc, self.usrc,
                             jnp.asarray(seq_idx), jnp.asarray(starts),
                             jnp.asarray(lengths))

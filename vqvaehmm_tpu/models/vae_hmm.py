@@ -372,7 +372,7 @@ class VAEHMM:
             from ..ops.pallas_decode import fused_evidence, supported
 
             B, _, T = x.shape
-            if supported(B, T):
+            if supported(B, T, self.cfg):
                 return fused_evidence(self, params, x, u, lengths)
         log_pi, log_A = self.prior(params, u)
         log_obs = self._hmm_evidence(params, x, lengths)
@@ -453,9 +453,16 @@ class VAEHMM:
         from ..ops import hmm as hmm_ops
 
         if use_pallas is None:
-            # compute_dtype gate: see posterior() — the kernels are f32
+            from ..ops.pallas_hmm import viterbi_supported
+
+            # compute_dtype gate: see posterior() — the kernels are f32.
+            # viterbi_supported bounds T: the doubling-scan kernel keeps
+            # O(K) live (T, 128) tapes in VMEM, so very long sequences
+            # (e.g. whole-panel decodes, T~2000+) must take the scan path
+            # or Mosaic rejects the allocation at compile time.
             use_pallas = (jax.default_backend() == "tpu"
-                          and self.compute_dtype == jnp.float32)
+                          and self.compute_dtype == jnp.float32
+                          and viterbi_supported(x.shape[2], self.cfg.K))
         log_pi, log_A = self.prior(params, u)
         log_obs = self._hmm_evidence(params, x, lengths)
         if use_pallas:

@@ -200,8 +200,26 @@ def _call(xt, ut, mf, vm, weights, *, K, T, block_b, interpret, highest):
     )(xt, ut, mf, vm, *weights)
 
 
-def supported(B: int, T: int) -> bool:
-    return T % 8 == 0 and _pick_block_b(B, T) != 0
+def supported(B: int, T: int, cfg=None) -> bool:
+    """Shape gate for the one-kernel decode: lane tiling satisfiable AND
+    the block working set fits the VMEM budget.  The kernel's live rows
+    are the evidence stack (encoder taps + prior MLP) plus O(K^2)
+    delta/bp/selector rows over block_b*T lanes — without the bound a
+    long-T decode dies in the Mosaic allocator instead of falling back
+    (same failure class as pallas_hmm.viterbi_supported)."""
+    if T % 8 != 0:
+        return False
+    bb = _pick_block_b(B, T)
+    if bb == 0:
+        return False
+    if cfg is not None:
+        from .pallas_train import _train_rows_estimate, fits_vmem
+
+        rows = _train_rows_estimate(cfg) + 8 * cfg.K * cfg.K
+        return fits_vmem(rows, bb, T)
+    from .pallas_train import fits_vmem
+
+    return fits_vmem(700, bb, T)  # conservative H<=64-class bound
 
 
 def _evidence_kernel(xt_ref, ut_ref, vm_ref,

@@ -47,6 +47,22 @@ _LANES = 128
 _NEG = -1e30  # max-plus "-inf" that stays finite under addition
 
 
+def viterbi_supported(T: int, K: int,
+                      budget_bytes: int = 14 * 1024 * 1024) -> bool:
+    """True when the doubling-scan kernel's working set fits scoped VMEM.
+
+    The kernel keeps O(K) live (T, 128) tapes: K*K step-matrix slices of
+    the transition tape plus delta/bp (2K) in phase 1 and G/Gs/out (3K)
+    selector tapes in phase 3, all f32/i32.  Measured calibration: a
+    T=2327, K=3 decode was rejected by Mosaic at 24.84 MB — consistent
+    with ~(K*K + 5K + 4) tapes — so the gate uses that coefficient
+    against the 14 MB budget shared with the other kernels.  Beyond it,
+    callers (VAEHMM.viterbi_decode auto-dispatch) must take the lax.scan
+    path; forcing use_pallas=True past the bound fails at compile."""
+    tapes = K * K + 5 * K + 4
+    return tapes * T * _LANES * 4 <= budget_bytes
+
+
 def _viterbi_kernel(pi_ref, A_ref, obs_ref, states_ref, score_ref,
                     *, T: int, K: int):
     f32 = jnp.float32

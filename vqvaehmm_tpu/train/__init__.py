@@ -2,7 +2,7 @@ from .trainer import (Trainer, TrainState, beta_schedule,
                       create_train_state, make_epoch_step, make_optimizer,
                       make_train_step, train_model)
 from .heads import (train_delta_hedger, train_portfolio,
-                    train_portfolio_optimizer)
+                    train_portfolio_fused, train_portfolio_optimizer)
 from .strategies import (MetaPortfolioOptimizer, OnlinePortfolioOptimizer,
                          WalkForwardTrainer)
 from .pipeline import TrainPipeline, load_sequences

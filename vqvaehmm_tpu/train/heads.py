@@ -108,6 +108,86 @@ def train_portfolio(head_model, head_params, vae_model: VAEHMM, vae_params,
     return HeadTrainResult(params, history)
 
 
+def train_portfolio_fused(head_model, head_params, vae_model: VAEHMM,
+                          vae_params, batches, returns_data,
+                          num_epochs: int = 100, lr: float = 0.001,
+                          use_scheduler: bool = True,
+                          loss_fn: Optional[Callable] = None,
+                          gradient_clip: float = 1.0) -> HeadTrainResult:
+    """train_portfolio with the whole optimization fused into ONE jitted
+    lax.scan: posteriors for every batch are computed once up front, then
+    all num_epochs x n_batches updates run on-device with no host
+    round-trips.  Same math as train_portfolio (cosine epoch schedule,
+    global-norm clip, prev-weights turnover chaining, no turnover term on
+    the very first update) — tests/test_strategies.py asserts per-epoch
+    loss equality against the step-wise path.
+
+    Requires uniform batch shapes (stacked); use train_portfolio for
+    ragged batch lists.  Dispatch cost drops from
+    2 * E * N host->device calls to 1 + N.
+    """
+    if loss_fn is None:
+        loss_fn = portfolio_loss
+
+    @jax.jit
+    def posterior(x):
+        return jax.lax.stop_gradient(vae_model.posterior(vae_params, x))
+
+    qs = jnp.stack([posterior(jnp.asarray(x)) for x, _, _ in batches])
+    rets = jnp.stack([jnp.asarray(r) for r in returns_data])
+    n_batches = qs.shape[0]
+    B, A = qs.shape[1], rets.shape[-1]
+
+    tx = optax.chain(optax.clip_by_global_norm(gradient_clip),
+                     optax.adam(lr))
+    epochs = jnp.arange(num_epochs, dtype=jnp.float32)
+    lr_scales = (0.5 * (1 + jnp.cos(jnp.pi * epochs / num_epochs))
+                 if use_scheduler else jnp.ones(num_epochs))
+
+    def update(carry, inp):
+        params, opt_state, prev_w, is_first = carry
+        q, r, lr_scale = inp
+
+        def _loss(p):
+            w = head_model(p, q)
+            # the reference passes prev_weights=None on the very first
+            # batch (training.py:133,148): no turnover term at all
+            loss = jnp.where(is_first,
+                             loss_fn(w, r, None, q),
+                             loss_fn(w, r, prev_w, q))
+            return loss, w
+
+        (loss, w), grads = jax.value_and_grad(_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, jax.lax.stop_gradient(w),
+                jnp.zeros((), bool)), loss
+
+    @jax.jit
+    def run(params, qs, rets):
+        opt_state = tx.init(params)
+
+        def epoch_step(carry, lr_scale):
+            # inner scan over the epoch's batches; qs/rets are closed-over
+            # constants (resident once, NOT tiled per epoch)
+            def batch_step(c, inp):
+                q, r = inp
+                return update(c, (q, r, lr_scale))
+
+            carry, losses = jax.lax.scan(batch_step, carry, (qs, rets))
+            return carry, losses.mean()
+
+        carry = (params, opt_state, jnp.zeros((B, A), qs.dtype),
+                 jnp.ones((), bool))
+        (params, _, _, _), epoch_losses = jax.lax.scan(
+            epoch_step, carry, lr_scales)
+        return params, epoch_losses
+
+    params, epoch_losses = run(head_params, qs, rets)
+    return HeadTrainResult(params, [float(v) for v in epoch_losses])
+
+
 def train_portfolio_optimizer(head_model, head_params, vae_model: VAEHMM,
                               vae_params, batches, returns_data,
                               num_epochs: int = 50, lr: float = 1e-3,
