@@ -141,9 +141,13 @@ def bench_viterbi_p50() -> float:
             return tot
         return f
 
-    p50, _ = saturated_marginal(make, est_us=60.0, floor_ms=60.0)
-    log(f"viterbi: p50 {p50:.1f} us/batch marginal (B={B}, T={T}, K={K})")
-    return p50
+    from vqvaehmm_tpu.utils.benchmarking import saturated_marginal_windows
+
+    p50, lo, hi, _ = saturated_marginal_windows(make, est_us=60.0,
+                                                floor_ms=60.0)
+    log(f"viterbi: p50 {p50:.1f} us/batch marginal "
+        f"[{lo:.1f}, {hi:.1f}] over 5 windows (B={B}, T={T}, K={K})")
+    return p50, lo, hi
 
 
 def bench_serving_forward() -> float:
@@ -178,10 +182,128 @@ def bench_serving_forward() -> float:
             return tot
         return f
 
-    us, _ = saturated_marginal(make, est_us=100.0)
+    from vqvaehmm_tpu.utils.benchmarking import saturated_marginal_windows
+
+    us, lo_us, hi_us, _ = saturated_marginal_windows(make, est_us=100.0)
     sps = B / us * 1e6
-    log(f"serving forward: {us:.1f} us/fwd at B={B} -> {sps:.0f} seqs/s")
-    return sps
+    lo_sps, hi_sps = B / hi_us * 1e6, B / lo_us * 1e6
+    log(f"serving forward: {us:.1f} us/fwd at B={B} -> {sps:.0f} seqs/s "
+        f"[{lo_sps:.0f}, {hi_sps:.0f}] over 5 windows")
+    return sps, lo_sps, hi_sps
+
+
+def bench_end_to_end() -> dict:
+    """Training goodput INCLUDING the input pipeline (round-2 VERDICT
+    item 2): the device-resident headline says nothing about whether the
+    1-core host can feed it.  Two feeding strategies are measured over
+    full epochs at the benchmark config:
+
+    * host path: native C sampler (native/fastdata.c) + double-buffered
+      prefetch (data/prefetch.py) assembling epochs in host RAM and
+      shipping them — the reference's DataLoader pattern done as fast as
+      this host allows;
+    * device sampler (data/device_sampler.py): the host draws only index
+      triples; chunk gather + padding run on-chip from a resident source
+      pool — the TPU-native design that removes the host from the loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import RandomChunkDataset, TrainState, make_model
+    from vqvaehmm_tpu.data.device_sampler import DeviceEpochSampler
+    from vqvaehmm_tpu.data.prefetch import prefetch_epochs
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+    from vqvaehmm_tpu.train.trainer import make_epoch_step, make_optimizer
+
+    model = make_model(C, HIDDEN, K, HIDDEN2, u_dim=U,
+                       trans_hidden=TRANS_HIDDEN,
+                       matmul_precision="default",
+                       compute_dtype="bfloat16")
+    tx = make_optimizer(LR)
+    params = model.init(jax.random.PRNGKey(0))
+    epoch_step = make_epoch_step(model, tx, donate=True, fused=True)
+
+    xs, us, _ = synthetic_sequences(16, 2 * T, C, U, K, seed=0)
+
+    def run_epochs(feed, n_epochs, state):
+        t0 = time.perf_counter()
+        n_seqs = 0
+        for xb, ub, lb in feed(n_epochs):
+            state, loss = epoch_step(state, jnp.asarray(xb),
+                                     jnp.asarray(ub), jnp.asarray(lb),
+                                     jnp.float32(1.0))
+            n_seqs += int(np.prod(lb.shape))
+        float(loss)  # sync
+        return n_seqs / (time.perf_counter() - t0), state
+
+    # Epoch sizes differ per path: the host path is measured small (it
+    # runs at a few thousand seqs/s on this 1-core host — 50 batches
+    # already costs ~30s of wall clock); the device paths use epochs big
+    # enough to amortize the per-dispatch tunnel round-trip the same way
+    # the device-resident headline's 3200-step scan does.
+    n_batches, warm, timed = 50, 2, 6
+    n_batches_dev = 800
+
+    # host path (native sampler + prefetch)
+    ds = RandomChunkDataset(xs, us, min_len=T // 2, max_len=T,
+                            samples_per_epoch=n_batches * B, seed=0)
+
+    def host_feed(n):
+        return prefetch_epochs(ds, B, n, num_batches=n_batches)
+
+    # fresh buffer copies per path: epoch_step donates its state, and two
+    # TrainStates sharing params leaves would leave path 2 reading
+    # donated (deleted) buffers
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    state = TrainState(p1, tx.init(p1), jnp.zeros((), jnp.int32))
+    _, state = run_epochs(host_feed, warm, state)  # compile + warm cache
+    host_sps, state = run_epochs(host_feed, timed, state)
+
+    # device-sampler path
+    ds2 = RandomChunkDataset(xs, us, min_len=T // 2, max_len=T,
+                             samples_per_epoch=n_batches_dev * B, seed=0)
+    sampler = DeviceEpochSampler(ds2)
+
+    def dev_feed(n):
+        for _ in range(n):
+            yield sampler.epoch(B, num_batches=n_batches_dev,
+                                exact_stream=False)
+
+    p2 = jax.tree_util.tree_map(jnp.copy, params)
+    state2 = TrainState(p2, tx.init(p2), jnp.zeros((), jnp.int32))
+    _, state2 = run_epochs(dev_feed, warm, state2)
+    dev_sps, _ = run_epochs(dev_feed, timed, state2)
+
+    # gather fused INTO the training scan: one dispatch per epoch, host
+    # ships only (batches, B) int32 index triples
+    ds3 = RandomChunkDataset(xs, us, min_len=T // 2, max_len=T,
+                             samples_per_epoch=n_batches_dev * B, seed=0)
+    sampler3 = DeviceEpochSampler(ds3)
+    gstep = sampler3.make_epoch_step(model, tx, fused=True, donate=True)
+    p3 = jax.tree_util.tree_map(jnp.copy, params)
+    state3 = TrainState(p3, tx.init(p3), jnp.zeros((), jnp.int32))
+
+    def run_gathered(n_epochs, state):
+        t0 = time.perf_counter()
+        n_seqs = 0
+        for _ in range(n_epochs):
+            si, st_, ln = sampler3.sample_indices_fast(B, n_batches_dev)
+            state, loss = gstep(state, jnp.asarray(si), jnp.asarray(st_),
+                                jnp.asarray(ln), jnp.float32(1.0))
+            n_seqs += si.size
+        float(loss)
+        return n_seqs / (time.perf_counter() - t0), state
+
+    _, state3 = run_gathered(warm, state3)
+    gath_sps, _ = run_gathered(timed, state3)
+
+    log(f"end-to-end train: host-fed {host_sps:.0f} seqs/s "
+        f"({n_batches} batches/epoch), "
+        f"device-sampler {dev_sps:.0f} seqs/s, "
+        f"gather-in-scan {gath_sps:.0f} seqs/s "
+        f"({n_batches_dev} batches/epoch; B={B}, T={T})")
+    return {"host_fed": host_sps, "device_sampler": dev_sps,
+            "gather_in_scan": gath_sps}
 
 
 def bench_torch_cpu() -> float:
@@ -277,15 +399,20 @@ def bench_torch_cpu() -> float:
 def main():
     jax_sps = bench_jax()
     try:
-        vit_p50 = bench_viterbi_p50()
+        vit_p50, vit_lo, vit_hi = bench_viterbi_p50()
     except Exception as e:  # secondary metric; never sink the headline
         log(f"viterbi bench failed: {e}")
-        vit_p50 = None
+        vit_p50 = vit_lo = vit_hi = None
     try:
-        serve_sps = bench_serving_forward()
+        serve_sps, serve_lo, serve_hi = bench_serving_forward()
     except Exception as e:  # secondary metric; never sink the headline
         log(f"serving forward bench failed: {e}")
-        serve_sps = None
+        serve_sps = serve_lo = serve_hi = None
+    try:
+        e2e = bench_end_to_end()
+    except Exception as e:  # secondary metric; never sink the headline
+        log(f"end-to-end bench failed: {e}")
+        e2e = {}
     try:
         torch_sps = bench_torch_cpu()
     except Exception as e:  # torch baseline is an anchor, not a dependency
@@ -299,14 +426,30 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         # Second half of BASELINE.json's metric: Viterbi decode p50.  The
         # reference has no Viterbi (argmax decode, backtesting.py:155), so
-        # this number IS the baseline being established.
+        # this number IS the baseline being established.  _spread fields
+        # are [min, max] over 5 independent measurement windows — any
+        # published claim must sit inside them (round-2 VERDICT item 3).
         "viterbi_decode_p50_us_per_batch":
             round(vit_p50, 1) if vit_p50 is not None else None,
+        "viterbi_decode_spread_us":
+            [round(vit_lo, 1), round(vit_hi, 1)]
+            if vit_lo is not None else None,
         "viterbi_shape": f"B={B},T={T},K={K}",
         # serving forward through the fused kernel (ops/pallas_infer.py),
         # default full-f32 precision — the production /infer hot path
         "serving_forward_seqs_per_sec_per_chip":
             round(serve_sps) if serve_sps is not None else None,
+        "serving_forward_spread":
+            [round(serve_lo), round(serve_hi)]
+            if serve_lo is not None else None,
+        # training goodput including the input pipeline (host-fed C
+        # sampler + prefetch vs on-device index-gather assembly)
+        "train_seqs_per_sec_end_to_end_host_fed":
+            round(e2e["host_fed"]) if e2e else None,
+        "train_seqs_per_sec_end_to_end_device_sampler":
+            round(e2e["device_sampler"]) if e2e else None,
+        "train_seqs_per_sec_end_to_end_gather_in_scan":
+            round(e2e["gather_in_scan"]) if e2e else None,
     }))
 
 

@@ -1,0 +1,104 @@
+"""Production-scale MXU probe for the fused train kernel: measure the
+step at B=256 / T=512 / K=8 / H=64 across batch-block sizes.
+
+Round-2 VERDICT weak item 7: the probe at block_b=1 plateaued at ~57%
+MXU; _pick_block_b always returns the SMALLEST lane-legal block, but at
+T=512 larger blocks still fit the VMEM budget and give every MXU pass a
+wider lane dimension plus 4x fewer grid steps of weight-gradient
+accumulation.  This script measures the actual choices.
+
+Run (TPU): python scripts/mxu_probe.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+
+import numpy as np
+
+
+CONFIGS = {
+    # H=64 class: several blocks fit VMEM -> the sweep is meaningful
+    "h64": dict(B=256, C=5, T=512, K=8, U=4, H=64, H2=32, TH=128),
+    # the round-2 10x probe shape (BENCH_NOTES "Production-scale probe"):
+    # rows ~3460 -> ONLY block_b=1 fits the 14 MB budget
+    "10x": dict(B=256, C=16, T=512, K=8, U=4, H=256, H2=128, TH=256),
+}
+
+
+def probe(name):
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.ops.pallas_train import (_train_rows_estimate,
+                                               fits_vmem,
+                                               fused_loss_and_grads)
+
+    c = CONFIGS[name]
+    B, C, T, K, U = c["B"], c["C"], c["T"], c["K"], c["U"]
+    model = make_model(C, c["H"], K, c["H2"], u_dim=U, trans_hidden=c["TH"],
+                       compute_dtype="bfloat16",
+                       matmul_precision="default")
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(B, U, T)).astype(np.float32))
+    lengths = jnp.asarray(np.full(B, T, np.int32))
+    rows = _train_rows_estimate(model.cfg)
+
+    results = {}
+    for bb in (1, 2, 4, 8):
+        if B % bb or not fits_vmem(rows, bb, T):
+            print(f"block_b={bb}: skipped (vmem/divisibility)",
+                  file=sys.stderr)
+            continue
+
+        @jax.jit
+        def run(x, u, lengths, bb=bb):
+            def body(c, i):
+                loss, grads = fused_loss_and_grads(
+                    model, params, x + (i * 1e-7).astype(jnp.float32), u,
+                    lengths, 1.0, block_b=bb)
+                return c + loss, None
+            tot, _ = jax.lax.scan(body, jnp.zeros(()),
+                                  jnp.arange(8, dtype=jnp.int32))
+            return tot
+
+        try:
+            float(run(x, u, lengths))  # compile
+        except Exception as e:
+            print(f"block_b={bb}: failed to compile: {e}", file=sys.stderr)
+            continue
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(run(x, u, lengths))
+            best = min(best, time.perf_counter() - t0)
+        us_per_step = best / 8 * 1e6
+        results[bb] = round(us_per_step, 1)
+        print(f"block_b={bb}: {us_per_step:.1f} us/step", file=sys.stderr)
+
+    out = {"shape": f"B={B},T={T},K={K},H={c['H']},C={C}",
+           "rows_estimate": rows,
+           "us_per_step_by_block_b": results}
+    print(json.dumps(out))
+    return out
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="h64", choices=list(CONFIGS) + ["all"])
+    args = ap.parse_args()
+    for name in (CONFIGS if args.config == "all" else [args.config]):
+        probe(name)
+
+
+if __name__ == "__main__":
+    main()

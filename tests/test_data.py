@@ -178,3 +178,85 @@ def test_device_sampler_matches_host_path():
     x_d2, _, l_d2 = sampler.epoch(8)
     np.testing.assert_array_equal(l_h2, np.asarray(l_d2))
     np.testing.assert_array_equal(x_h2, np.asarray(x_d2))
+
+
+def test_gather_fused_epoch_step_matches_two_call():
+    """The gather-in-scan epoch trainer must produce the same update as
+    gathering the epoch first and running the standard epoch scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import TrainState, make_epoch_step, make_model
+    from vqvaehmm_tpu.data import DeviceEpochSampler, RandomChunkDataset
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+    from vqvaehmm_tpu.train.trainer import make_optimizer
+
+    xs, us, _ = synthetic_sequences(4, 60, 5, 4, 3, seed=1)
+    ds = RandomChunkDataset(xs, us, min_len=8, max_len=24,
+                            samples_per_epoch=16, seed=5)
+    sampler = DeviceEpochSampler(ds)
+    si, st, ln = sampler.sample_indices_fast(8, num_batches=2)
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    tx = make_optimizer(1e-3)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # path A: gather the epoch, then the standard epoch scan
+    x, u, l = sampler._gather(sampler.xsrc, sampler.usrc,
+                              jnp.asarray(si), jnp.asarray(st),
+                              jnp.asarray(ln))
+    sA = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    stepA = make_epoch_step(model, tx, donate=False)
+    sA, lossA = stepA(sA, x, u, l, jnp.float32(1.0))
+
+    # path B: gather fused into the training scan
+    sB = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    stepB = sampler.make_epoch_step(model, tx, donate=False)
+    sB, lossB = stepB(sB, jnp.asarray(si), jnp.asarray(st),
+                      jnp.asarray(ln), jnp.float32(1.0))
+
+    assert abs(float(lossA) - float(lossB)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params),
+                    jax.tree_util.tree_leaves(sB.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_gather_fused_epoch_step_mesh_matches_single_device():
+    """The gather-in-scan trainer under a data-parallel mesh (index
+    arrays sharded on their batch dim) must match the single-device run."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import TrainState, make_model
+    from vqvaehmm_tpu.data import DeviceEpochSampler, RandomChunkDataset
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+    from vqvaehmm_tpu.parallel import create_mesh
+    from vqvaehmm_tpu.train.trainer import make_optimizer
+
+    xs, us, _ = synthetic_sequences(4, 60, 5, 4, 3, seed=1)
+    ds = RandomChunkDataset(xs, us, min_len=8, max_len=24,
+                            samples_per_epoch=32, seed=9)
+    sampler = DeviceEpochSampler(ds)
+    si, st, ln = sampler.sample_indices_fast(16, num_batches=2)
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    tx = make_optimizer(1e-3)
+    params = model.init(jax.random.PRNGKey(0))
+
+    sA = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    stepA = sampler.make_epoch_step(model, tx, donate=False)
+    sA, lossA = stepA(sA, jnp.asarray(si), jnp.asarray(st),
+                      jnp.asarray(ln), jnp.float32(1.0))
+
+    mesh = create_mesh(8)
+    sB = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    stepB = sampler.make_epoch_step(model, tx, donate=False, mesh=mesh)
+    sB, lossB = stepB(sB, jnp.asarray(si), jnp.asarray(st),
+                      jnp.asarray(ln), jnp.float32(1.0))
+
+    assert abs(float(lossA) - float(lossB)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params),
+                    jax.tree_util.tree_leaves(sB.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

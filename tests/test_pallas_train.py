@@ -165,3 +165,22 @@ def test_train_step_supported_vmem_guard():
     big = ModelConfig(input_dim=5, hidden_dim=256, K=3, hidden_dim2=128,
                       u_dim=4, trans_hidden=256)
     assert not train_step_supported(big, 64, 200)     # VMEM budget
+
+
+def test_pick_block_b_prefers_largest_fitting():
+    """With a rows estimate, the block picker must return the LARGEST
+    VMEM-fitting lane-legal block (production probe: block_b 1 -> 4 is
+    ~6.5% faster at B=256/T=512/K=8); without one, the smallest legal
+    block (the conservative historical default)."""
+    from vqvaehmm_tpu.ops.pallas_train import _pick_block_b, fits_vmem
+
+    # T=512: every block size is lane-legal (512 % 128 == 0... gcd 128)
+    assert _pick_block_b(256, 512) == 1
+    bb = _pick_block_b(256, 512, rows=1240)
+    assert bb == 4
+    assert fits_vmem(1240, bb, 512) and not fits_vmem(1240, 8, 512)
+    # benchmark shape: bb0=16 and only 16 fits at ~990 rows
+    assert _pick_block_b(64, 200) == 16
+    assert _pick_block_b(64, 200, rows=990) == 16
+    # nothing fits -> 0 (callers fall back to the XLA path)
+    assert _pick_block_b(256, 512, rows=10 ** 6) == 0

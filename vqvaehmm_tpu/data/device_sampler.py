@@ -65,14 +65,18 @@ class DeviceEpochSampler:
             return win * mask[None, :].astype(win.dtype)
 
         def gather_epoch(xsrc, usrc, seq_idx, starts, lengths):
-            # (nb, B) int32 each -> (nb, B, C, max_len) etc.
-            flat = lambda a: a.reshape(-1)
+            # (nb, B) int32 each -> (nb, B, C, max_len) etc.  The vmap is
+            # bounded at B and lax.map'd over batches: a flat nb*B-way
+            # vmap at production epoch sizes (50k+ samples) crashes the
+            # XLA compile at the gather's unrolled scatter/gather graph.
             gx = jax.vmap(gather_one, in_axes=(None, 0, 0, 0))
-            x = gx(xsrc, flat(seq_idx), flat(starts), flat(lengths))
-            u = gx(usrc, flat(seq_idx), flat(starts), flat(lengths))
-            nb, B = seq_idx.shape
-            return (x.reshape(nb, B, *x.shape[1:]),
-                    u.reshape(nb, B, *u.shape[1:]), lengths)
+
+            def one_batch(inp):
+                si, st, ln = inp
+                return gx(xsrc, si, st, ln), gx(usrc, si, st, ln)
+
+            x, u = jax.lax.map(one_batch, (seq_idx, starts, lengths))
+            return x, u, lengths
 
         self._gather = jax.jit(gather_epoch)
 
@@ -123,6 +127,66 @@ class DeviceEpochSampler:
         return (si.astype(np.int32).reshape(shape),
                 st.astype(np.int32).reshape(shape),
                 ln.astype(np.int32).reshape(shape))
+
+    def make_epoch_step(self, model, tx, fused: bool = False,
+                        donate: bool = True, mesh=None):
+        """Epoch trainer with the gather fused INTO the training scan:
+        each scan iteration gathers its batch from the resident source
+        pool and applies one optimizer update, all inside ONE jitted
+        call per epoch.
+
+        This removes both residual costs of the two-call design
+        (gather-epoch dispatch + a (batches, B, C, T) epoch buffer in
+        HBM): the host ships only three (batches, B) int32 index arrays
+        per epoch.  Returns step(state, seq_idx, starts, lengths, beta)
+        -> (state, mean_loss); feed it `sample_indices_fast` output.
+
+        mesh: data-parallel execution — the (batches, B) index arrays
+        shard over the data axis on their batch dim (bulk bytes stay
+        replicated in the resident pool; gathers are chip-local, and the
+        gradient all-reduce comes from the sharded update as usual).
+        """
+        import jax
+        from jax import lax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..train.trainer import _sgd_update
+
+        xsrc, usrc = self.xsrc, self.usrc
+        max_len = self.max_len
+
+        def gather_batch(src, si, st, ln):
+            def one(si_i, st_i, ln_i):
+                seq = jnp.take(src, si_i, axis=0)
+                win = lax.dynamic_slice(
+                    seq, (jnp.int32(0), st_i), (seq.shape[0], max_len))
+                mask = (jnp.arange(max_len, dtype=jnp.int32) < ln_i)
+                return win * mask[None, :].astype(win.dtype)
+
+            return jax.vmap(one)(si, st, ln)
+
+        def epoch(state, seq_idx, starts, lengths, beta):
+            def body(st, inp):
+                si, stt, ln = inp                      # (B,) each
+                x = gather_batch(xsrc, si, stt, ln)    # (B, C, max_len)
+                u = gather_batch(usrc, si, stt, ln)
+                st, loss = _sgd_update(model, tx, st, x, u, ln, beta,
+                                       fused=fused, mesh=mesh)
+                return st, loss
+
+            state, losses = lax.scan(body, state,
+                                     (seq_idx, starts, lengths))
+            return state, losses.mean()
+
+        donate_argnums = (0,) if donate else ()
+        if mesh is None:
+            return jax.jit(epoch, donate_argnums=donate_argnums)
+        repl = NamedSharding(mesh, P())
+        idx = NamedSharding(mesh, P(None, "data"))
+        return jax.jit(epoch,
+                       in_shardings=(repl, idx, idx, idx, repl),
+                       out_shardings=(repl, repl),
+                       donate_argnums=donate_argnums)
 
     def epoch(self, batch_size: int, num_batches: Optional[int] = None,
               exact_stream: bool = True):

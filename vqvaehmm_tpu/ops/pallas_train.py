@@ -384,14 +384,25 @@ def pack_encoder_prior_weights(p: Params):
     )
 
 
-def _pick_block_b(B: int, T: int) -> int:
-    """Smallest batch block whose lane count (block_b * T) is 128-divisible
-    (Mosaic requires lane blocks % 128 == 0) and which divides B."""
+def _pick_block_b(B: int, T: int, rows: int | None = None) -> int:
+    """Batch block whose lane count (block_b * T) is 128-divisible
+    (Mosaic requires lane blocks % 128 == 0) and which divides B.
+
+    Without `rows`: the smallest legal block (the historical default).
+    With `rows` (a live-row estimate for the kernel): the LARGEST legal
+    block that still fits the VMEM budget — wider lane dims per MXU pass
+    and fewer grid steps of gradient accumulation.  Measured at the
+    production probe shape (B=256, T=512, K=8): block_b 1 -> 4 is ~6.5%
+    faster (4777 -> 4487 us/step, BENCH_NOTES.md "Production-scale
+    block sweep")."""
     bb0 = 128 // math.gcd(T, 128)
-    for k in range(1, B // bb0 + 1):
-        if B % (k * bb0) == 0:
-            return k * bb0
-    return 0
+    legal = [k * bb0 for k in range(1, B // bb0 + 1) if B % (k * bb0) == 0]
+    if not legal:
+        return 0
+    if rows is None:
+        return legal[0]
+    fitting = [bb for bb in legal if fits_vmem(rows, bb, T)]
+    return max(fitting) if fitting else 0
 
 
 # Conservative VMEM budget for a kernel's live activations; past this the
@@ -464,8 +475,9 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     B, C, T = x.shape
     K = cfg.K
     if block_b is None:
-        block_b = _pick_block_b(B, T) if not interpret \
-            else (B if B <= 8 else math.gcd(B, 8))
+        block_b = (_pick_block_b(B, T, rows=_train_rows_estimate(cfg))
+                   if not interpret
+                   else (B if B <= 8 else math.gcd(B, 8)))
     if T % 8 != 0 or block_b == 0 or B % block_b != 0 \
             or (not interpret and (block_b * T) % 128 != 0):
         raise ValueError(f"fused step unsupported at B={B}, T={T} "

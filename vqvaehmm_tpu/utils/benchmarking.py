@@ -42,3 +42,32 @@ def saturated_marginal(make_repeat: Callable[[int], Callable[[], float]],
         return float(np.median(ts))
 
     return (med(f2) - med(f1)) / R * 1e6, R
+
+
+def saturated_marginal_windows(make_repeat, est_us: float,
+                               floor_ms: float = 50.0, windows: int = 5,
+                               trials: int = 5):
+    """Like saturated_marginal, but measures `windows` independent
+    marginals and returns (median, minimum, maximum, R).
+
+    The spread is the honest error bar for publication: chip-load
+    variance through the shared tunnel has been seen to swing a single
+    marginal by ~10%, so any claim quoted off one window can miss the
+    next driver run (round-2 VERDICT weak item 1).  Headline = median;
+    a published floor must sit at or below the MINIMUM."""
+    R = max(64, int(floor_ms * 1e3 / max(est_us, 1.0)))
+    f1, f2 = make_repeat(R), make_repeat(2 * R)
+    float(f1())
+    float(f2())
+
+    def med(f):
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    margs = [(med(f2) - med(f1)) / R * 1e6 for _ in range(windows)]
+    return (float(np.median(margs)), float(np.min(margs)),
+            float(np.max(margs)), R)
