@@ -285,3 +285,32 @@ def test_sharded_checkpoint_lifecycle(tmp_path):
                     jax.tree_util.tree_leaves(st_c.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(c),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_train_pipeline_device_input(tiny_config):
+    """training.input_pipeline="device" routes the pipeline through the
+    on-device index-gather path (one dispatch per epoch) and still
+    trains, checkpoints, and resumes like the host path."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from vqvaehmm_tpu.core.config import apply_overrides, load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg_path, tmp = tiny_config
+    cfg = apply_overrides(load_config(cfg_path),
+                          ["training.input_pipeline=device",
+                           "training.save_freq=1"])
+    logs = []
+    state = TrainPipeline(cfg).train(log_fn=logs.append)
+    assert int(state.step) == 2 * (32 // 8)
+    assert (tmp / "ckpt" / "vae_hmm_trained.npz").exists()
+    losses = [float(s.rsplit(" ", 1)[-1]) for s in logs
+              if s.startswith("Epoch")]
+    assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+
+    # resumes from the periodic checkpoint on the device path too
+    cfg3 = apply_overrides(cfg, ["training.epochs=3"])
+    logs2 = []
+    state2 = TrainPipeline(cfg3).train(log_fn=logs2.append)
+    assert any("Resumed" in s for s in logs2)
+    assert int(state2.step) == 3 * (32 // 8)

@@ -78,6 +78,12 @@ class TrainConfig:
     # T % 8 == 0 and a 128-divisible lane block; the pipeline falls back
     # to the XLA path automatically when the shapes don't qualify.
     fused: bool = False
+    # "host": epochs assembled on the host (native C sampler + prefetch,
+    # the reference's DataLoader shape).  "device": the sequence pool
+    # lives in HBM and each epoch ships only index triples — the gather
+    # runs inside the training scan (data/device_sampler.py; ~50x the
+    # host path's goodput on a 1-core host, BENCH_NOTES.md).
+    input_pipeline: str = "host"
 
 
 @dataclass(frozen=True)

@@ -123,13 +123,31 @@ class TrainPipeline:
                 if log_fn:
                     log_fn(f"fused step unsupported at T={T_}, "
                            f"per-shard B={B_local}; using the XLA path")
-        epoch_step = make_epoch_step(model, tx, mesh=self.mesh, fused=fused)
+        device_input = getattr(t, "input_pipeline", "host") == "device"
+        if device_input:
+            from ..data.device_sampler import DeviceEpochSampler
+
+            sampler = DeviceEpochSampler(dataset)
+            gstep = sampler.make_epoch_step(model, tx, fused=fused,
+                                            mesh=self.mesh)
+            num_batches = len(dataset) // t.batch_size
+        else:
+            epoch_step = make_epoch_step(model, tx, mesh=self.mesh,
+                                         fused=fused)
         history = []
         for ep in range(start_epoch, t.num_epochs):
             beta = beta_schedule(ep, t.num_epochs, t.beta_warmup)
-            xs, us, lens = epoch_arrays(dataset, t.batch_size)
-            state, mean_loss = epoch_step(state, xs, us, lens,
-                                          jnp.float32(beta))
+            if device_input:
+                si, st_, ln = sampler.sample_indices_fast(t.batch_size,
+                                                          num_batches)
+                state, mean_loss = gstep(state, jnp.asarray(si),
+                                         jnp.asarray(st_),
+                                         jnp.asarray(ln),
+                                         jnp.float32(beta))
+            else:
+                xs, us, lens = epoch_arrays(dataset, t.batch_size)
+                state, mean_loss = epoch_step(state, xs, us, lens,
+                                              jnp.float32(beta))
             loss = float(mean_loss)
             history.append(loss)
             if log_fn:
