@@ -33,6 +33,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compile cache: stages re-jit identical graphs (e.g. one
+# fused head-trainer instance per walk-forward window); without the
+# cache every instance recompiles through the remote relay
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 FIXTURE = os.path.join("tests", "fixtures", "market_fixture.csv")
@@ -348,6 +354,108 @@ def stage_backtest(outdir):
         print(comparison)
 
 
+def stage_walkforward(outdir):
+    """Walk-forward backtest with per-window head retraining
+    (reference: backtesting.py:113-142) plus the per-regime breakdown
+    (RegimeBacktest) under BOTH decode modes — the reference's argmax and
+    this framework's exact Viterbi — on the fixture panel."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from vqvaehmm_tpu.backtest.backtester import (Backtester,
+                                                  RegimeBacktest,
+                                                  WalkForwardBacktest)
+    from vqvaehmm_tpu.data.checkpoint import load_params_npz
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               ImprovedPortfolioOptimizer)
+    from vqvaehmm_tpu.train.heads import train_portfolio_fused
+
+    cfg, model, params = _load_trained(outdir, quality=True)
+    head = ImprovedPortfolioOptimizer(HeadConfig(K=3, n_assets=10,
+                                                 hidden_dim=64))
+    state = {"hp": load_params_npz(os.path.join(outdir,
+                                                "portfolio_head.npz"))}
+
+    d = os.path.join(outdir, "data")
+    x_panel = _np(os.path.join(d, "x_panel.npy"))         # (T, 5)
+    u_panel = _np(os.path.join(d, "u_panel.npy"))         # (T, 4)
+    prices = pd.read_csv(os.path.join(d, "prices.csv"), index_col=0).values
+    rets = pd.read_csv(os.path.join(d, "returns.csv"), index_col=0).values
+    data = np.transpose(x_panel)[None]                    # (1, 5, T)
+
+    posterior_fn = jax.jit(lambda x: model.posterior(params, x))
+    head_apply = jax.jit(lambda hp, q: head(hp, q))
+    model_fn = lambda q: head_apply(state["hp"], q)       # noqa: E731
+
+    wf = WalkForwardBacktest(train_window=252, test_window=63,
+                             retrain_freq=126,
+                             backtester=Backtester(tx_cost=0.001,
+                                                   slippage=0.0005))
+    pos = {"start": 0}
+    WIN, HOR = 64, 20
+
+    def train_fn(window):
+        start = pos["start"]
+        pos["start"] += wf.retrain_freq
+        print(f"  train_fn @{start}...", flush=True)
+        W = window.shape[2]
+        if W < WIN + HOR + 8:
+            return None
+        starts = np.linspace(0, W - WIN - HOR, 16).astype(int)
+        xb = np.stack([window[0, :, s:s + WIN] for s in starts])
+        ub = np.stack([u_panel[start + s:start + s + WIN].T
+                       for s in starts]).astype(np.float32)
+        lengths = np.full(len(starts), WIN, np.int32)
+        horiz = np.stack([rets[start + s + WIN:start + s + WIN + HOR]
+                          for s in starts]).astype(np.float32)
+        res = train_portfolio_fused(head, state["hp"], model, params,
+                                    [(xb, ub, lengths)], [horiz],
+                                    num_epochs=20, lr=1e-3)
+        state["hp"] = res.params
+        print(f"  window @{start}: head loss {res.history[0]:.4f} -> "
+              f"{res.history[-1]:.4f}", flush=True)
+        return model_fn, posterior_fn
+
+    print("  starting walk-forward loop...", flush=True)
+    results = wf.run(model_fn, posterior_fn, train_fn, data, prices, rets)
+    total = float(np.prod([1.0 + r.metrics["total_return"]
+                           for r in results]))
+    sharpes = [r.metrics["sharpe_ratio"] for r in results]
+    wf_out = {
+        "n_windows": len(results),
+        "chained_total_return": round(total - 1.0, 4),
+        "mean_window_sharpe": round(float(np.mean(sharpes)), 4),
+        "pct_windows_profitable": round(
+            float(np.mean([r.metrics["total_return"] > 0
+                           for r in results])), 4),
+    }
+
+    # per-regime breakdown, argmax vs exact Viterbi decode
+    rb = RegimeBacktest(backtester=Backtester(tx_cost=0.001,
+                                              slippage=0.0005))
+    u_data = np.transpose(u_panel)[None]
+    decode_fn = jax.jit(lambda x, u: model.viterbi_decode(params, x, u))
+    per_regime = {}
+    for mode_name, kwargs in [
+            ("argmax", dict(decode="argmax")),
+            ("viterbi", dict(decode="viterbi", decode_fn=decode_fn,
+                             u=u_data))]:
+        res_k = rb.run(model_fn, posterior_fn, data, prices, rets, K=3,
+                       **kwargs)
+        per_regime[mode_name] = {
+            str(k): {"sharpe": round(r.metrics["sharpe_ratio"], 4),
+                     "total_return": round(r.metrics["total_return"], 4),
+                     "n_periods": int(len(r.returns)) + 1}
+            for k, r in res_k.items()}
+
+    payload = {"walk_forward": wf_out, "per_regime": per_regime}
+    with open(os.path.join(outdir, "walkforward_metrics.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    print("walk-forward:", json.dumps(wf_out))
+    print("per-regime:", json.dumps(per_regime))
+
+
 def stage_montecarlo(outdir):
     import jax
     import jax.numpy as jnp
@@ -475,10 +583,31 @@ def stage_report(outdir):
     for k in sorted(set(rp) | set(ew)):
         lines.append(f"| {k} | {round(rp.get(k, float('nan')), 4)} | "
                      f"{round(ew.get(k, float('nan')), 4)} |")
+    wf = load("walkforward_metrics.json", {})
     lines += [
         "",
         "Plot: `backtest_results.png` (equity / drawdown / returns hist — "
         "reference backtesting.py:184-211).",
+        "",
+        "Accounting note: these numbers use the self-financing cash "
+        "ledger (`Backtester(accounting=\"cash\")`, the default). The "
+        "reference's own update never debits share purchases and roughly "
+        "doubles the portfolio at the first rebalance "
+        "(backtesting.py:59-62); its behavior is preserved under "
+        "`accounting=\"reference\"` for parity. See BENCH_NOTES.md "
+        "\"reference accounting bug\".",
+        "",
+        "## 5b. Walk-forward (252d train / 63d test, retrain every 126d)",
+        "",
+    ]
+    wfm = wf.get("walk_forward", {})
+    lines += [
+        f"- windows: {wfm.get('n_windows', '?')}, chained total return "
+        f"{wfm.get('chained_total_return', '?')}, mean window Sharpe "
+        f"{wfm.get('mean_window_sharpe', '?')}, profitable windows "
+        f"{wfm.get('pct_windows_profitable', '?')}",
+        "- per-regime breakdown (argmax vs exact Viterbi decode): "
+        "`walkforward_metrics.json`",
         "",
         "## 6. Monte Carlo (1000 paths x 252 days, regime-conditional)",
         "",
@@ -498,7 +627,7 @@ def stage_report(outdir):
 
 
 STAGES = ["data", "train", "quality", "eval", "head", "backtest",
-          "montecarlo", "report"]
+          "walkforward", "montecarlo", "report"]
 
 
 def main():

@@ -39,7 +39,8 @@ def fake_model(q):
 
 def test_backtester_matches_reference_loop():
     data, prices, returns = _fixture()
-    bt = Backtester(initial_capital=100000, tx_cost=0.001, slippage=0.0005)
+    bt = Backtester(initial_capital=100000, tx_cost=0.001, slippage=0.0005,
+                    accounting="reference")
     res = bt.run(fake_model, fake_posterior, data, prices, returns,
                  rebalance_freq=5)
 
@@ -183,3 +184,37 @@ def test_regime_backtest_viterbi_decode():
     with pytest.raises(ValueError):
         rb.run(fake_model, fake_posterior, data, prices, returns,
                K=3, decode="bogus")
+
+
+def test_cash_accounting_is_self_financing():
+    """Default accounting: with zero costs, the portfolio value changes
+    ONLY through market P&L — buying shares moves money from cash to
+    positions, never creates it.  (The reference's accounting roughly
+    DOUBLES the portfolio at the first rebalance — backtesting.py:59-62
+    never debits the purchase; that behavior survives only under
+    accounting="reference".)"""
+    data, prices, returns = _fixture()
+    bt = Backtester(initial_capital=100000, tx_cost=0.0, slippage=0.0)
+    res = bt.run(fake_model, fake_posterior, data, prices, returns,
+                 rebalance_freq=5)
+
+    # until the first rebalance (t=25) the value must be flat at capital
+    np.testing.assert_allclose(res.equity_curve[:25], 100000.0)
+    # at the first rebalance value is unchanged (cash -> positions swap)
+    assert abs(res.equity_curve[25] - 100000.0) < 1e-6
+    # every subsequent step moves only by position P&L
+    for t in range(26, len(prices)):
+        pnl = (res.positions[t - 1] * (prices[t] - prices[t - 1])).sum()
+        if not res.trades[t].any():
+            np.testing.assert_allclose(
+                res.equity_curve[t] - res.equity_curve[t - 1], pnl,
+                rtol=1e-8, atol=1e-6)
+
+    # the reference mode reproduces the first-rebalance doubling
+    bt_ref = Backtester(initial_capital=100000, tx_cost=0.0, slippage=0.0,
+                        accounting="reference")
+    ref = bt_ref.run(fake_model, fake_posterior, data, prices, returns,
+                     rebalance_freq=5)
+    w_invested = min(1.0, float(np.asarray(
+        fake_model(fake_posterior(jnp.asarray(data[:, :, 5:25])))).sum()))
+    assert ref.equity_curve[25] > 100000.0 * (1.0 + 0.9 * w_invested)

@@ -36,6 +36,13 @@ def test_streaming_example_runs(capsys):
     assert "matches batch filtered_posterior: True" in out
 
 
+def test_device_pipeline_example_runs(capsys):
+    mod = _load("device_pipeline_example.py")
+    mod.main()
+    out = capsys.readouterr().out
+    assert "device gather matches host path: True" in out
+
+
 @pytest.mark.parametrize("name", ["train_example.py", "backtest_example.py",
                                   "vqvae_example.py"])
 def test_examples_import(name):

@@ -55,15 +55,33 @@ class BacktestResult:
 
 class Backtester:
     """Core engine with transaction costs and slippage
-    (reference: backtesting.py:18-110)."""
+    (reference: backtesting.py:18-110).
+
+    accounting="cash" (default): explicit self-financing cash ledger —
+    share purchases are debited from cash, so portfolio value only moves
+    with market P&L and costs.
+
+    accounting="reference": the reference's exact update
+    (backtesting.py:59-62), which computes cash as
+    `value[t-1] - (positions[t-1] * prices[t-1]).sum()` and never debits
+    the purchase — on the FIRST rebalance (prior positions zero) this
+    adds the full position value ON TOP of the uninvested cash, roughly
+    doubling the portfolio, and it re-inflates any time the portfolio
+    holds significant cash.  Kept (and pinned by
+    tests/test_backtest.py::test_backtester_matches_reference_loop) only
+    as the compatibility target; every number it produces after the
+    first rebalance is upward-biased."""
 
     def __init__(self, initial_capital: float = 100000.0,
                  tx_cost: float = 0.001, slippage: float = 0.0005,
-                 max_leverage: float = 1.0):
+                 max_leverage: float = 1.0, accounting: str = "cash"):
+        if accounting not in ("cash", "reference"):
+            raise ValueError(f"unknown accounting mode {accounting!r}")
         self.initial_capital = initial_capital
         self.tx_cost = tx_cost
         self.slippage = slippage
         self.max_leverage = max_leverage
+        self.accounting = accounting
 
     # -- model-driven weight schedule (batched encode) ------------------
 
@@ -115,6 +133,7 @@ class Backtester:
         trade_log: List[Dict] = []
         total_costs = 0.0
 
+        cash_ledger = self.initial_capital
         for t in range(1, n_periods):
             if rebalance[t]:
                 target = weights_t[t] * values[t - 1] / prices[t]
@@ -126,8 +145,14 @@ class Backtester:
             costs = trade_value * (self.tx_cost + self.slippage)
             total_costs += costs
             position_value = (positions[t] * prices[t]).sum()
-            cash = values[t - 1] - (positions[t - 1] * prices[t - 1]).sum()
-            values[t] = position_value + cash - costs
+            if self.accounting == "cash":
+                # self-financing: purchases debit (sales credit) cash
+                cash_ledger -= (trades[t] * prices[t]).sum() + costs
+                values[t] = position_value + cash_ledger
+            else:  # "reference": backtesting.py:59-62 verbatim
+                cash = values[t - 1] \
+                    - (positions[t - 1] * prices[t - 1]).sum()
+                values[t] = position_value + cash - costs
             # trade log when the rebalance moves >1% of portfolio value
             # (src variant semantics, src/backtesting.py:139-145)
             if rebalance[t] and trade_value > 0.01 * values[t - 1]:

@@ -140,9 +140,14 @@ def train_portfolio_fused(head_model, head_params, vae_model: VAEHMM,
 
     tx = optax.chain(optax.clip_by_global_norm(gradient_clip),
                      optax.adam(lr))
-    epochs = jnp.arange(num_epochs, dtype=jnp.float32)
-    lr_scales = (0.5 * (1 + jnp.cos(jnp.pi * epochs / num_epochs))
-                 if use_scheduler else jnp.ones(num_epochs))
+    # host numpy, passed as a jit ARGUMENT: computing this eagerly on
+    # device and closing over it would make jit lowering embed it as a
+    # constant — a device->host fetch inside tracing, which can stall
+    # behind a congested dispatch tunnel
+    ep_idx = np.arange(num_epochs, dtype=np.float32)
+    lr_scales = (0.5 * (1 + np.cos(np.pi * ep_idx / num_epochs))
+                 if use_scheduler
+                 else np.ones(num_epochs)).astype(np.float32)
 
     def update(carry, inp):
         params, opt_state, prev_w, is_first = carry
@@ -165,7 +170,7 @@ def train_portfolio_fused(head_model, head_params, vae_model: VAEHMM,
                 jnp.zeros((), bool)), loss
 
     @jax.jit
-    def run(params, qs, rets):
+    def run(params, qs, rets, lr_scales):
         opt_state = tx.init(params)
 
         def epoch_step(carry, lr_scale):
@@ -184,7 +189,8 @@ def train_portfolio_fused(head_model, head_params, vae_model: VAEHMM,
             epoch_step, carry, lr_scales)
         return params, epoch_losses
 
-    params, epoch_losses = run(head_params, qs, rets)
+    params, epoch_losses = run(head_params, qs, rets,
+                               jnp.asarray(lr_scales))
     return HeadTrainResult(params, [float(v) for v in epoch_losses])
 
 
