@@ -72,3 +72,15 @@ def test_repo_configs_load():
     assert cfg.training.num_epochs == 100
     cfg = load_config("inference_config.json")
     assert cfg.model.K == 3
+
+
+def test_input_pipeline_validated():
+    """A typo'd input_pipeline must raise, not silently take the ~150x
+    slower host path (review finding)."""
+    import pytest
+
+    from vqvaehmm_tpu.core.config import TrainConfig
+
+    assert TrainConfig(input_pipeline="device").input_pipeline == "device"
+    with pytest.raises(ValueError, match="input_pipeline"):
+        TrainConfig(input_pipeline="Device")

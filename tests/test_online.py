@@ -246,7 +246,9 @@ def test_client_carried_state_across_workers(setup):
         out = solo.update("s", x[:, t], u[:, t], finish=(t == T - 1))
         ref_rows += out["settled"]
 
-    # two workers, alternating per frame; nothing shared between them
+    # two workers, alternating per frame; nothing shared between them and
+    # NO manual export/import — the stale local copy each worker retains
+    # must be overridden by the client-carried state on every hit
     workers = [StreamManager(model, params), StreamManager(model, params)]
     rows, carried = [], None
     for t in range(T):
@@ -256,20 +258,26 @@ def test_client_carried_state_across_workers(setup):
         rows += out["settled"]
         carried = out.get("state")
         if t > 0:
-            # every hand-off after the first frame resumes from state
-            assert out.get("resumed") or t % 2 == (t - 1) % 2
-        # consume the session on this worker so the next hit of the SAME
-        # worker also resumes from carried state (pure client-carried mode)
-        if not out["settled"] or t < T - 1:
-            try:
-                w.export_session("s")
-            except ValueError:
-                pass
+            assert out["resumed"] is True
+            assert out["new_session"] is False
 
     assert [r["t"] for r in rows] == [r["t"] for r in ref_rows]
     for a, b in zip(rows, ref_rows):
         np.testing.assert_allclose(a["regime_probs"], b["regime_probs"],
                                    rtol=0, atol=0)
+
+    # regression (review finding): a STALE local session must not shadow
+    # the carried state — hit worker 0 twice in a row with an old local
+    # copy present and a newer carried state
+    wA, wB = StreamManager(model, params), StreamManager(model, params)
+    o1 = wA.update("r", x[:, 0], u[:, 0], carry_state=True)
+    o2 = wB.update("r", x[:, 1], u[:, 1], state=o1["state"],
+                   carry_state=True)
+    # wA still holds "r" at t=0; the carried state is at t=1
+    o3 = wA.update("r", x[:, 2], u[:, 2], state=o2["state"],
+                   carry_state=True)
+    assert o3["resumed"] is True
+    assert o3["t_peek"] == 2
 
 
 def test_new_session_flag(setup):

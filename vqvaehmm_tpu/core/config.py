@@ -85,6 +85,14 @@ class TrainConfig:
     # host path's goodput on a 1-core host, BENCH_NOTES.md).
     input_pipeline: str = "host"
 
+    def __post_init__(self):
+        if self.input_pipeline not in ("host", "device"):
+            # a typo here would otherwise silently fall back to the
+            # ~150x-slower host path (review finding)
+            raise ValueError(
+                f"unknown input_pipeline {self.input_pipeline!r}; "
+                "expected 'host' or 'device'")
+
 
 @dataclass(frozen=True)
 class PortfolioConfig:

@@ -128,13 +128,12 @@ def load_portfolio_data(tickers: Optional[List[str]] = None,
             prices, regime_data, _ = load_fixture_frames(fixture_path)
             prices = prices.loc[start_date:end_date]
             regime_data = regime_data.loc[start_date:end_date]
+            tickers = list(prices.columns)
         else:
             if log_fn:
                 log_fn("Downloading data...")
             prices, regime_data = download_data(tickers, REGIME_TICKERS,
                                                 start_date, end_date)
-        if fixture_path:
-            tickers = list(prices.columns)
         x_data, u_data, returns, aligned = prepare_sequences(prices,
                                                              regime_data)
         x_seq, u_seq = create_sequences(x_data, u_data)

@@ -233,18 +233,26 @@ class StreamManager:
         self._session_locks: Dict[str, object] = {}
 
     def export_session(self, session: str) -> dict:
-        """Serialize and REMOVE a session (hand-off to another worker)."""
+        """Serialize and REMOVE a session (hand-off to another worker).
+
+        Ordering: acquire the per-session lock FIRST, then deregister
+        under the global lock.  Popping before acquiring would race an
+        update that has already looked the session up — the update could
+        process a frame the exported state misses (the update side
+        re-checks registration after acquiring its lock and retries, so
+        whichever side wins the session lock, no frame is lost)."""
         with self._lock:
-            f = self._sessions.pop(session, None)
-            self._touched.pop(session, None)
-            lock = self._session_locks.pop(session, None)
+            f = self._sessions.get(session)
+            lock = self._session_locks.get(session)
             if f is None:
                 raise ValueError(f"no open session {session!r}")
-        # wait out any in-flight update on this session before serializing
-        if lock is not None:
-            with lock:
-                return f.state_dict()
-        return f.state_dict()
+        with lock:
+            with self._lock:
+                if self._sessions.get(session) is f:
+                    self._sessions.pop(session, None)
+                    self._touched.pop(session, None)
+                    self._session_locks.pop(session, None)
+            return f.state_dict()
 
     def import_session(self, session: str, state: dict) -> None:
         """Adopt a session exported elsewhere; continues bit-identically."""
@@ -276,51 +284,79 @@ class StreamManager:
         Multi-worker story (docs/serving.md): pass `carry_state=True` and
         the response includes the complete serialized filter state; a
         client that sends that state back with its next request
-        (`state=...`) can hit ANY worker — an unknown/expired session with
-        a client-carried state resumes bit-identically, no manual
-        export/import.  The response's `new_session` flag tells the client
-        whether this request started a fresh filter (so a silently expired
-        session can be detected instead of inferred from t indices —
-        round-2 advisor finding).
+        (`state=...`) can hit ANY worker with no affinity.  A carried
+        state ALWAYS takes precedence: it replaces whatever local filter
+        this worker holds under the same id (the local copy is stale by
+        construction whenever the client bounced through another worker
+        in between), so mixed routing stays deterministic — the client's
+        echoed state is the single source of truth.  The response's
+        `new_session` flag tells the client whether this request started
+        a fresh filter (so a silently expired session can be detected
+        instead of inferred from t indices — round-2 advisor finding).
         """
         import time as _time
 
-        with self._lock:
-            now = _time.monotonic()
-            self._expire(now)
-            f = self._sessions.get(session)
-            new_session = f is None
-            resumed = False
-            if f is None:
-                if len(self._sessions) >= self.max_sessions:
-                    raise ValueError("too many open stream sessions")
-                f = OnlineFilter(self.model, self.params,
-                                 step_fn=self._step_fn)
+        while True:
+            with self._lock:
+                now = _time.monotonic()
+                self._expire(now)
+                f = self._sessions.get(session)
+                new_session = f is None
+                resumed = False
                 if state is not None:
+                    # client-carried state wins over any (stale) local
+                    # session — see docstring
+                    if f is None \
+                            and len(self._sessions) >= self.max_sessions:
+                        raise ValueError("too many open stream sessions")
+                    f = OnlineFilter(self.model, self.params,
+                                     step_fn=self._step_fn)
                     f.load_state(state)
                     resumed = True
-                self._sessions[session] = f
-                self._session_locks[session] = self._threading.Lock()
-            self._touched[session] = now
-            slock = self._session_locks[session]
+                    new_session = False
+                    self._sessions[session] = f
+                    self._session_locks[session] = self._threading.Lock()
+                elif f is None:
+                    if len(self._sessions) >= self.max_sessions:
+                        raise ValueError("too many open stream sessions")
+                    f = OnlineFilter(self.model, self.params,
+                                     step_fn=self._step_fn)
+                    self._sessions[session] = f
+                    self._session_locks[session] = self._threading.Lock()
+                self._touched[session] = now
+                slock = self._session_locks[session]
 
-        with slock:
-            settled = f.update(x_t, u_t) if x_t is not None else []
-            out = {"settled": [{"t": t, "regime_probs": q.tolist()}
-                               for t, q in settled],
-                   "new_session": new_session and not resumed,
-                   "resumed": resumed}
-            if finish:
-                out["settled"] += [{"t": t, "regime_probs": q.tolist()}
-                                   for t, q in f.finish()]
+            with slock:
                 with self._lock:
-                    self._sessions.pop(session, None)
-                    self._touched.pop(session, None)
-                    self._session_locks.pop(session, None)
-            else:
-                peek = f.peek()
-                out["peek"] = peek.tolist() if peek is not None else None
-                out["t_peek"] = f.n_frames - 1
-                if carry_state:
-                    out["state"] = f.state_dict()
-            return out
+                    if self._sessions.get(session) is not f:
+                        # exported/expired between lookup and lock
+                        # acquisition — retry against the current tables
+                        # so no frame lands on an orphaned filter
+                        continue
+                return self._update_locked(f, session, x_t, u_t, finish,
+                                           carry_state, new_session,
+                                           resumed)
+
+    def _update_locked(self, f, session, x_t, u_t, finish, carry_state,
+                       new_session, resumed) -> dict:
+        """Body of update() once the per-session lock is held and the
+        session is confirmed registered."""
+        settled = f.update(x_t, u_t) if x_t is not None else []
+        out = {"settled": [{"t": t, "regime_probs": q.tolist()}
+                           for t, q in settled],
+               "new_session": new_session and not resumed,
+               "resumed": resumed}
+        if finish:
+            out["settled"] += [{"t": t, "regime_probs": q.tolist()}
+                               for t, q in f.finish()]
+            with self._lock:
+                self._sessions.pop(session, None)
+                self._touched.pop(session, None)
+                self._session_locks.pop(session, None)
+        else:
+            peek = f.peek()
+            out["peek"] = peek.tolist() if peek is not None else None
+            out["t_peek"] = f.n_frames - 1
+            if carry_state:
+                out["state"] = f.state_dict()
+        return out

@@ -38,17 +38,45 @@ Params = Dict
 
 
 def _under_autodiff(*trees) -> bool:
-    """True when any leaf is an autodiff tracer (jax.grad/jvp/vjp in
-    flight).  Auto-dispatch gates on this because the Pallas kernels have
-    no VJP — differentiating callers must get the XLA path, not an error.
-    JAX's grad machinery has used both JVPTracer and (0.9+) LinearizeTracer
-    for the forward pass of a linearization, so both are checked."""
-    from jax._src.interpreters import ad as _ad
+    """True when any leaf carries an autodiff tracer (jax.grad/jvp/vjp in
+    flight), including AD tracers WRAPPED inside other tracers (e.g. a
+    BatchTracer around a JVPTracer under vmap-of-grad).  Auto-dispatch
+    gates on this because the Pallas kernels have no VJP — differentiating
+    callers must get the XLA path, not an error.
 
-    types = tuple(t for t in (getattr(_ad, "JVPTracer", None),
-                              getattr(_ad, "LinearizeTracer", None))
-                  if t is not None)
-    return any(isinstance(leaf, types) for tree in trees
+    Detection is belt-and-braces: (a) isinstance against JVPTracer /
+    LinearizeTracer (the classes jax's grad machinery has used across
+    versions), (b) duck-typing on a `.tangent` attribute (every JVP-style
+    tracer carries one, surviving class renames), and (c) recursive
+    unwrapping through `.val` / `.primal` so nesting under other
+    transforms cannot hide the AD tracer."""
+    try:
+        from jax._src.interpreters import ad as _ad
+
+        types = tuple(t for t in (getattr(_ad, "JVPTracer", None),
+                                  getattr(_ad, "LinearizeTracer", None))
+                      if t is not None)
+    except ImportError:  # pragma: no cover - private module moved
+        types = ()
+
+    def is_ad(leaf) -> bool:
+        stack, seen = [leaf], set()
+        while stack:
+            t = stack.pop()
+            if id(t) in seen or not isinstance(t, jax.core.Tracer):
+                continue
+            seen.add(id(t))
+            if types and isinstance(t, types):
+                return True
+            if getattr(t, "tangent", None) is not None:
+                return True
+            for attr in ("val", "primal"):
+                inner = getattr(t, attr, None)
+                if isinstance(inner, jax.core.Tracer):
+                    stack.append(inner)
+        return False
+
+    return any(is_ad(leaf) for tree in trees
                for leaf in jax.tree_util.tree_leaves(tree))
 
 

@@ -21,13 +21,10 @@ from typing import Callable, Tuple
 import numpy as np
 
 
-def saturated_marginal(make_repeat: Callable[[int], Callable[[], float]],
-                       est_us: float, floor_ms: float = 50.0,
-                       trials: int = 7) -> Tuple[float, int]:
-    """make_repeat(R) -> jitted zero-arg callable returning a scalar.
-
-    Returns (microseconds per repeat, R used).  est_us sizes R so each
-    call spends ~floor_ms on device."""
+def _measure_marginals(make_repeat, est_us: float, floor_ms: float,
+                       windows: int, trials: int):
+    """Shared core: size R, warm both repeat counts, measure `windows`
+    independent (t(2R) - t(R)) / R marginals over per-window medians."""
     R = max(64, int(floor_ms * 1e3 / max(est_us, 1.0)))
     f1, f2 = make_repeat(R), make_repeat(2 * R)
     float(f1())
@@ -41,7 +38,19 @@ def saturated_marginal(make_repeat: Callable[[int], Callable[[], float]],
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    return (med(f2) - med(f1)) / R * 1e6, R
+    return [(med(f2) - med(f1)) / R * 1e6 for _ in range(windows)], R
+
+
+def saturated_marginal(make_repeat: Callable[[int], Callable[[], float]],
+                       est_us: float, floor_ms: float = 50.0,
+                       trials: int = 7) -> Tuple[float, int]:
+    """make_repeat(R) -> jitted zero-arg callable returning a scalar.
+
+    Returns (microseconds per repeat, R used).  est_us sizes R so each
+    call spends ~floor_ms on device."""
+    margs, R = _measure_marginals(make_repeat, est_us, floor_ms,
+                                  windows=1, trials=trials)
+    return margs[0], R
 
 
 def saturated_marginal_windows(make_repeat, est_us: float,
@@ -55,19 +64,7 @@ def saturated_marginal_windows(make_repeat, est_us: float,
     marginal by ~10%, so any claim quoted off one window can miss the
     next driver run (round-2 VERDICT weak item 1).  Headline = median;
     a published floor must sit at or below the MINIMUM."""
-    R = max(64, int(floor_ms * 1e3 / max(est_us, 1.0)))
-    f1, f2 = make_repeat(R), make_repeat(2 * R)
-    float(f1())
-    float(f2())
-
-    def med(f):
-        ts = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(f())
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    margs = [(med(f2) - med(f1)) / R * 1e6 for _ in range(windows)]
+    margs, R = _measure_marginals(make_repeat, est_us, floor_ms,
+                                  windows=windows, trials=trials)
     return (float(np.median(margs)), float(np.min(margs)),
             float(np.max(margs)), R)
