@@ -280,6 +280,38 @@ def test_client_carried_state_across_workers(setup):
     assert o3["t_peek"] == 2
 
 
+def test_replacement_serializes_and_stale_finish_is_isolated(setup):
+    """Two concurrency guarantees around carried-state replacement:
+    (1) replacing a stale local session REUSES its per-session lock, so a
+    replacement can never compute concurrently with an in-flight update
+    on the old filter; (2) a finish() computed against a filter that was
+    replaced mid-flight must not deregister the newer filter."""
+    model, params, x, u = setup
+    from vqvaehmm_tpu.models.online import StreamManager
+
+    w = StreamManager(model, params)
+    o1 = w.update("s", x[:, 0], u[:, 0], carry_state=True)
+    lock_before = w._session_locks["s"]
+    w.update("s", x[:, 1], u[:, 1], state=o1["state"], carry_state=True)
+    assert w._session_locks["s"] is lock_before
+
+    # stale finish: grab the current filter, replace the session, then
+    # run the finish body against the stale filter — the newer
+    # registration must survive
+    stale = w._sessions["s"]
+    o2 = w.update("s", x[:, 2], u[:, 2], state=o1["state"],
+                  carry_state=True)
+    newer = w._sessions["s"]
+    assert newer is not stale
+    w._update_locked(stale, "s", x[:, 3], u[:, 3], finish=True,
+                     carry_state=False, new_session=False, resumed=False)
+    assert w._sessions.get("s") is newer
+    # and a real finish on the live filter still deregisters it
+    w.update("s", None, None, finish=True)
+    assert "s" not in w._sessions and "s" not in w._session_locks
+    del o2
+
+
 def test_new_session_flag(setup):
     """A fresh or expired session id must be flagged explicitly so clients
     detect resets instead of inferring them from t indices."""

@@ -315,7 +315,11 @@ class StreamManager:
                     resumed = True
                     new_session = False
                     self._sessions[session] = f
-                    self._session_locks[session] = self._threading.Lock()
+                    # reuse an existing per-session lock so a replacement
+                    # serializes behind any in-flight update on the old
+                    # filter instead of computing concurrently with it
+                    self._session_locks.setdefault(
+                        session, self._threading.Lock())
                 elif f is None:
                     if len(self._sessions) >= self.max_sessions:
                         raise ValueError("too many open stream sessions")
@@ -350,9 +354,12 @@ class StreamManager:
             out["settled"] += [{"t": t, "regime_probs": q.tolist()}
                                for t, q in f.finish()]
             with self._lock:
-                self._sessions.pop(session, None)
-                self._touched.pop(session, None)
-                self._session_locks.pop(session, None)
+                # identity check: never deregister a NEWER filter another
+                # thread registered under the same id while we computed
+                if self._sessions.get(session) is f:
+                    self._sessions.pop(session, None)
+                    self._touched.pop(session, None)
+                    self._session_locks.pop(session, None)
         else:
             peek = f.peek()
             out["peek"] = peek.tolist() if peek is not None else None
