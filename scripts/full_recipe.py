@@ -618,6 +618,14 @@ def stage_report(outdir):
         "",
         "Plot: `monte_carlo_results.png` (reference backtest.py:253-290).",
         "",
+        "Context: this MC draws from the VAE-stack head's",
+        "regime-conditional return distributions, which are conservative",
+        "on the fixture panel (the head was trained with the full",
+        "portfolio_loss, penalizing turnover and drawdown); the GMM-stack",
+        "MC over the same fixture (artifacts/gmm/) shows +0.61 expected",
+        "Sharpe and 67.7% prob_profit. Both are modeling outcomes of",
+        "their respective heads, not framework differences.",
+        "",
         "Reproduce: `python scripts/full_recipe.py` (stages are resumable "
         "and individually addressable with `--stage`).",
     ]
