@@ -125,14 +125,22 @@ class HiddenMarkovModel:
                        use_pallas: Optional[bool] = None) -> jnp.ndarray:
         """Viterbi MAP state path.  use_pallas=None auto-dispatches to the
         fused doubling-scan kernel on TPU (wins at every measured shape —
-        BENCH_NOTES.md)."""
+        BENCH_NOTES.md); T past its VMEM bound takes the chunked kernel,
+        and only enormous K (no VMEM-legal chunk) falls back to scan."""
         log_obs, squeeze = self._log_obs(x)
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
-            from ..ops.pallas_hmm import viterbi_pallas
+            from ..ops.pallas_hmm import (viterbi_supported,
+                                          viterbi_tiled_supported)
 
-            v = viterbi_pallas(self.log_pi, self.log_A, log_obs, lengths)
+            T, K = log_obs.shape[1], log_obs.shape[2]
+            use_pallas = (jax.default_backend() == "tpu"
+                          and log_obs.dtype == jnp.float32
+                          and (viterbi_supported(T, K)
+                               or viterbi_tiled_supported(K)))
+        if use_pallas:
+            from ..ops.pallas_hmm import viterbi_auto
+
+            v = viterbi_auto(self.log_pi, self.log_A, log_obs, lengths)
         else:
             v = ops.viterbi(self.log_pi, self.log_A, log_obs, lengths)
         return v.states[0] if squeeze else v.states

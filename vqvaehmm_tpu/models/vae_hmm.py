@@ -477,26 +477,32 @@ class VAEHMM:
         standalone evidence kernel did; BENCH_NOTES.md "decode dispatch,
         matched precision").  The one-kernel path stays available as
         ops.pallas_decode.fused_viterbi_states.  Off-TPU the scan path
-        avoids interpret-mode overhead."""
+        avoids interpret-mode overhead.
+
+        T past the monolithic kernel's VMEM bound (whole-panel decodes,
+        T~2000+) routes to the chunked kernel (viterbi_pallas_tiled)
+        instead of falling back to the scan path."""
         from ..ops import hmm as hmm_ops
 
         if use_pallas is None:
-            from ..ops.pallas_hmm import viterbi_supported
+            from ..ops.pallas_hmm import (viterbi_supported,
+                                          viterbi_tiled_supported)
 
             # compute_dtype gate: see posterior() — the kernels are f32.
-            # viterbi_supported bounds T: the doubling-scan kernel keeps
-            # O(K) live (T, 128) tapes in VMEM, so very long sequences
-            # (e.g. whole-panel decodes, T~2000+) must take the scan path
-            # or Mosaic rejects the allocation at compile time.
+            # viterbi_supported bounds T (the doubling-scan kernel keeps
+            # O(K) live (T, 128) tapes in VMEM); past it the tiled kernel
+            # covers any T at VMEM O(chunk), so only enormous K (no legal
+            # chunk) falls back to lax.scan.
             use_pallas = (jax.default_backend() == "tpu"
                           and self.compute_dtype == jnp.float32
-                          and viterbi_supported(x.shape[2], self.cfg.K))
+                          and (viterbi_supported(x.shape[2], self.cfg.K)
+                               or viterbi_tiled_supported(self.cfg.K)))
         log_pi, log_A = self.prior(params, u)
         log_obs = self._hmm_evidence(params, x, lengths)
         if use_pallas:
-            from ..ops.pallas_hmm import viterbi_pallas
+            from ..ops.pallas_hmm import viterbi_auto
 
-            return viterbi_pallas(log_pi, log_A, log_obs, lengths).states
+            return viterbi_auto(log_pi, log_A, log_obs, lengths).states
         return hmm_ops.viterbi(log_pi, log_A, log_obs, lengths).states
 
 
