@@ -310,9 +310,10 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "T", "block_b", "interpret",
-                                    "bf16_matmuls"))
+                                    "bf16_matmuls", "vmem_limit"))
 def _fused_call(xt, ut, mf, vm, pm, weights, scales, *, K: int, T: int,
-                block_b: int, interpret: bool, bf16_matmuls: bool):
+                block_b: int, interpret: bool, bf16_matmuls: bool,
+                vmem_limit: int | None = None):
     (ew1, eb1, ew2, eb2, ew3, eb3, logpi, pw1, pb1, pw2, pb2,
      embT, dw1, db1, dw2, db2, dw3, db3) = weights
     C, N = xt.shape
@@ -350,6 +351,11 @@ def _fused_call(xt, ut, mf, vm, pm, weights, scales, *, K: int, T: int,
     ]
     out_specs = [full_spec(s) for s in out_shapes]
 
+    cp = None
+    if vmem_limit and not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        cp = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
     return pl.pallas_call(
         functools.partial(_kernel, T=T, K=K, bf16_matmuls=bf16_matmuls),
         grid=(NB,),
@@ -357,6 +363,7 @@ def _fused_call(xt, ut, mf, vm, pm, weights, scales, *, K: int, T: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=cp,
     )(xt, ut, mf, vm, pm, *weights, scales)
 
 
@@ -384,7 +391,8 @@ def pack_encoder_prior_weights(p: Params):
     )
 
 
-def _pick_block_b(B: int, T: int, rows: int | None = None) -> int:
+def _pick_block_b(B: int, T: int, rows: int | None = None,
+                  budget_bytes: int | None = None) -> int:
     """Batch block whose lane count (block_b * T) is 128-divisible
     (Mosaic requires lane blocks % 128 == 0) and which divides B.
 
@@ -394,30 +402,46 @@ def _pick_block_b(B: int, T: int, rows: int | None = None) -> int:
     and fewer grid steps of gradient accumulation.  Measured at the
     production probe shape (B=256, T=512, K=8): block_b 1 -> 4 is ~6.5%
     faster (4777 -> 4487 us/step, BENCH_NOTES.md "Production-scale
-    block sweep")."""
+    block sweep"); with the raised train VMEM limit, 4 -> 16 banks a
+    further ~3% ("Raised scoped-VMEM limit")."""
     bb0 = 128 // math.gcd(T, 128)
     legal = [k * bb0 for k in range(1, B // bb0 + 1) if B % (k * bb0) == 0]
     if not legal:
         return 0
     if rows is None:
         return legal[0]
-    fitting = [bb for bb in legal if fits_vmem(rows, bb, T)]
+    fitting = [bb for bb in legal if fits_vmem(rows, bb, T, budget_bytes)]
     return max(fitting) if fitting else 0
 
 
 # Conservative VMEM budget for a kernel's live activations; past this the
 # Mosaic allocator fails at compile time, so the caller should take the
 # XLA path instead (measured: the benchmark model at block_b=16 fits,
-# block_b=32 does not — BENCH_NOTES.md).
+# block_b=32 does not — BENCH_NOTES.md).  Applies to kernels running
+# under Mosaic's default 16 MB scoped limit (encoder/infer/decode).
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
+# The fused TRAIN kernel runs with an explicitly raised scoped-VMEM
+# limit instead (CompilerParams(vmem_limit_bytes=...)): a sequential-
+# grid fwd+bwd kernel can afford a large working set on a 128 MB-VMEM
+# v5e, and the wider batch blocks it unlocks measure up to ~3% faster
+# (never slower) — BENCH_NOTES.md "Raised scoped-VMEM limit".  The
+# 48 MB budget keeps a 16 MB margin of the 64 MB limit for pipeline
+# buffers and row-estimate error.
+_TRAIN_VMEM_LIMIT = 64 * 1024 * 1024
+_TRAIN_VMEM_BUDGET = 48 * 1024 * 1024
 
-def fits_vmem(rows: int, block_b: int, T: int) -> bool:
+
+def fits_vmem(rows: int, block_b: int, T: int,
+              budget_bytes: int | None = None) -> bool:
     """Shared VMEM guard for the token-layout kernels: True when a block
     with `rows` live f32 sublane-rows over block_b*T lanes fits the
     budget.  (Single source of truth for pallas_train/encoder/infer's
-    supported() predicates.)"""
-    return rows * block_b * T * 4 <= _VMEM_BUDGET_BYTES
+    supported() predicates; pass budget_bytes=_TRAIN_VMEM_BUDGET for the
+    raised-limit train kernel.)"""
+    if budget_bytes is None:
+        budget_bytes = _VMEM_BUDGET_BYTES
+    return rows * block_b * T * 4 <= budget_bytes
 
 
 def tok_spec(c: int, NP: int):
@@ -447,14 +471,16 @@ def train_step_supported(cfg, B: int, T: int) -> bool:
     if T % 8 != 0:
         return False
     bb = _pick_block_b(B, T)
-    return bb != 0 and fits_vmem(_train_rows_estimate(cfg), bb, T)
+    return bb != 0 and fits_vmem(_train_rows_estimate(cfg), bb, T,
+                                 _TRAIN_VMEM_BUDGET)
 
 
 def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
                          u: jnp.ndarray, lengths: jnp.ndarray,
                          beta, *, block_b: int | None = None,
                          interpret: bool | None = None,
-                         axis_name: str | None = None
+                         axis_name: str | None = None,
+                         vmem_limit: int | None = None
                          ) -> Tuple[jnp.ndarray, Params]:
     """Drop-in replacement for jax.value_and_grad(model.compute_loss):
     returns (loss, grads) with grads in the model's param-pytree layout.
@@ -471,11 +497,14 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if vmem_limit is None:
+        vmem_limit = _TRAIN_VMEM_LIMIT
     cfg = model.cfg
     B, C, T = x.shape
     K = cfg.K
     if block_b is None:
-        block_b = (_pick_block_b(B, T, rows=_train_rows_estimate(cfg))
+        block_b = (_pick_block_b(B, T, rows=_train_rows_estimate(cfg),
+                                 budget_bytes=_TRAIN_VMEM_BUDGET)
                    if not interpret
                    else (B if B <= 8 else math.gcd(B, 8)))
     if T % 8 != 0 or block_b == 0 or B % block_b != 0 \
@@ -527,7 +556,7 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     bf16_matmuls = getattr(model, 'compute_dtype', jnp.float32) == jnp.bfloat16
     outs = _fused_call(xt, ut, mf, vmask, pm, weights, scales,
                        K=K, T=T, block_b=block_b, interpret=interpret,
-                       bf16_matmuls=bf16_matmuls)
+                       bf16_matmuls=bf16_matmuls, vmem_limit=vmem_limit)
     (partials, gew1, geb1, gew2, geb2, gew3, geb3, glogpi, gpw1, gpb1,
      gpw2, gpb2, gembT, gdw1, gdb1, gdw2, gdb2, gdw3, gdb3) = outs
 
