@@ -45,4 +45,20 @@ zq_r, idx_r = vq_lookup(z, cb)
 zq_p, idx_p = vq_pallas(z, cb, block_rows=128, interpret=False)
 print("vq TPU idx equal:", bool((np.asarray(idx_r)==np.asarray(idx_p)).all()),
       "zq maxdiff:", float(jnp.abs(zq_r-zq_p).max()))
+# 4. fused train step at the raised-VMEM-budget 'big' config (H=256:
+#    admitted by train_step_supported only under the 64 MB scoped limit,
+#    BENCH_NOTES "Raised scoped-VMEM limit"; ~75 s cold compile)
+from vqvaehmm_tpu.ops.pallas_train import fused_loss_and_grads, train_step_supported
+big = make_model(5, 256, 3, 128, u_dim=4, trans_hidden=256)
+bparams = big.init(jax.random.PRNGKey(0))
+xb = jnp.asarray(rng.normal(size=(64, 5, 200)).astype(np.float32))
+ub = jnp.asarray(rng.normal(size=(64, 4, 200)).astype(np.float32))
+lb = jnp.asarray(np.full(64, 200, np.int32))
+assert train_step_supported(big.cfg, 64, 200)
+loss, _ = fused_loss_and_grads(big, bparams, xb, ub, lb, 1.0)
+ref_loss = big.compute_loss(bparams, xb, ub, lb, 1.0)
+print("big-config fused train step loss reldiff:",
+      abs(float(loss) - float(ref_loss)) / abs(float(ref_loss)),
+      "(single-pass-dot rounding; interpret-mode math exact to 1.6e-6)")
+
 print("ALL TPU KERNELS OK")

@@ -197,3 +197,30 @@ def test_pick_block_b_prefers_largest_fitting():
                          budget_bytes=_TRAIN_VMEM_BUDGET) == 32
     # nothing fits -> 0 (callers fall back to the XLA path)
     assert _pick_block_b(256, 512, rows=10 ** 6) == 0
+
+
+def test_fused_grads_large_hidden_interpret_parity():
+    """Kernel math at a raised-VMEM-budget config (H=128/H2=64: admitted
+    only since the 64 MB scoped limit, BENCH_NOTES "Raised scoped-VMEM
+    limit").  Interpret mode runs true f32, so this pins the MATH at the
+    deeper-accumulation shape; the on-MXU single-pass-dot deviation at
+    such shapes is documented, not tested (parity runs use the XLA
+    step)."""
+    model, params, x, u, lengths = _setup(
+        B=8, T=48, seed=5)
+    big = make_model(5, 128, 3, 64, u_dim=4, trans_hidden=128)
+    params = big.init(jax.random.PRNGKey(1))
+    ref_loss, ref_grads = jax.value_and_grad(big.compute_loss)(
+        params, x, u, lengths, 1.0)
+    loss, grads = fused_loss_and_grads(big, params, x, u, lengths, 1.0,
+                                       interpret=True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-5)
+    flat_ref = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_flatten_with_path(ref_grads)[0]}
+    flat = {jax.tree_util.keystr(k): v for k, v in
+            jax.tree_util.tree_flatten_with_path(grads)[0]}
+    for ks, ref in flat_ref.items():
+        a, b = np.asarray(ref), np.asarray(flat[ks])
+        np.testing.assert_allclose(
+            b, a, rtol=1e-4, atol=5e-5 * max(np.max(np.abs(a)), 1e-12),
+            err_msg=ks)
