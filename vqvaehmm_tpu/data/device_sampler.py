@@ -80,6 +80,16 @@ class DeviceEpochSampler:
 
         self._gather = jax.jit(gather_epoch)
 
+    def token_pool(self):
+        """Lazily-built stacked (N, CUP, TPAD) pool for the Pallas
+        window-gather kernel (ops/pallas_gather.py layout contract)."""
+        if not hasattr(self, "_token_pool"):
+            from ..ops.pallas_gather import build_token_pool
+
+            self._token_pool = jnp.asarray(build_token_pool(
+                self.dataset.x_seqs, self.dataset.u_seqs, self.max_len))
+        return self._token_pool
+
     def sample_indices(self, batch_size: int,
                        num_batches: Optional[int] = None
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -145,15 +155,25 @@ class DeviceEpochSampler:
         shard over the data axis on their batch dim (bulk bytes stay
         replicated in the resident pool; gathers are chip-local, and the
         gradient all-reduce comes from the sharded update as usual).
+
+        On TPU with fused=True (and no mesh), the per-step gather runs
+        through the Pallas window-gather kernel (ops/pallas_gather.py)
+        emitting the train kernel's token layout directly — measured ~2x
+        cheaper per step than the XLA vmap'd dynamic_slice gather
+        (BENCH_NOTES "Pallas gather").
         """
         import jax
         from jax import lax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..ops import pallas_gather as pg
         from ..train.trainer import _sgd_update
 
         xsrc, usrc = self.xsrc, self.usrc
         max_len = self.max_len
+        cfg = model.cfg
+        C, U = cfg.input_dim, cfg.u_dim
+        token_pool = self.token_pool() if (fused and mesh is None) else None
 
         def gather_batch(src, si, st, ln):
             def one(si_i, st_i, ln_i):
@@ -166,12 +186,24 @@ class DeviceEpochSampler:
             return jax.vmap(one)(si, st, ln)
 
         def epoch(state, seq_idx, starts, lengths, beta):
+            B = seq_idx.shape[1]
+            use_pg = (token_pool is not None
+                      and jax.default_backend() == "tpu"
+                      and pg.gather_supported(token_pool.shape, B,
+                                              max_len))
+
             def body(st, inp):
                 si, stt, ln = inp                      # (B,) each
-                x = gather_batch(xsrc, si, stt, ln)    # (B, C, max_len)
-                u = gather_batch(usrc, si, stt, ln)
-                st, loss = _sgd_update(model, tx, st, x, u, ln, beta,
-                                       fused=fused, mesh=mesh)
+                if use_pg:
+                    toks = pg.gather_tokens(token_pool, si, stt, ln,
+                                            max_len, C, U)
+                    st, loss = _sgd_update(model, tx, st, None, None, ln,
+                                           beta, fused=True, tokens=toks)
+                else:
+                    x = gather_batch(xsrc, si, stt, ln)  # (B, C, max_len)
+                    u = gather_batch(usrc, si, stt, ln)
+                    st, loss = _sgd_update(model, tx, st, x, u, ln, beta,
+                                           fused=fused, mesh=mesh)
                 return st, loss
 
             state, losses = lax.scan(body, state,

@@ -480,7 +480,9 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
                          beta, *, block_b: int | None = None,
                          interpret: bool | None = None,
                          axis_name: str | None = None,
-                         vmem_limit: int | None = None
+                         vmem_limit: int | None = None,
+                         tokens: Tuple[jnp.ndarray, jnp.ndarray]
+                         | None = None
                          ) -> Tuple[jnp.ndarray, Params]:
     """Drop-in replacement for jax.value_and_grad(model.compute_loss):
     returns (loss, grads) with grads in the model's param-pytree layout.
@@ -494,13 +496,26 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
     valid_to) become GLOBAL via psum/pmax so the sharded update is
     bit-consistent with the single-device one, and the returned loss/grads
     are the psum'd globals (replicated).
+
+    tokens: optional pre-tokenized inputs (xt:(C, B*T), ut:(U, B*T)) in
+    the kernel's own token-major layout; x and u are then ignored (pass
+    None).  This is the device-sampler fast path — the Pallas gather
+    kernel (ops/pallas_gather.py) emits this layout directly, skipping
+    the per-step (B, C, T) transpose.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if vmem_limit is None:
         vmem_limit = _TRAIN_VMEM_LIMIT
     cfg = model.cfg
-    B, C, T = x.shape
+    f32 = jnp.float32
+    if tokens is not None:
+        xt, ut = tokens
+        B = lengths.shape[0]
+        C = xt.shape[0]
+        T = xt.shape[1] // B
+    else:
+        B, C, T = x.shape
     K = cfg.K
     if block_b is None:
         block_b = (_pick_block_b(B, T, rows=_train_rows_estimate(cfg),
@@ -511,13 +526,15 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
             or (not interpret and (block_b * T) % 128 != 0):
         raise ValueError(f"fused step unsupported at B={B}, T={T} "
                          f"(block_b={block_b}); use the XLA path")
-    if u.ndim == 3 and u.shape[1] != cfg.u_dim:
-        u = jnp.transpose(u, (0, 2, 1))  # (B,T,U) -> (B,U,T)
-
     N = B * T
-    f32 = jnp.float32
-    xt = jnp.transpose(x.astype(f32), (1, 0, 2)).reshape(C, N)
-    ut = jnp.transpose(u.astype(f32), (1, 0, 2)).reshape(u.shape[1], N)
+    if tokens is None:
+        if u.ndim == 3 and u.shape[1] != cfg.u_dim:
+            u = jnp.transpose(u, (0, 2, 1))  # (B,T,U) -> (B,U,T)
+        xt = jnp.transpose(x.astype(f32), (1, 0, 2)).reshape(C, N)
+        ut = jnp.transpose(u.astype(f32), (1, 0, 2)).reshape(u.shape[1], N)
+    else:
+        xt = xt.astype(f32)
+        ut = ut.astype(f32)
 
     tcol = jnp.arange(T, dtype=jnp.int32)[None, :]
     mask = (tcol < lengths[:, None]).astype(f32)              # (B, T)

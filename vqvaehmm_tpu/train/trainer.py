@@ -58,7 +58,8 @@ def create_train_state(model: VAEHMM, key: jax.Array, lr: float,
 
 def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
                 state: TrainState, x, u, lengths, beta,
-                fused: bool = False, mesh: Optional[Mesh] = None):
+                fused: bool = False, mesh: Optional[Mesh] = None,
+                tokens=None):
     """One optimizer update — the single source of truth shared by the
     per-batch step and the epoch-fused scan.
 
@@ -83,6 +84,12 @@ def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
                 in_specs=(P(), P("data"), P("data"), P("data"), P()),
                 out_specs=(P(), P()), check_rep=False,
             )(state.params, x, u, lengths, beta)
+        elif tokens is not None:
+            # token-layout fast path: inputs already in the kernel's
+            # (C, B*T) layout (ops/pallas_gather.py emits it directly)
+            loss, grads = fused_loss_and_grads(model, state.params, None,
+                                               None, lengths, beta,
+                                               tokens=tokens)
         else:
             loss, grads = fused_loss_and_grads(model, state.params, x, u,
                                                lengths, beta)
