@@ -147,3 +147,46 @@ def test_device_sampler_token_path_cpu_fallback():
     state, loss = gstep(state, jnp.asarray(si), jnp.asarray(st),
                         jnp.asarray(ln), jnp.float32(1.0))
     assert np.isfinite(float(loss))
+
+
+def test_device_sampler_token_path_mesh_matches_single_device():
+    """Forced Pallas-gather token path under a data-parallel mesh must
+    match the unsharded XLA-gather step (global psum'd normalizations +
+    exact gather => same update up to fp reassociation)."""
+    from vqvaehmm_tpu import RandomChunkDataset, TrainState, make_model
+    from vqvaehmm_tpu.data.device_sampler import DeviceEpochSampler
+    from vqvaehmm_tpu.parallel import create_mesh
+    from vqvaehmm_tpu.train.trainer import make_optimizer
+
+    rng = np.random.default_rng(1)
+    xs = [rng.normal(size=(5, 100)).astype(np.float32) for _ in range(4)]
+    us = [rng.normal(size=(4, 100)).astype(np.float32) for _ in range(4)]
+    ds = RandomChunkDataset(xs, us, min_len=16, max_len=48,
+                            samples_per_epoch=64, seed=0)
+    sampler = DeviceEpochSampler(ds)
+    model = make_model(5, 32, 3, 16, u_dim=4, trans_hidden=32)
+    tx = make_optimizer(1e-3)
+    params = model.init(jax.random.PRNGKey(0))
+
+    si, st, ln = sampler.sample_indices_fast(16, 2)
+    args = (jnp.asarray(si), jnp.asarray(st), jnp.asarray(ln),
+            jnp.float32(0.9))
+
+    ref_step = sampler.make_epoch_step(model, tx, fused=True, donate=False,
+                                       use_pallas_gather=False)
+    s_ref, l_ref = ref_step(
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)),
+        *args)
+
+    mesh = create_mesh(8)
+    pg_step = sampler.make_epoch_step(model, tx, fused=True, donate=False,
+                                      mesh=mesh, use_pallas_gather=True)
+    s_pg, l_pg = pg_step(
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)),
+        *args)
+
+    np.testing.assert_allclose(float(l_ref), float(l_pg), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_pg.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -98,9 +98,16 @@ def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
             return model.compute_loss(p, x, u, lengths, beta)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return _apply_grads(tx, state, grads), loss
+
+
+def _apply_grads(tx: optax.GradientTransformation, state: TrainState,
+                 grads) -> TrainState:
+    """Optimizer tail shared by _sgd_update and external fused callers
+    (e.g. the device sampler's sharded token path)."""
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), loss
+    return TrainState(params, opt_state, state.step + 1)
 
 
 def make_train_step(model: VAEHMM, tx: optax.GradientTransformation,
