@@ -72,6 +72,11 @@ def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
     if fused:
         from ..ops.pallas_train import fused_loss_and_grads
 
+        if tokens is not None and mesh is not None:
+            raise ValueError(
+                "tokens= is per-shard data; with a mesh the gather must "
+                "run inside shard_map (DeviceEpochSampler.make_epoch_step "
+                "does this) rather than through _sgd_update")
         if mesh is not None:
             from jax.experimental.shard_map import shard_map
 
