@@ -290,3 +290,21 @@ def test_optimizer_trajectory_matches_torch_oracle():
         np.testing.assert_allclose(
             v, tp[k].detach().numpy(), atol=2e-4, rtol=1e-3,
             err_msg=f"param divergence at {k}")
+
+
+def test_train_model_device_data_path():
+    """train_model(device_data=True) — the TPU-default feeding path —
+    must train (loss falls) and produce the same loss SCALE as the host
+    path (same distribution; the stream differs by design, as the
+    native C sampler's already does)."""
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+
+    xs, us, _ = synthetic_sequences(5, 120, seed=0)
+    ds = RandomChunkDataset(xs, us, min_len=16, max_len=48,
+                            samples_per_epoch=64, seed=0)
+    model = make_model(5, 16, 3, 8, u_dim=4, trans_hidden=16)
+    state, hist = train_model(model, ds, num_epochs=6, lr=2e-3,
+                              batch_size=16, device_data=True,
+                              fused=True, log_fn=None)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]

@@ -221,23 +221,59 @@ def train_model(model: VAEHMM, dataset: RandomChunkDataset,
                 mesh: Optional[Mesh] = None,
                 state: Optional[TrainState] = None,
                 fused: bool = False,
+                device_data: Optional[bool] = None,
                 log_fn=print) -> Tuple[TrainState, list]:
     """End-to-end training loop with the reference's schedule
     (reference: VQ_VAE_HMM_fixed.py:145-162), epoch-fused on device.
 
     fused=True uses the single-kernel Pallas loss+grads path
     (single-device; see ops/pallas_train.py).
+
+    device_data: None = auto (on TPU, feed via the device-side input
+    pipeline — host ships only index triples per epoch, the gather runs
+    on-chip through the Pallas window-gather kernel when supported;
+    end-to-end goodput matches device-resident training, BENCH_NOTES
+    "Pallas gather").  The sample STREAM differs from the host path for
+    a given seed (as the native C sampler's already does); the
+    distribution is identical.  False forces host-assembled epochs.
     Returns the final TrainState and the per-epoch mean losses.
     """
     tx = make_optimizer(lr, gradient_clip)
     if state is None:
         params = model.init(jax.random.PRNGKey(seed))
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    if device_data is None:
+        device_data = jax.default_backend() == "tpu"
+
+    history = []
+    if device_data:
+        from ..data.device_sampler import DeviceEpochSampler
+
+        sampler = DeviceEpochSampler(dataset)
+        gstep = sampler.make_epoch_step(model, tx, fused=fused, mesh=mesh)
+        num_batches = len(dataset) // batch_size
+        for ep in range(num_epochs):
+            beta = beta_schedule(ep, num_epochs, beta_warmup)
+            si, st, ln = sampler.sample_indices_fast(batch_size,
+                                                     num_batches)
+            state, mean_loss = gstep(state, jnp.asarray(si),
+                                     jnp.asarray(st), jnp.asarray(ln),
+                                     jnp.float32(beta))
+            if log_fn is not None:
+                # live logging costs a per-epoch device sync (~2x wall
+                # through a high-latency dispatch path)
+                loss = float(mean_loss)
+                history.append(loss)
+                log_fn(f"Epoch {ep + 1}/{num_epochs}, Loss: {loss:.4f}")
+            else:
+                history.append(mean_loss)   # device scalar: epochs
+                #                             pipeline with no host sync
+        return state, [float(l) for l in history]
+
     epoch_step = make_epoch_step(model, tx, mesh=mesh, fused=fused)
 
     from ..data.prefetch import prefetch_epochs
 
-    history = []
     epochs = prefetch_epochs(dataset, batch_size, num_epochs) \
         if mesh is None else (
             epoch_arrays(dataset, batch_size) for _ in range(num_epochs))
