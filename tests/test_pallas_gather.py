@@ -35,6 +35,7 @@ def _ref_windows(seqs, si, st, ln, T):
 
 
 def _draw(rng, xs, B, T, min_len=12):
+    min_len = min(min_len, T)
     si = rng.integers(0, len(xs), size=B).astype(np.int32)
     seq_len = np.array([xs[i].shape[1] for i in si], np.int64)
     hi = np.minimum(T, seq_len)
@@ -43,7 +44,8 @@ def _draw(rng, xs, B, T, min_len=12):
     return si, st, ln
 
 
-@pytest.mark.parametrize("B,T", [(16, 48), (8, 32), (24, 128)])
+@pytest.mark.parametrize("B,T", [(16, 48), (8, 32), (24, 128),
+                                 (16, 8), (32, 104), (8, 256), (64, 40)])
 def test_gather_tokens_exact(B, T):
     xs, us, pool = _mk(T=T)
     rng = np.random.default_rng(B)
