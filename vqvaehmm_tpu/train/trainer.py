@@ -188,6 +188,7 @@ class Trainer:
         self.state = TrainState(params, self.tx.init(params),
                                 jnp.zeros((), jnp.int32))
         self.beta_warmup = beta_warmup
+        self._fused = fused
         self._epoch_step = make_epoch_step(model, self.tx, fused=fused)
 
     @property
@@ -196,6 +197,22 @@ class Trainer:
 
     def train_epoch(self, dataset: RandomChunkDataset, batch_size: int,
                     beta: float = 1.0) -> float:
+        if jax.default_backend() == "tpu":
+            # device input pipeline (index triples + on-chip gather, the
+            # train_model device_data path); one sampler/step per dataset
+            if getattr(self, "_sampler_ds", None) is not dataset:
+                from ..data.device_sampler import DeviceEpochSampler
+
+                self._sampler_ds = dataset
+                self._sampler = DeviceEpochSampler(dataset)
+                self._gstep = self._sampler.make_epoch_step(
+                    self.model, self.tx, fused=self._fused)
+            si, st, ln = self._sampler.sample_indices_fast(
+                batch_size, len(dataset) // batch_size)
+            self.state, mean_loss = self._gstep(
+                self.state, jnp.asarray(si), jnp.asarray(st),
+                jnp.asarray(ln), jnp.float32(beta))
+            return float(mean_loss)
         xs, us, lens = epoch_arrays(dataset, batch_size)
         self.state, mean_loss = self._epoch_step(self.state, xs, us, lens,
                                                  jnp.float32(beta))
