@@ -7,6 +7,13 @@ and that the device paths reproduce the host path's training exactly.
 Run: JAX_PLATFORMS=cpu python examples/device_pipeline_example.py
 """
 
+import os
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/jax_cache_tests" if os.environ.get("JAX_PLATFORMS") == "cpu"
+    else "/tmp/jax_cache_bench")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -140,7 +140,15 @@ def _train(outdir, quality):
     ckdir = cfg.training.checkpoint_dir
     # reference-loadable torch state_dict export (models/vae_hmm.pt analog)
     save_torch_file(state.params, os.path.join(ckdir, "vae_hmm.pt"))
-    with open(os.path.join(outdir, f"train_history_{tag}.json"), "w") as f:
+    hist_path = os.path.join(outdir, f"train_history_{tag}.json")
+    if not history:
+        # Auto-resume of an already-complete run: the epoch loop never
+        # executed, so there is nothing new to record and overwriting the
+        # previous history with an empty list would destroy the record.
+        print(f"train[{tag}]: already complete (resumed at final epoch); "
+              f"exports refreshed, history left untouched")
+        return
+    with open(hist_path, "w") as f:
         json.dump({"loss": history, "wall_seconds": wall,
                    "epochs": cfg.training.num_epochs,
                    "lr": cfg.training.learning_rate}, f, indent=2)

@@ -25,7 +25,7 @@ CONFIGS = {
     # H=64 class: several blocks fit VMEM -> the sweep is meaningful
     "h64": dict(B=256, C=5, T=512, K=8, U=4, H=64, H2=32, TH=128),
     # the round-2 10x probe shape (BENCH_NOTES "Production-scale probe"):
-    # rows ~3460 -> ONLY block_b=1 fits the 14 MB budget
+    # rows ~3460 -> blocks 1-4 fit the raised 48 MB train budget, 8+ don't
     "10x": dict(B=256, C=16, T=512, K=8, U=4, H=256, H2=128, TH=256),
 }
 
@@ -35,7 +35,8 @@ def probe(name):
     import jax.numpy as jnp
 
     from vqvaehmm_tpu import make_model
-    from vqvaehmm_tpu.ops.pallas_train import (_train_rows_estimate,
+    from vqvaehmm_tpu.ops.pallas_train import (_TRAIN_VMEM_BUDGET,
+                                               _train_rows_estimate,
                                                fits_vmem,
                                                fused_loss_and_grads)
 
@@ -52,8 +53,11 @@ def probe(name):
     rows = _train_rows_estimate(model.cfg)
 
     results = {}
-    for bb in (1, 2, 4, 8):
-        if B % bb or not fits_vmem(rows, bb, T):
+    for bb in (1, 2, 4, 8, 16):
+        # gate with the kernel's own raised budget, or the sweep skips the
+        # very blocks the production picker selects (_TRAIN_VMEM_BUDGET)
+        if B % bb or not fits_vmem(rows, bb, T,
+                                   budget_bytes=_TRAIN_VMEM_BUDGET):
             print(f"block_b={bb}: skipped (vmem/divisibility)",
                   file=sys.stderr)
             continue

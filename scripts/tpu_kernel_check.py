@@ -1,4 +1,6 @@
+import os
 import sys; sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
 import numpy as np, jax, jax.numpy as jnp
 print("backend:", jax.default_backend())
 from vqvaehmm_tpu import make_model

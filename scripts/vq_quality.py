@@ -18,6 +18,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/jax_cache_tests" if os.environ.get("JAX_PLATFORMS") == "cpu"
+    else "/tmp/jax_cache_bench")
 
 import numpy as np
 

@@ -119,6 +119,32 @@ def test_trainer_class_api():
     assert int(tr.state.step) == 2 * (64 // 16)
 
 
+def test_trainer_device_data_flag():
+    """Trainer mirrors train_model's device_data control: True forces the
+    device input pipeline (index triples + on-chip gather) on any
+    backend; False forces host-assembled epochs even on TPU (so a
+    host-path trajectory stays reproducible on-chip)."""
+    from vqvaehmm_tpu.train.trainer import Trainer
+
+    model = make_model(5, 12, 3, 6, u_dim=4, trans_hidden=12)
+    ds = _dataset()
+    tr_dev = Trainer(model, lr=1e-3, seed=0, device_data=True)
+    hist = tr_dev.train(ds, num_epochs=2, batch_size=16, log_fn=None)
+    assert len(hist) == 2 and all(np.isfinite(h) for h in hist)
+    assert hasattr(tr_dev, "_sampler")  # took the device pipeline
+
+    # device_data=False: identical trajectory to the default host path
+    # on CPU (same seed -> same epoch_arrays stream)
+    tr_host = Trainer(model, lr=1e-3, seed=0, device_data=False)
+    tr_ref = Trainer(model, lr=1e-3, seed=0)
+    h1 = tr_host.train(_dataset(), num_epochs=2, batch_size=16,
+                       log_fn=None)
+    h2 = tr_ref.train(_dataset(), num_epochs=2, batch_size=16,
+                      log_fn=None)
+    np.testing.assert_allclose(h1, h2, rtol=0, atol=0)
+    assert not hasattr(tr_host, "_sampler")
+
+
 def test_prefetch_epochs_yields_all():
     from vqvaehmm_tpu.data.prefetch import prefetch_epochs
 

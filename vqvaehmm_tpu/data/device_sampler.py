@@ -31,54 +31,87 @@ import numpy as np
 from .dataset import RandomChunkDataset
 
 
+def _gather_window(src, si, st, ln, max_len: int):
+    """One (C, max_len) window from a padded (N, C, Tpad) pool, with the
+    tail beyond `ln` zeroed (single source for both gather paths)."""
+    seq = jnp.take(src, si, axis=0)                    # (C, Tpad)
+    win = jax.lax.dynamic_slice(
+        seq, (jnp.int32(0), st), (seq.shape[0], max_len))
+    mask = (jnp.arange(max_len, dtype=jnp.int32) < ln)
+    return win * mask[None, :].astype(win.dtype)
+
+
 class DeviceEpochSampler:
-    """Epoch producer with device-resident sources and on-device gather."""
+    """Epoch producer with device-resident sources and on-device gather.
+
+    All resident pools are built lazily: the fused token path
+    (make_epoch_step(fused=True) on TPU) only ever touches token_pool(),
+    so the dense (N,C,Tpad)/(N,U,Tpad) pools — up to 3x the dataset's
+    bytes in a second layout — are neither assembled on the host nor
+    uploaded unless a caller actually takes the XLA-gather path."""
 
     def __init__(self, dataset: RandomChunkDataset, device=None):
         self.dataset = dataset
         self.max_len = dataset.max_len
         self.min_len = dataset.min_len
-        n = len(dataset.x_seqs)
         self.seq_lens = np.array([x.shape[1] for x in dataset.x_seqs],
                                  np.int32)
-        C = dataset.x_seqs[0].shape[0]
-        U = dataset.u_seqs[0].shape[0]
-        # pad every sequence to Tmax + max_len so a max_len-wide
-        # dynamic_slice at any start <= seq_len never clamps (clamping
-        # would silently shift the window)
-        tpad = int(self.seq_lens.max()) + self.max_len
-        xsrc = np.zeros((n, C, tpad), np.float32)
-        usrc = np.zeros((n, U, tpad), np.float32)
-        for i, (xs, us) in enumerate(zip(dataset.x_seqs, dataset.u_seqs)):
-            xsrc[i, :, :xs.shape[1]] = xs
-            usrc[i, :, :us.shape[1]] = us
-        self.xsrc = jax.device_put(jnp.asarray(xsrc), device)
-        self.usrc = jax.device_put(jnp.asarray(usrc), device)
+        self._device = device
 
         max_len = self.max_len
-
-        def gather_one(src, si, st, ln):
-            seq = jnp.take(src, si, axis=0)            # (C, Tpad)
-            win = jax.lax.dynamic_slice(
-                seq, (jnp.int32(0), st), (seq.shape[0], max_len))
-            mask = (jnp.arange(max_len, dtype=jnp.int32) < ln)
-            return win * mask[None, :].astype(win.dtype)
 
         def gather_epoch(xsrc, usrc, seq_idx, starts, lengths):
             # (nb, B) int32 each -> (nb, B, C, max_len) etc.  The vmap is
             # bounded at B and lax.map'd over batches: a flat nb*B-way
             # vmap at production epoch sizes (50k+ samples) crashes the
             # XLA compile at the gather's unrolled scatter/gather graph.
-            gx = jax.vmap(gather_one, in_axes=(None, 0, 0, 0))
+            gx = jax.vmap(_gather_window,
+                          in_axes=(None, 0, 0, 0, None))
 
             def one_batch(inp):
                 si, st, ln = inp
-                return gx(xsrc, si, st, ln), gx(usrc, si, st, ln)
+                return (gx(xsrc, si, st, ln, max_len),
+                        gx(usrc, si, st, ln, max_len))
 
             x, u = jax.lax.map(one_batch, (seq_idx, starts, lengths))
             return x, u, lengths
 
         self._gather = jax.jit(gather_epoch)
+
+    def dense_pools(self):
+        """Lazily-built device-resident (N, C, Tpad) + (N, U, Tpad) pools
+        for the XLA dynamic-slice gather path.  Every sequence is padded
+        to Tmax + max_len so a max_len-wide dynamic_slice at any start
+        <= seq_len never clamps (clamping would silently shift the
+        window)."""
+        if not hasattr(self, "_dense"):
+            dataset = self.dataset
+            n = len(dataset.x_seqs)
+            C = dataset.x_seqs[0].shape[0]
+            U = dataset.u_seqs[0].shape[0]
+            tpad = int(self.seq_lens.max()) + self.max_len
+            xsrc = np.zeros((n, C, tpad), np.float32)
+            usrc = np.zeros((n, U, tpad), np.float32)
+            for i, (xs, us) in enumerate(zip(dataset.x_seqs,
+                                             dataset.u_seqs)):
+                xsrc[i, :, :xs.shape[1]] = xs
+                usrc[i, :, :us.shape[1]] = us
+            # the first call may come from inside a jit trace (the lazy
+            # XLA-gather branch); force a concrete eager upload so the
+            # cached pools are real device arrays, never tracers
+            with jax.ensure_compile_time_eval():
+                self._dense = (
+                    jax.device_put(jnp.asarray(xsrc), self._device),
+                    jax.device_put(jnp.asarray(usrc), self._device))
+        return self._dense
+
+    @property
+    def xsrc(self):
+        return self.dense_pools()[0]
+
+    @property
+    def usrc(self):
+        return self.dense_pools()[1]
 
     def token_pool(self):
         """Lazily-built stacked (N, CUP, TPAD) pool for the Pallas
@@ -175,7 +208,7 @@ class DeviceEpochSampler:
         from ..ops import pallas_gather as pg
         from ..train.trainer import _apply_grads, _sgd_update
 
-        xsrc, usrc = self.xsrc, self.usrc
+        sampler = self
         max_len = self.max_len
         cfg = model.cfg
         C, U = cfg.input_dim, cfg.u_dim
@@ -183,14 +216,9 @@ class DeviceEpochSampler:
         interpret = jax.default_backend() != "tpu"
 
         def gather_batch(src, si, st, ln):
-            def one(si_i, st_i, ln_i):
-                seq = jnp.take(src, si_i, axis=0)
-                win = lax.dynamic_slice(
-                    seq, (jnp.int32(0), st_i), (seq.shape[0], max_len))
-                mask = (jnp.arange(max_len, dtype=jnp.int32) < ln_i)
-                return win * mask[None, :].astype(win.dtype)
-
-            return jax.vmap(one)(si, st, ln)
+            return jax.vmap(_gather_window,
+                            in_axes=(None, 0, 0, 0, None))(
+                src, si, st, ln, max_len)
 
         def epoch(state, seq_idx, starts, lengths, beta):
             B = seq_idx.shape[1]
@@ -231,6 +259,9 @@ class DeviceEpochSampler:
                 if use_pg:
                     st, loss = tokens_update(st, si, stt, ln, beta)
                 else:
+                    # dense pools are built lazily here, at trace time,
+                    # only when this branch is actually taken
+                    xsrc, usrc = sampler.dense_pools()
                     x = gather_batch(xsrc, si, stt, ln)  # (B, C, max_len)
                     u = gather_batch(usrc, si, stt, ln)
                     st, loss = _sgd_update(model, tx, st, x, u, ln, beta,

@@ -248,10 +248,18 @@ class StreamManager:
                 raise ValueError(f"no open session {session!r}")
         with lock:
             with self._lock:
-                if self._sessions.get(session) is f:
-                    self._sessions.pop(session, None)
-                    self._touched.pop(session, None)
-                    self._session_locks.pop(session, None)
+                if self._sessions.get(session) is not f:
+                    # Lost the race: a carried-state update, a finish, or a
+                    # concurrent export replaced/removed this session while
+                    # we waited for its lock.  Returning f.state_dict() here
+                    # would hand out a STALE snapshot while a newer filter
+                    # stays live under the same id — two divergent streams.
+                    raise ValueError(
+                        f"session {session!r} was replaced or closed during "
+                        "export; retry against the current session")
+                self._sessions.pop(session, None)
+                self._touched.pop(session, None)
+                self._session_locks.pop(session, None)
             return f.state_dict()
 
     def import_session(self, session: str, state: dict) -> None:

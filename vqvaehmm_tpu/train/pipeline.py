@@ -148,14 +148,23 @@ class TrainPipeline:
                 xs, us, lens = epoch_arrays(dataset, t.batch_size)
                 state, mean_loss = epoch_step(state, xs, us, lens,
                                               jnp.float32(beta))
-            loss = float(mean_loss)
-            history.append(loss)
+            at_save = t.save_freq and (ep + 1) % t.save_freq == 0
+            if log_fn is not None or at_save:
+                # the host sync is only needed for live logging and
+                # checkpoint metadata; with log_fn=None epochs pipeline
+                # (a per-epoch float() serializes dispatch, ~2x wall
+                # through a high-latency tunnel — CLAUDE.md)
+                loss = float(mean_loss)
+                history.append(loss)
+            else:
+                history.append(mean_loss)  # device scalar, no sync
             if log_fn:
                 log_fn(f"Epoch {ep + 1}/{t.num_epochs}, Loss: {loss:.4f}")
-            if t.save_freq and (ep + 1) % t.save_freq == 0:
+            if at_save:
                 save_checkpoint(periodic, state,
                                 metadata={"epoch": ep + 1, "loss": loss})
 
+        history = [float(l) for l in history]
         ckpt_path = os.path.join(t.checkpoint_dir, "vae_hmm_trained")
         save_checkpoint(ckpt_path, state,
                         metadata={"epochs": t.num_epochs,

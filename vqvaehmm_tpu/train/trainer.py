@@ -181,7 +181,8 @@ class Trainer:
     def __init__(self, model: VAEHMM, lr: float = 1e-3,
                  gradient_clip: Optional[float] = 1.0,
                  beta_warmup: bool = True, seed: int = 0,
-                 fused: bool = False):
+                 fused: bool = False,
+                 device_data: Optional[bool] = None):
         self.model = model
         self.tx = make_optimizer(lr, gradient_clip)
         params = model.init(jax.random.PRNGKey(seed))
@@ -189,6 +190,11 @@ class Trainer:
                                 jnp.zeros((), jnp.int32))
         self.beta_warmup = beta_warmup
         self._fused = fused
+        # Mirrors train_model's device_data: None = auto (device input
+        # pipeline on TPU), False = host-assembled epochs everywhere (the
+        # documented host sample stream, e.g. to reproduce a CPU-seeded
+        # trajectory on-chip), True = force the device sampler.
+        self._device_data = device_data
         self._epoch_step = make_epoch_step(model, self.tx, fused=fused)
 
     @property
@@ -197,7 +203,10 @@ class Trainer:
 
     def train_epoch(self, dataset: RandomChunkDataset, batch_size: int,
                     beta: float = 1.0) -> float:
-        if jax.default_backend() == "tpu":
+        device_data = self._device_data
+        if device_data is None:
+            device_data = jax.default_backend() == "tpu"
+        if device_data:
             # device input pipeline (index triples + on-chip gather, the
             # train_model device_data path); one sampler/step per dataset
             if getattr(self, "_sampler_ds", None) is not dataset:
