@@ -260,3 +260,29 @@ def test_gather_fused_epoch_step_mesh_matches_single_device():
                     jax.tree_util.tree_leaves(sB.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_device_sampler_dense_pools_are_lazy():
+    """The dense (N,C,Tpad)/(N,U,Tpad) pools are a second full-dataset
+    layout used only by the XLA dynamic-slice gather; constructing the
+    sampler or taking the Pallas token path must not build them (the
+    fused token path would otherwise pay host assembly + an upload for
+    bytes it never reads)."""
+    from vqvaehmm_tpu.data import DeviceEpochSampler, RandomChunkDataset
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+
+    xs, us, _ = synthetic_sequences(4, 60, 5, 4, 3, seed=2)
+    ds = RandomChunkDataset(xs, us, min_len=8, max_len=24,
+                            samples_per_epoch=32, seed=0)
+    sampler = DeviceEpochSampler(ds)
+    assert not hasattr(sampler, "_dense"), "pools built in __init__"
+
+    sampler.token_pool()  # the fused-path layout
+    assert not hasattr(sampler, "_dense"), "token path built dense pools"
+
+    # first touch of the XLA-gather path builds them, once
+    x_d, u_d, l_d = sampler.epoch(8)
+    assert hasattr(sampler, "_dense")
+    assert x_d.shape == (4, 8, 5, 24) and u_d.shape == (4, 8, 4, 24)
+    first = sampler.dense_pools()
+    assert sampler.dense_pools()[0] is first[0]  # cached, not rebuilt

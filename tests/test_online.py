@@ -365,3 +365,46 @@ def test_sessions_do_not_serialize_behind_one_lock(setup):
         th.join(timeout=5.0)
     assert ok, "session b blocked behind session a's lock"
     assert result["out"]["t_peek"] == 1
+
+
+def test_export_race_raises_instead_of_stale_snapshot(setup):
+    """If a session is replaced (carried-state update / finish /
+    concurrent export) while export_session waits on its per-session
+    lock, the export must RAISE — returning the pre-replacement
+    state_dict would hand out a stale snapshot while a newer filter
+    stays live under the same id (two divergent streams).
+
+    The race is made deterministic by shimming the per-session lock:
+    its acquisition performs the replacement first, exactly as if a
+    competing update had won the lock while the export was parked."""
+    import threading
+
+    from vqvaehmm_tpu.models.online import OnlineFilter, StreamManager
+
+    model, params, x, u = setup
+    mgr = StreamManager(model, params)
+    mgr.update("s", x[:, 0], u[:, 0])
+    f2 = OnlineFilter(model, params, step_fn=mgr._step_fn)
+
+    class ReplacedWhileWaiting:
+        """Lock whose acquisition races in a session replacement."""
+
+        def __init__(self):
+            self._inner = threading.Lock()
+
+        def __enter__(self):
+            with mgr._lock:
+                mgr._sessions["s"] = f2
+            return self._inner.__enter__()
+
+        def __exit__(self, *exc):
+            return self._inner.__exit__(*exc)
+
+    mgr._session_locks["s"] = ReplacedWhileWaiting()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="replaced or closed"):
+        mgr.export_session("s")
+    # the replacement session is untouched and still live
+    assert mgr._sessions["s"] is f2
