@@ -404,7 +404,44 @@ def bench_torch_cpu() -> float:
     return sps
 
 
+def _require_backend(timeout_s: float = None):
+    """Fail fast if the accelerator tunnel never comes up.
+
+    Backend init through the remote relay blocks indefinitely when the
+    tunnel is down (observed: jax.devices() parked in a retry sleep for
+    20+ minutes); the driver's round-end bench run would hang with no
+    diagnostic.  Probe init in a daemon thread with a deadline and exit
+    2 with a clear message instead."""
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", 300))
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        try:
+            import jax
+
+            info["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, then exit
+            info["error"] = e
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        log(f"backend init did not complete within {timeout_s:.0f}s — "
+            "accelerator tunnel unreachable; aborting instead of hanging")
+        os._exit(2)  # the probe thread is stuck in C; sys.exit can't run
+    if "error" in info:
+        log(f"backend init failed: {info['error']!r}")
+        os._exit(2)
+    log(f"backend up: {info['devices']}")
+
+
 def main():
+    _require_backend()
     jax_sps, jax_lo, jax_hi = bench_jax()
     try:
         vit_p50, vit_lo, vit_hi = bench_viterbi_p50()

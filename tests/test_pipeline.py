@@ -314,3 +314,37 @@ def test_train_pipeline_device_input(tiny_config):
     state2 = TrainPipeline(cfg3).train(log_fn=logs2.append)
     assert any("Resumed" in s for s in logs2)
     assert int(state2.step) == 3 * (32 // 8)
+
+
+def test_pipeline_no_sync_path_matches_logged_path(tiny_config):
+    """With log_fn=None (and off save_freq epochs) TrainPipeline keeps
+    losses as device scalars to avoid per-epoch host syncs; the final
+    checkpoint metadata must still carry the same float history as a
+    run that logged (and therefore synced) every epoch."""
+    import json as _json
+
+    cfg_path, tmp = tiny_config
+    raw = _json.loads(open(cfg_path).read())
+    raw["training"]["epochs"] = 3
+    for tag in ("sync", "nosync"):
+        r = dict(raw, training=dict(
+            raw["training"], checkpoint_dir=str(tmp / f"ck_{tag}")))
+        (tmp / f"cfg_{tag}.json").write_text(_json.dumps(r))
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.data.checkpoint import load_metadata
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    logs = []
+    TrainPipeline(load_config(str(tmp / "cfg_sync.json"))).train(
+        log_fn=logs.append, resume=False)
+    TrainPipeline(load_config(str(tmp / "cfg_nosync.json"))).train(
+        log_fn=None, resume=False)
+
+    m_sync = load_metadata(str(tmp / "ck_sync" / "vae_hmm_trained"))
+    m_nosync = load_metadata(str(tmp / "ck_nosync" / "vae_hmm_trained"))
+    assert m_sync["final_loss"] == m_nosync["final_loss"]
+    # the logged losses are the synced history; the last one must match
+    loss_lines = [l for l in logs if "Loss:" in l]
+    last_logged = float(loss_lines[-1].rsplit(" ", 1)[-1])
+    assert abs(m_nosync["final_loss"] - last_logged) < 1e-3
