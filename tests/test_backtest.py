@@ -218,3 +218,30 @@ def test_cash_accounting_is_self_financing():
     w_invested = min(1.0, float(np.asarray(
         fake_model(fake_posterior(jnp.asarray(data[:, :, 5:25])))).sum()))
     assert ref.equity_curve[25] > 100000.0 * (1.0 + 0.9 * w_invested)
+
+
+def test_plot_results_and_plot_monte_carlo(tmp_path, rng):
+    """Plot builders (reference backtesting.py:184-211, backtest.py:253-290)
+    run headless and write the artifact files."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from vqvaehmm_tpu.backtest import (BacktestResult, plot_monte_carlo,
+                                       plot_results)
+
+    rets = rng.normal(5e-4, 0.01, size=200).astype(np.float32)
+    equity = 1e5 * np.cumprod(1 + rets)
+    dd = equity / np.maximum.accumulate(equity) - 1
+    result = BacktestResult(
+        returns=rets, positions=rng.dirichlet(np.ones(3), size=200),
+        trades=np.zeros(200), metrics={"sharpe_ratio": 1.0},
+        equity_curve=equity, drawdowns=dd)
+    fig = plot_results(result, title="t")
+    assert fig is not None
+    fig.savefig(str(tmp_path / "bt.png"))
+    assert (tmp_path / "bt.png").exists()
+
+    mc = {"final_values": 1 + rng.normal(0, 0.1, size=50),
+          "daily_returns": rng.normal(0, 0.01, size=(50, 60))}
+    plot_monte_carlo(mc, str(tmp_path / "mc.png"))
+    assert (tmp_path / "mc.png").exists()

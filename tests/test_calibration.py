@@ -121,3 +121,31 @@ def test_non_binary_targets_excluded_from_fp(rng):
     assert (r.true_positives, r.false_positives, r.false_negatives) == \
         (1, 1, 0)
     assert r.precision == 0.5
+
+
+def test_calibrate_regime_thresholds_per_regime(rng):
+    """Per-regime one-vs-rest thresholds from mean posteriors
+    (reference calibration.py:229-242): with cleanly separable
+    posteriors every regime gets a threshold that separates its
+    sequences from the rest."""
+    from vqvaehmm_tpu.calibration import (ThresholdCalibrator,
+                                          calibrate_regime_thresholds)
+
+    K, T, per = 3, 20, 12
+    B = K * per
+    true = np.repeat(np.arange(K), per)
+    probs = np.full((B, K, T), 0.1, np.float32)
+    for i, k in enumerate(true):
+        probs[i, k, :] = 0.8 + 0.1 * rng.random(T)
+
+    th = calibrate_regime_thresholds(lambda d: probs, None, true, K)
+    assert sorted(th) == [0, 1, 2]
+    for k in range(K):
+        preds = probs[:, k, :].mean(axis=1)
+        # the returned threshold separates regime-k rows from the rest
+        assert (preds[true == k] > th[k]).all()
+        assert (preds[true != k] <= th[k]).all()
+        # and equals a direct ThresholdCalibrator run on the same data
+        cal = ThresholdCalibrator(min_precision=0.6, min_recall=0.5)
+        want = cal.calibrate(preds, (true == k).astype(int)).threshold
+        assert th[k] == want

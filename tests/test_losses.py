@@ -222,3 +222,52 @@ def test_adversarial_portfolio_loss(rng):
         lambda rp: head(p, rp), q, rets))(params)
     assert any(np.any(np.asarray(l) != 0)
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_calibrate_probabilities_matches_reference_binning(rng):
+    """Reliability-diagram binning (regime_utilities.py:56-73): per-bin
+    (mean confidence, accuracy) pairs over argmax predictions."""
+    from vqvaehmm_tpu.models import calibrate_probabilities
+
+    B, T, K = 50, 1, 3
+    probs = rng.dirichlet(np.ones(K), size=(B, T)).astype(np.float32)
+    true = rng.integers(0, K, size=(B, T))
+
+    got = calibrate_probabilities(probs, true, n_bins=10)
+
+    maxp = probs.max(axis=-1)
+    pred = probs.argmax(axis=-1)
+    edges = np.linspace(0, 1, 11)
+    want = []
+    for i in range(10):
+        m = (maxp >= edges[i]) & (maxp < edges[i + 1])
+        if m.sum() > 0:
+            want.append((maxp[m].mean(), (pred[m] == true[m]).mean()))
+    assert len(got) == len(want)
+    for (gc, ga), (wc, wa) in zip(got, want):
+        assert abs(gc - wc) < 1e-6 and abs(ga - wa) < 1e-6
+    # every returned bin is (confidence, accuracy) in [0,1]
+    assert all(0 <= c <= 1 and 0 <= a <= 1 for c, a in got)
+
+
+def test_optimize_rebalancing_frequency_matches_reference(rng):
+    """sqrt(cost / 2 sigma) * 252 clamped to [1, max_freq]
+    (regime_utilities.py:156-165; torch .std() is ddof=1)."""
+    from vqvaehmm_tpu.models import optimize_rebalancing_frequency
+
+    B, T, K = 4, 60, 3
+    q = rng.dirichlet(np.ones(K), size=(B, T)).astype(np.float32)
+    A = rng.dirichlet(np.ones(K), size=(B, K)).astype(np.float32)
+    r = rng.normal(0, 0.01, size=(B, T)).astype(np.float32)
+
+    got = int(optimize_rebalancing_frequency(q, A, r,
+                                             transaction_cost=0.001,
+                                             max_freq=21))
+    vol = np.std(r, axis=1, ddof=1).mean()
+    want = int(np.clip(np.sqrt(0.001 / (2 * vol)) * 252, 1, 21))
+    assert got == want
+
+    # a tiny cost pushes the frequency to the daily floor
+    lo = int(optimize_rebalancing_frequency(q, A, r,
+                                            transaction_cost=1e-9))
+    assert lo == 1

@@ -75,3 +75,28 @@ def test_parse_market_text_flat_and_errors():
     assert x.shape == (1, 5, 4)
     with pytest.raises(ValueError):
         parse_market_text("1 2 3")  # too few values
+
+
+def test_load_fixture_frames_and_full_pipeline():
+    """The committed market fixture loads into (prices, regime_data,
+    regimes) frames and drives the full load_portfolio_data pipeline —
+    the no-network replacement for the reference's yfinance pull."""
+    import os
+
+    from vqvaehmm_tpu.data.market import (REGIME_TICKERS,
+                                          load_fixture_frames)
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "market_fixture.csv")
+    prices, regime_data, regimes = load_fixture_frames(fixture)
+    # regime indicator columns are split out of the price panel
+    assert set(regime_data.columns) <= set(REGIME_TICKERS)
+    assert not (set(prices.columns) & set(regime_data.columns))
+    assert regimes is not None and set(np.unique(regimes)) <= {0, 1, 2}
+    assert len(prices) == len(regime_data) == len(regimes)
+    assert (prices.to_numpy() > 0).all()
+
+    data = load_portfolio_data(fixture_path=fixture, log_fn=None)
+    assert data["x_sequences"].ndim == 3
+    assert data["x_sequences"].shape[0] == data["u_sequences"].shape[0]
+    assert np.isfinite(data["x_sequences"]).all()
