@@ -100,3 +100,21 @@ def test_load_fixture_frames_and_full_pipeline():
     assert data["x_sequences"].ndim == 3
     assert data["x_sequences"].shape[0] == data["u_sequences"].shape[0]
     assert np.isfinite(data["x_sequences"]).all()
+
+
+def test_create_dataloader_batches():
+    """create_dataloader (reference data_loader.py:105-109) yields
+    static-shape batches from raw sequence arrays."""
+    from vqvaehmm_tpu.data.market import create_dataloader
+
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=(4, 5, 80)).astype(np.float32)
+    us = rng.normal(size=(4, 4, 80)).astype(np.float32)
+    n = 0
+    for x, u, lens in create_dataloader(xs, us, batch_size=8,
+                                        min_len=16, max_len=32):
+        assert x.shape[0] == 8 and x.shape[1] == 5
+        assert u.shape[:2] == (8, 4) and u.shape[2] == x.shape[2]
+        assert (lens >= 16).all() and (lens <= 32).all()
+        n += 1
+    assert n == 1000 // 8  # reference len(dataset) == 1000 preserved
