@@ -348,3 +348,30 @@ def test_pipeline_no_sync_path_matches_logged_path(tiny_config):
     loss_lines = [l for l in logs if "Loss:" in l]
     last_logged = float(loss_lines[-1].rsplit(" ", 1)[-1])
     assert abs(m_nosync["final_loss"] - last_logged) < 1e-3
+
+
+def test_pipeline_profile_dir_captures_trace(tiny_config, tmp_path):
+    """training.profile_dir captures a jax.profiler trace of one
+    steady-state epoch (SURVEY.md section 5: tracing as a first-class
+    feature); the trace directory must be non-empty afterwards and the
+    run itself unaffected."""
+    import json as _json
+
+    cfg_path, tmp = tiny_config
+    raw = _json.loads(open(cfg_path).read())
+    prof = str(tmp_path / "trace")
+    raw["training"]["profile_dir"] = prof
+    raw["training"]["checkpoint_dir"] = str(tmp_path / "ck")
+    p = tmp_path / "cfg_prof.json"
+    p.write_text(_json.dumps(raw))
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    state = TrainPipeline(load_config(str(p))).train(log_fn=None,
+                                                     resume=False)
+    assert int(state.step) == 2 * (32 // 8)
+    import os
+
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, "profiler trace directory is empty"

@@ -84,6 +84,11 @@ class TrainConfig:
     # runs inside the training scan (data/device_sampler.py; ~50x the
     # host path's goodput on a 1-core host, BENCH_NOTES.md).
     input_pipeline: str = "host"
+    # When set, capture a jax.profiler trace (TensorBoard/Perfetto) of
+    # one steady-state epoch into this directory — the epoch after the
+    # first, so compile time never pollutes the trace (SURVEY.md §5:
+    # tracing as a first-class feature; utils/profiling.py).
+    profile_dir: Optional[str] = None
 
     def __post_init__(self):
         if self.input_pipeline not in ("host", "device"):

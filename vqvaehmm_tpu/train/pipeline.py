@@ -134,20 +134,39 @@ class TrainPipeline:
         else:
             epoch_step = make_epoch_step(model, tx, mesh=self.mesh,
                                          fused=fused)
+        profile_dir = getattr(t, "profile_dir", None)
+        # trace the epoch AFTER the first so the first epoch's compile
+        # never pollutes the profile; single-epoch runs trace epoch 0
+        profile_ep = (min(start_epoch + 1, t.num_epochs - 1)
+                      if profile_dir else None)
+
         history = []
         for ep in range(start_epoch, t.num_epochs):
             beta = beta_schedule(ep, t.num_epochs, t.beta_warmup)
-            if device_input:
-                si, st_, ln = sampler.sample_indices_fast(t.batch_size,
-                                                          num_batches)
-                state, mean_loss = gstep(state, jnp.asarray(si),
-                                         jnp.asarray(st_),
-                                         jnp.asarray(ln),
-                                         jnp.float32(beta))
+            if ep == profile_ep:
+                from ..utils.profiling import trace as _trace
+
+                ctx = _trace(profile_dir)
             else:
-                xs, us, lens = epoch_arrays(dataset, t.batch_size)
-                state, mean_loss = epoch_step(state, xs, us, lens,
-                                              jnp.float32(beta))
+                import contextlib
+
+                ctx = contextlib.nullcontext()
+            with ctx:
+                if device_input:
+                    si, st_, ln = sampler.sample_indices_fast(t.batch_size,
+                                                              num_batches)
+                    state, mean_loss = gstep(state, jnp.asarray(si),
+                                             jnp.asarray(st_),
+                                             jnp.asarray(ln),
+                                             jnp.float32(beta))
+                else:
+                    xs, us, lens = epoch_arrays(dataset, t.batch_size)
+                    state, mean_loss = epoch_step(state, xs, us, lens,
+                                                  jnp.float32(beta))
+                if ep == profile_ep:
+                    # the epoch step is async; sync INSIDE the trace so
+                    # the device work lands in the captured window
+                    mean_loss.block_until_ready()
             at_save = t.save_freq and (ep + 1) % t.save_freq == 0
             if log_fn is not None or at_save:
                 # the host sync is only needed for live logging and
