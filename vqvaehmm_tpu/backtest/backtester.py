@@ -23,7 +23,6 @@ from typing import Callable, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 @dataclass

@@ -14,7 +14,6 @@ import threading
 from typing import Iterator, Optional, Tuple
 
 import jax
-import numpy as np
 
 from .dataset import RandomChunkDataset, epoch_arrays
 

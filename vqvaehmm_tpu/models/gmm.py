@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.precise import pexp, plog, plogsumexp, psoftmax
+from ..ops.precise import plog, plogsumexp, psoftmax
 
 
 class GMMParams(NamedTuple):

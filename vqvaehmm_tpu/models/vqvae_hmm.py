@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..core.masking import length_mask
 from ..ops import nn as ops
-from ..ops.vq import EMAState, VQResult, ema_init, ema_update, quantize_st
+from ..ops.vq import VQResult, quantize_st
 from .hmm import EMResult, HiddenMarkovModel, fit_categorical_em
 
 Params = Dict

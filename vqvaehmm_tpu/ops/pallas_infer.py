@@ -35,7 +35,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from .pallas_train import _pick_block_b, fits_vmem, full_spec, tok_spec
-from .precise import pexp, plog
+from .precise import pexp
 
 Params = Dict
 

@@ -19,13 +19,12 @@ mesh).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.hmm import ForwardResult, _as_time_varying, _log_matmul
 from ..ops.precise import plogsumexp

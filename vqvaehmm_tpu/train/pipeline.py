@@ -21,7 +21,7 @@ from ..data.checkpoint import save_checkpoint, save_params_npz
 from ..data.dataset import RandomChunkDataset
 from ..models.vae_hmm import VAEHMM
 from ..parallel.mesh import create_mesh
-from .trainer import TrainState, train_model
+from .trainer import TrainState
 
 
 def load_sequences(x_path: str, u_path: str
