@@ -334,3 +334,79 @@ def test_train_model_device_data_path():
                               fused=True, log_fn=None)
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_train_ensemble_members_match_solo_runs():
+    """Vmapped multi-seed ensemble training: every member's trajectory
+    must equal a solo train_model run from the same seed over the same
+    epoch stream (the member axis only batches independent math), and
+    `best` must index the lowest final loss."""
+    from vqvaehmm_tpu.train import (ensemble_member, train_ensemble,
+                                    train_model)
+
+    model = make_model(5, 12, 3, 6, u_dim=4, trans_hidden=12)
+    seeds = [0, 1, 2]
+    states, hist, best = train_ensemble(
+        model, _dataset(), seeds, num_epochs=3, batch_size=16,
+        log_fn=None)
+    assert hist.shape == (3, 3)
+    assert best == int(hist[:, -1].argmin())
+
+    for i, s in enumerate(seeds):
+        # fresh dataset with the same seed -> identical epoch stream
+        st, solo_hist = train_model(model, _dataset(), num_epochs=3,
+                                    batch_size=16, seed=s, log_fn=None,
+                                    device_data=False)
+        np.testing.assert_allclose(hist[i], solo_hist, rtol=0,
+                                   atol=1e-6)
+        member = ensemble_member(states, i)
+        assert int(member.step) == int(st.step)
+        for a, b in zip(jax.tree_util.tree_leaves(member.params),
+                        jax.tree_util.tree_leaves(st.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-6)
+
+
+def test_ensemble_mesh_sharded_matches_single_device():
+    """Ensemble parallelism: sharding the member axis over an 8-device
+    mesh must reproduce the single-device vmapped trajectories exactly
+    (members are independent; XLA partitions the vmap with zero
+    collectives)."""
+    from vqvaehmm_tpu.parallel import create_mesh
+    from vqvaehmm_tpu.train.ensemble import (init_ensemble_state,
+                                             make_ensemble_epoch_step)
+    from vqvaehmm_tpu.train.trainer import make_optimizer
+    from vqvaehmm_tpu.data.dataset import epoch_arrays
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    model = make_model(5, 12, 3, 6, u_dim=4, trans_hidden=12)
+    tx = make_optimizer(1e-3)
+    seeds = list(range(8))
+
+    mesh = create_mesh(8)
+    xs, us, lens = epoch_arrays(_dataset(), 16)
+
+    st_solo = init_ensemble_state(model, tx, seeds)
+    step_solo = make_ensemble_epoch_step(model, tx, donate=False)
+    st_solo, l_solo = step_solo(st_solo, xs, us, lens,
+                                jnp.float32(1.0))
+
+    st_mesh = init_ensemble_state(model, tx, seeds)
+    step_mesh = make_ensemble_epoch_step(model, tx, donate=False,
+                                         mesh=mesh)
+    st_mesh, l_mesh = step_mesh(st_mesh, xs, us, lens,
+                                jnp.float32(1.0))
+
+    # batched (8-member) vs per-shard (1-member) conv kernels fuse
+    # differently on CPU — ~2e-6 float jitter, well inside the repo's
+    # 1e-4 parity bar
+    np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_solo),
+                               rtol=0, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_mesh.params),
+                    jax.tree_util.tree_leaves(st_solo.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)

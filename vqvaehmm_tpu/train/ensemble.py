@@ -1,0 +1,119 @@
+"""Vmapped multi-seed ensemble training.
+
+The reference's only answer to seed sensitivity is rerunning the whole
+script (train.py's fixed seed; train_simple.py's GMM uses n_init=10
+restarts but the VAE-HMM itself gets one draw).  On TPU the idiomatic
+answer is to train every seed SIMULTANEOUSLY: the member axis vmaps over
+the TrainState pytree, turning the model's small matmuls into batched
+matmuls the MXU actually fills, while the epoch data is shared — one
+jitted dispatch per epoch advances N independent Adam trajectories.
+
+Same pattern as the vmapped multi-restart Baum-Welch in models/hmm.py
+and the vmapped EM restarts in models/gmm.py; this extends it to the
+full VAE-HMM optimizer loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import RandomChunkDataset, epoch_arrays
+from ..models.vae_hmm import VAEHMM
+from .trainer import (TrainState, _sgd_update, beta_schedule,
+                      make_optimizer)
+
+
+def init_ensemble_state(model: VAEHMM, tx, seeds: Sequence[int]
+                        ) -> TrainState:
+    """Stacked TrainState with a leading member axis: member i is
+    exactly the state `create_train_state` would build from seed i."""
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    params = jax.vmap(model.init)(keys)
+    opt_state = jax.vmap(tx.init)(params)
+    return TrainState(params, opt_state,
+                      jnp.zeros((len(seeds),), jnp.int32))
+
+
+def make_ensemble_epoch_step(model: VAEHMM, tx, donate: bool = True,
+                             mesh=None, axis: str = "data"):
+    """Epoch update vmapped over the member axis of a stacked
+    TrainState.  The epoch data (xs, us, lens) is SHARED across members
+    (in_axes=None via closure); each member advances its own Adam
+    trajectory.  Returns step(states, xs, us, lens, beta) ->
+    (states, per-member mean loss (N,)).
+
+    mesh: shard the MEMBER axis over `axis` — ensemble parallelism via
+    shard_map: each chip runs the vmapped scan over its LOCAL members
+    against the replicated epoch data, with zero collectives (letting
+    jit partition the vmap instead would turn the batched convs into
+    grouped convs and demand feature dims divisible by the axis size).
+    len(seeds) must be divisible by the axis size."""
+
+    def epoch(states: TrainState, xs, us, lens, beta):
+        def body(st, batch):
+            x, u, l = batch
+            return _sgd_update(model, tx, st, x, u, l, beta)
+
+        def one_member(st):
+            return jax.lax.scan(body, st, (xs, us, lens))
+
+        states, losses = jax.vmap(one_member)(states)  # losses (N, nb)
+        return states, losses.mean(axis=1)
+
+    dn = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(epoch, donate_argnums=dn)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = shard_map(
+        epoch, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=dn)
+
+
+def ensemble_member(states: TrainState, i: int) -> TrainState:
+    """Extract member i as a plain (unstacked) TrainState."""
+    return jax.tree_util.tree_map(lambda a: a[i], states)
+
+
+def train_ensemble(model: VAEHMM, dataset: RandomChunkDataset,
+                   seeds: Sequence[int], num_epochs: int = 10,
+                   lr: float = 1e-3, batch_size: int = 64,
+                   gradient_clip: Optional[float] = None,
+                   beta_warmup: bool = True,
+                   log_fn=print) -> Tuple[TrainState, np.ndarray, int]:
+    """Train len(seeds) independent models in one vmapped loop over
+    shared epoch data (same schedule as train_model — reference
+    VQ_VAE_HMM_fixed.py:145-162).
+
+    Returns (stacked TrainState, per-member loss history (N, epochs),
+    index of the member with the best final loss).  Pull the winner out
+    with `ensemble_member(states, best)`.
+    """
+    tx = make_optimizer(lr, gradient_clip)
+    states = init_ensemble_state(model, tx, seeds)
+    step = make_ensemble_epoch_step(model, tx)
+
+    history = []
+    for ep in range(num_epochs):
+        beta = beta_schedule(ep, num_epochs, beta_warmup)
+        xs, us, lens = epoch_arrays(dataset, batch_size)
+        states, losses = step(states, xs, us, lens, jnp.float32(beta))
+        history.append(losses)  # device (N,); no per-epoch host sync
+        if log_fn is not None:
+            l_np = np.asarray(losses)
+            log_fn(f"Epoch {ep + 1}/{num_epochs}, "
+                   f"loss min {l_np.min():.4f} / "
+                   f"median {np.median(l_np):.4f} / max {l_np.max():.4f}")
+    hist = np.stack([np.asarray(l) for l in history], axis=1)  # (N, E)
+    best = int(hist[:, -1].argmin())
+    return states, hist, best
