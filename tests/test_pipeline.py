@@ -375,3 +375,36 @@ def test_pipeline_profile_dir_captures_trace(tiny_config, tmp_path):
 
     found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
     assert found, "profiler trace directory is empty"
+
+
+def test_load_checkpoint_rejects_wrong_config(tmp_path):
+    """Restoring a checkpoint into a differently-configured model must
+    raise immediately with the mismatched leaf paths — orbax restores
+    the on-disk shapes regardless of the template, so without the check
+    the failure surfaces much later as an opaque jit shape error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from vqvaehmm_tpu import TrainState, make_model
+    from vqvaehmm_tpu.data.checkpoint import (load_checkpoint,
+                                              save_checkpoint)
+    from vqvaehmm_tpu.train.trainer import make_optimizer
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    tx = make_optimizer(1e-3)
+    p = model.init(jax.random.PRNGKey(0))
+    st = TrainState(p, tx.init(p), jnp.zeros((), jnp.int32))
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, st)
+
+    wrong = make_model(5, 16, 3, 8, u_dim=4, trans_hidden=16)
+    pw = wrong.init(jax.random.PRNGKey(0))
+    template = TrainState(pw, tx.init(pw), jnp.zeros((), jnp.int32))
+    with pytest.raises(ValueError, match="does not match the template"):
+        load_checkpoint(ck, template)
+
+    # the matching template still round-trips
+    ok = load_checkpoint(ck, TrainState(p, tx.init(p),
+                                        jnp.zeros((), jnp.int32)))
+    assert int(ok.step) == 0

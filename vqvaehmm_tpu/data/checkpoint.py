@@ -50,13 +50,42 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
             json.dump(metadata, f)
 
 
+def _shape_mismatches(restored, target, limit: int = 5):
+    """Leaf-shape differences between a restored tree and its template."""
+    rf = jax.tree_util.tree_flatten_with_path(restored)[0]
+    tf = jax.tree_util.tree_flatten_with_path(target)[0]
+    bad = []
+    for (kp, ra), (_, ta) in zip(rf, tf):
+        rs = tuple(np.shape(ra))
+        ts = tuple(np.shape(ta))
+        if rs != ts:
+            bad.append(f"{jax.tree_util.keystr(kp)}: "
+                       f"checkpoint {rs} vs template {ts}")
+            if len(bad) >= limit:
+                break
+    return bad
+
+
 def load_checkpoint(path: str, target=None) -> Any:
-    """Load; with `target` (a template pytree) restores exact structure."""
+    """Load; with `target` (a template pytree) restores exact structure.
+
+    Raises ValueError when the checkpoint's leaf shapes disagree with the
+    template's: orbax restores the ON-DISK shapes regardless of the
+    template, so loading a checkpoint into a differently-configured
+    model would otherwise succeed silently and fail much later as an
+    opaque shape error inside jit (or train quietly wrong)."""
     path = os.path.abspath(path)
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         if target is not None:
-            return ckptr.restore(path, item=target)
+            restored = ckptr.restore(path, item=target)
+            bad = _shape_mismatches(restored, target)
+            if bad:
+                raise ValueError(
+                    f"checkpoint at {path} does not match the template "
+                    "(wrong model config?); mismatched leaves:\n  "
+                    + "\n  ".join(bad))
+            return restored
         return ckptr.restore(path)
     raise RuntimeError("orbax unavailable and no fallback written")
 
