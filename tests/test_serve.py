@@ -284,3 +284,28 @@ def test_cli_vae_stack_with_trained_checkpoint(tmp_path, capsys):
               "--data", data_path])
     out = capsys.readouterr().out
     assert "Current regime:" in out and "Allocation:" in out
+
+
+def test_server_rejects_mismatched_checkpoint(tmp_path):
+    """A config/checkpoint mismatch must fail at model-load time with
+    the mismatched leaf paths, not as request-time 500s."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.data.checkpoint import save_params_npz
+    from vqvaehmm_tpu.serve.app import InferenceModel
+
+    # checkpoint from a LARGER model than the serving config declares
+    big = make_model(5, 16, 3, 8, u_dim=4, trans_hidden=16)
+    save_params_npz(str(tmp_path / "m.npz"),
+                    big.init(jax.random.PRNGKey(0)))
+
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+           "checkpoint_path": str(tmp_path / "m")}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    with pytest.raises(ValueError, match="do not match the configured"):
+        InferenceModel(str(cfg_path))

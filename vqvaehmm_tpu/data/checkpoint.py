@@ -66,6 +66,31 @@ def _shape_mismatches(restored, target, limit: int = 5):
     return bad
 
 
+def validate_params_for(model, params, what: str = "checkpoint") -> None:
+    """Raise ValueError if `params` cannot belong to `model` (leaf shapes
+    checked against a freshly-initialized template).  Serving layers call
+    this at STARTUP so a config/checkpoint mismatch fails immediately
+    with named paths instead of as request-time 500s."""
+    template = model.init(jax.random.PRNGKey(0))
+    try:
+        bad = _shape_mismatches(params, template)
+    except Exception as e:  # structure mismatch (missing/extra keys)
+        raise ValueError(
+            f"{what} params do not match the configured model's "
+            f"structure: {e}") from None
+    rf = jax.tree_util.tree_flatten_with_path(params)[0]
+    tf = jax.tree_util.tree_flatten_with_path(template)[0]
+    if len(rf) != len(tf):
+        raise ValueError(
+            f"{what} params have {len(rf)} leaves but the configured "
+            f"model expects {len(tf)}")
+    if bad:
+        raise ValueError(
+            f"{what} params do not match the configured model "
+            "(wrong model config?); mismatched leaves:\n  "
+            + "\n  ".join(bad))
+
+
 def load_checkpoint(path: str, target=None) -> Any:
     """Load; with `target` (a template pytree) restores exact structure.
 

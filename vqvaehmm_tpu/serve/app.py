@@ -39,18 +39,28 @@ class InferenceModel:
         self.cfg = load_config(config_path)
         self.model = VAEHMM(self.cfg.model)
         ckpt = self.cfg.checkpoint_path
+        loaded = False
         if ckpt and os.path.exists(ckpt + ".npz"):
             from ..data.checkpoint import load_params_npz
 
             self.params = load_params_npz(ckpt + ".npz")
+            loaded = True
         elif ckpt and os.path.exists(ckpt) and ckpt.endswith((".pt", ".pth")):
             from ..utils.torch_interop import (load_torch_file,
                                                vae_hmm_params_from_state_dict)
 
             self.params = vae_hmm_params_from_state_dict(
                 load_torch_file(ckpt))
+            loaded = True
         else:
             self.params = self.model.init(jax.random.PRNGKey(0))
+        if loaded:
+            # fail at STARTUP on a config/checkpoint mismatch, not as
+            # request-time 500s (all three servers route through here)
+            from ..data.checkpoint import validate_params_for
+
+            validate_params_for(self.model, self.params,
+                                what=f"checkpoint {ckpt!r}")
 
         self._jnp = jnp
 
