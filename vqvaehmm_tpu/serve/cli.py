@@ -145,6 +145,10 @@ def main(argv=None):
 
         params = vae_hmm_params_from_state_dict(
             load_torch_file(args.checkpoint))
+    from ..data.checkpoint import validate_params_for
+
+    validate_params_for(model, params,
+                        what=f"checkpoint {args.checkpoint!r}")
 
     head = RegimePortfolioOptimizer(HeadConfig(
         K=cfg.model.K, n_assets=cfg.portfolio.n_assets,
