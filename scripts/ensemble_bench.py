@@ -63,15 +63,20 @@ def main():
             _, losses = step(states, xs, us_, lns, jnp.float32(1.0))
             losses.block_until_ready()
             times.append(time.perf_counter() - t0)
-        med = sorted(times)[2]
+        ts = sorted(times)
+        med, lo, hi = ts[2], ts[0], ts[-1]
         if base is None:
             base = med
         results[f"n={n}"] = {
+            # median over 5 windows WITH [min, max] spread — published
+            # claims must sit inside the recorded spread (CLAUDE.md)
             "epoch_s": round(med, 4),
+            "epoch_s_spread": [round(lo, 4), round(hi, 4)],
             "vs_n1": round(med / base, 3),
             "seqs_per_sec_total": round(n * STEPS * B / med),
         }
-        print(f"n={n}: {med:.4f}s ({med / base:.2f}x n=1), "
+        print(f"n={n}: {med:.4f}s [{lo:.4f}, {hi:.4f}] "
+              f"({med / base:.2f}x n=1), "
               f"{n * STEPS * B / med:,.0f} member-seqs/s",
               file=sys.stderr)
     print(json.dumps({"backend": jax.default_backend(),

@@ -309,3 +309,64 @@ def test_server_rejects_mismatched_checkpoint(tmp_path):
 
     with pytest.raises(ValueError, match="do not match the configured"):
         InferenceModel(str(cfg_path))
+
+
+def test_missing_checkpoint_warns_and_strict_mode_raises(tmp_path,
+                                                         monkeypatch,
+                                                         capsys):
+    """A configured-but-missing checkpoint serves random-init weights
+    only with a loud warning and checkpoint_loaded=False; with
+    VQHMM_REQUIRE_CHECKPOINT=1 it fails at startup (the reference
+    crashes unconditionally — inference_api/app.py:45)."""
+    from vqvaehmm_tpu.serve.app import InferenceModel
+
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+           "checkpoint_path": str(tmp_path / "missing")}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    m = InferenceModel(str(cfg_path))
+    assert m.checkpoint_loaded is False
+    assert "UNTRAINED" in capsys.readouterr().err
+
+    monkeypatch.setenv("VQHMM_REQUIRE_CHECKPOINT", "1")
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        InferenceModel(str(cfg_path))
+
+
+def test_checkpoint_path_with_explicit_npz_suffix(tmp_path):
+    """checkpoint_path configured as 'm.npz' verbatim must load m.npz
+    (previously probed 'm.npz.npz' and silently fell back to init)."""
+    import jax
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.data.checkpoint import save_params_npz
+    from vqvaehmm_tpu.serve.app import InferenceModel
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    save_params_npz(str(tmp_path / "m.npz"),
+                    model.init(jax.random.PRNGKey(7)))
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+           "checkpoint_path": str(tmp_path / "m.npz")}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert InferenceModel(str(cfg_path)).checkpoint_loaded is True
+
+
+def test_validation_catches_renamed_keys(tmp_path):
+    """Key-path-aware validation: a checkpoint with the right leaf
+    COUNT and shapes but a renamed subtree must be rejected (positional
+    comparison would pass it)."""
+    import jax
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.data.checkpoint import validate_params_for
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    renamed = dict(params)
+    renamed["dec"] = renamed.pop(list(params)[-1])  # same leaves, new key
+    with pytest.raises(ValueError, match="missing"):
+        validate_params_for(model, renamed)

@@ -410,3 +410,17 @@ def test_ensemble_mesh_sharded_matches_single_device():
                     jax.tree_util.tree_leaves(st_solo.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-5)
+
+
+def test_train_ensemble_device_data_path():
+    """train_ensemble's device input path (auto on TPU; forced here)
+    assembles epochs in device memory via the sampler gather and still
+    trains every member to finite losses."""
+    from vqvaehmm_tpu.train import train_ensemble
+
+    model = make_model(5, 12, 3, 6, u_dim=4, trans_hidden=12)
+    states, hist, best = train_ensemble(
+        model, _dataset(), seeds=[0, 1], num_epochs=2, batch_size=16,
+        device_data=True, log_fn=None)
+    assert hist.shape == (2, 2) and np.isfinite(hist).all()
+    assert 0 <= best < 2

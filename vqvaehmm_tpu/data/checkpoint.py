@@ -51,19 +51,25 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
 
 
 def _shape_mismatches(restored, target, limit: int = 5):
-    """Leaf-shape differences between a restored tree and its template."""
-    rf = jax.tree_util.tree_flatten_with_path(restored)[0]
-    tf = jax.tree_util.tree_flatten_with_path(target)[0]
+    """Leaf differences between a restored tree and its template,
+    compared BY KEY PATH (positional zip would let renamed/swapped keys
+    with coincidentally equal shapes pass): missing keys, extra keys,
+    and shape mismatches, up to `limit` entries."""
+    rd = {jax.tree_util.keystr(kp): leaf for kp, leaf
+          in jax.tree_util.tree_flatten_with_path(restored)[0]}
+    td = {jax.tree_util.keystr(kp): leaf for kp, leaf
+          in jax.tree_util.tree_flatten_with_path(target)[0]}
     bad = []
-    for (kp, ra), (_, ta) in zip(rf, tf):
-        rs = tuple(np.shape(ra))
-        ts = tuple(np.shape(ta))
+    for k in sorted(td.keys() - rd.keys()):
+        bad.append(f"{k}: missing (template {tuple(np.shape(td[k]))})")
+    for k in sorted(rd.keys() - td.keys()):
+        bad.append(f"{k}: unexpected (checkpoint "
+                   f"{tuple(np.shape(rd[k]))})")
+    for k in sorted(rd.keys() & td.keys()):
+        rs, ts = tuple(np.shape(rd[k])), tuple(np.shape(td[k]))
         if rs != ts:
-            bad.append(f"{jax.tree_util.keystr(kp)}: "
-                       f"checkpoint {rs} vs template {ts}")
-            if len(bad) >= limit:
-                break
-    return bad
+            bad.append(f"{k}: checkpoint {rs} vs template {ts}")
+    return bad[:limit]
 
 
 def validate_params_for(model, params, what: str = "checkpoint") -> None:
@@ -72,18 +78,7 @@ def validate_params_for(model, params, what: str = "checkpoint") -> None:
     this at STARTUP so a config/checkpoint mismatch fails immediately
     with named paths instead of as request-time 500s."""
     template = model.init(jax.random.PRNGKey(0))
-    try:
-        bad = _shape_mismatches(params, template)
-    except Exception as e:  # structure mismatch (missing/extra keys)
-        raise ValueError(
-            f"{what} params do not match the configured model's "
-            f"structure: {e}") from None
-    rf = jax.tree_util.tree_flatten_with_path(params)[0]
-    tf = jax.tree_util.tree_flatten_with_path(template)[0]
-    if len(rf) != len(tf):
-        raise ValueError(
-            f"{what} params have {len(rf)} leaves but the configured "
-            f"model expects {len(tf)}")
+    bad = _shape_mismatches(params, template)
     if bad:
         raise ValueError(
             f"{what} params do not match the configured model "

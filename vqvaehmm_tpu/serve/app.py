@@ -40,10 +40,13 @@ class InferenceModel:
         self.model = VAEHMM(self.cfg.model)
         ckpt = self.cfg.checkpoint_path
         loaded = False
-        if ckpt and os.path.exists(ckpt + ".npz"):
+        # accept the path verbatim OR with the implicit .npz suffix
+        # (configuring "m.npz" must not probe "m.npz.npz" and miss)
+        npz = ckpt if (ckpt or "").endswith(".npz") else (ckpt or "") + ".npz"
+        if ckpt and os.path.exists(npz):
             from ..data.checkpoint import load_params_npz
 
-            self.params = load_params_npz(ckpt + ".npz")
+            self.params = load_params_npz(npz)
             loaded = True
         elif ckpt and os.path.exists(ckpt) and ckpt.endswith((".pt", ".pth")):
             from ..utils.torch_interop import (load_torch_file,
@@ -54,6 +57,23 @@ class InferenceModel:
             loaded = True
         else:
             self.params = self.model.init(jax.random.PRNGKey(0))
+            if ckpt:
+                # a configured-but-missing checkpoint is the most common
+                # misconfiguration; random-init weights would otherwise
+                # serve silently (the reference crashes here instead —
+                # inference_api/app.py:45). Demo-friendly default: warn
+                # loudly; production: VQHMM_REQUIRE_CHECKPOINT=1 fails.
+                import sys
+
+                msg = (f"checkpoint_path {ckpt!r} is configured but no "
+                       "checkpoint was found; serving UNTRAINED "
+                       "random-init weights")
+                if os.environ.get("VQHMM_REQUIRE_CHECKPOINT",
+                                  "") not in ("", "0"):
+                    raise FileNotFoundError(msg)
+                print(f"WARNING: {msg} (set VQHMM_REQUIRE_CHECKPOINT=1 "
+                      "to fail instead)", file=sys.stderr, flush=True)
+        self.checkpoint_loaded = loaded
         if loaded:
             # fail at STARTUP on a config/checkpoint mismatch, not as
             # request-time 500s (all three servers route through here)

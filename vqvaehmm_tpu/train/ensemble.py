@@ -90,10 +90,17 @@ def train_ensemble(model: VAEHMM, dataset: RandomChunkDataset,
                    lr: float = 1e-3, batch_size: int = 64,
                    gradient_clip: Optional[float] = None,
                    beta_warmup: bool = True,
+                   device_data: Optional[bool] = None,
                    log_fn=print) -> Tuple[TrainState, np.ndarray, int]:
     """Train len(seeds) independent models in one vmapped loop over
     shared epoch data (same schedule as train_model — reference
     VQ_VAE_HMM_fixed.py:145-162).
+
+    device_data mirrors train_model: None = auto (on TPU the epoch is
+    assembled IN HBM by the device sampler's gather — the host ships
+    only index triples, since host assembly is ~150x too slow to feed
+    an on-chip step); False forces host epoch_arrays (the sample stream
+    that matches train_model(device_data=False) for a given seed).
 
     Returns (stacked TrainState, per-member loss history (N, epochs),
     index of the member with the best final loss).  Pull the winner out
@@ -102,11 +109,25 @@ def train_ensemble(model: VAEHMM, dataset: RandomChunkDataset,
     tx = make_optimizer(lr, gradient_clip)
     states = init_ensemble_state(model, tx, seeds)
     step = make_ensemble_epoch_step(model, tx)
+    if device_data is None:
+        device_data = jax.default_backend() == "tpu"
+    sampler = None
+    if device_data:
+        from ..data.device_sampler import DeviceEpochSampler
+
+        sampler = DeviceEpochSampler(dataset)
+        num_batches = len(dataset) // batch_size
 
     history = []
     for ep in range(num_epochs):
         beta = beta_schedule(ep, num_epochs, beta_warmup)
-        xs, us, lens = epoch_arrays(dataset, batch_size)
+        if sampler is not None:
+            # on-device epoch assembly (one jitted gather dispatch);
+            # the vectorized index draws cost ~nothing on the host
+            xs, us, lens = sampler.epoch(batch_size, num_batches,
+                                         exact_stream=False)
+        else:
+            xs, us, lens = epoch_arrays(dataset, batch_size)
         states, losses = step(states, xs, us, lens, jnp.float32(beta))
         history.append(losses)  # device (N,); no per-epoch host sync
         if log_fn is not None:

@@ -134,6 +134,10 @@ class TrainPipeline:
         else:
             epoch_step = make_epoch_step(model, tx, mesh=self.mesh,
                                          fused=fused)
+        import contextlib
+
+        from ..utils.profiling import trace as _trace
+
         profile_dir = getattr(t, "profile_dir", None)
         # trace the epoch AFTER the first so the first epoch's compile
         # never pollutes the profile; single-epoch runs trace epoch 0
@@ -143,15 +147,9 @@ class TrainPipeline:
         history = []
         for ep in range(start_epoch, t.num_epochs):
             beta = beta_schedule(ep, t.num_epochs, t.beta_warmup)
-            if ep == profile_ep:
-                from ..utils.profiling import trace as _trace
-
-                ctx = _trace(profile_dir)
-            else:
-                import contextlib
-
-                ctx = contextlib.nullcontext()
-            with ctx:
+            profiling = ep == profile_ep
+            with _trace(profile_dir) if profiling \
+                    else contextlib.nullcontext():
                 if device_input:
                     si, st_, ln = sampler.sample_indices_fast(t.batch_size,
                                                               num_batches)
@@ -163,7 +161,7 @@ class TrainPipeline:
                     xs, us, lens = epoch_arrays(dataset, t.batch_size)
                     state, mean_loss = epoch_step(state, xs, us, lens,
                                                   jnp.float32(beta))
-                if ep == profile_ep:
+                if profiling:
                     # the epoch step is async; sync INSIDE the trace so
                     # the device work lands in the captured window
                     mean_loss.block_until_ready()
