@@ -171,3 +171,30 @@ def test_length_one_sequences():
     assert abs(float(f.log_likelihood[0]) - expect) < 1e-5
     v = hmm.viterbi(log_pi, log_A, log_obs)
     assert v.states.shape == (1, 1)
+
+
+def test_fuzz_random_configs_vs_bruteforce():
+    """Seeded sweep of 20 random (K, T, time-varying, seed) configs vs
+    the all-paths oracle — broader assurance than the fixed parametrize
+    grid (catches shape-dependent indexing errors, e.g. off-by-one in
+    which transition entry feeds step t)."""
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        K = int(rng.integers(2, 5))
+        T = int(rng.integers(2, 7))
+        tv = bool(rng.integers(0, 2))
+        log_pi, log_A, log_obs = _random_hmm(
+            1, T, K, seed=int(rng.integers(0, 2**31)), time_varying=tv)
+        fwd = hmm.forward(log_pi, jnp.asarray(log_A),
+                          jnp.asarray(log_obs))
+        vit = hmm.viterbi(log_pi, jnp.asarray(log_A),
+                          jnp.asarray(log_obs))
+        lA = log_A[0] if tv else np.broadcast_to(log_A, (T, K, K))
+        ll, g, _, path, score = brute_force(
+            log_pi.astype(np.float64), lA.astype(np.float64),
+            log_obs[0].astype(np.float64))
+        msg = f"trial {trial}: K={K} T={T} tv={tv}"
+        assert abs(float(fwd.log_likelihood[0]) - ll) < 1e-4, msg
+        np.testing.assert_array_equal(np.asarray(vit.states[0]), path,
+                                      err_msg=msg)
+        assert abs(float(vit.score[0]) - score) < 1e-4, msg
