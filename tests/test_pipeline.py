@@ -408,3 +408,31 @@ def test_load_checkpoint_rejects_wrong_config(tmp_path):
     ok = load_checkpoint(ck, TrainState(p, tx.init(p),
                                         jnp.zeros((), jnp.int32)))
     assert int(ok.step) == 0
+
+
+def test_pipeline_ensemble_seeds(tiny_config):
+    """training.ensemble_seeds trains every seed in one vmapped loop and
+    checkpoints the best-final-loss member; metadata records the seeds,
+    the winner, and every member's final loss."""
+    import json as _json
+
+    cfg_path, tmp = tiny_config
+    raw = _json.loads(open(cfg_path).read())
+    raw["training"]["ensemble_seeds"] = [0, 1, 2]
+    raw["training"]["checkpoint_dir"] = str(tmp / "ck_ens")
+    p = tmp / "cfg_ens.json"
+    p.write_text(_json.dumps(raw))
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.data.checkpoint import load_metadata
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    state = TrainPipeline(load_config(str(p))).train(log_fn=None)
+    assert int(state.step) == 2 * (32 // 8)  # one member's steps
+    meta = load_metadata(str(tmp / "ck_ens" / "vae_hmm_trained"))
+    assert meta["ensemble_seeds"] == [0, 1, 2]
+    assert meta["best_seed"] in (0, 1, 2)
+    finals = meta["per_member_final_loss"]
+    assert len(finals) == 3
+    assert meta["final_loss"] == min(finals)
+    assert (tmp / "ck_ens" / "vae_hmm_trained.npz").exists()

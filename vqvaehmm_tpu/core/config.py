@@ -89,6 +89,12 @@ class TrainConfig:
     # first, so compile time never pollutes the trace (SURVEY.md §5:
     # tracing as a first-class feature; utils/profiling.py).
     profile_dir: Optional[str] = None
+    # When non-empty, train EVERY listed seed simultaneously in one
+    # vmapped loop (train/ensemble.py) and checkpoint the member with
+    # the best final loss; per-member histories go to the checkpoint
+    # metadata.  Incompatible with resume/periodic checkpoints (the
+    # ensemble run is one shot).
+    ensemble_seeds: tuple = ()
 
     def __post_init__(self):
         if self.input_pipeline not in ("host", "device"):

@@ -94,6 +94,36 @@ class TrainPipeline:
         model = self.build_model()
         dataset = self.load_data()
         os.makedirs(t.checkpoint_dir, exist_ok=True)
+
+        if getattr(t, "ensemble_seeds", ()):
+            # one-shot multi-seed run: every seed trains simultaneously
+            # in one vmapped loop; the best-final-loss member becomes
+            # THE checkpoint (train/ensemble.py; no resume/periodic)
+            from .ensemble import ensemble_member, train_ensemble
+
+            seeds = list(t.ensemble_seeds)
+            device_data = (getattr(t, "input_pipeline", "host")
+                           == "device") or None
+            states, hist, best = train_ensemble(
+                model, dataset, seeds, num_epochs=t.num_epochs,
+                lr=t.learning_rate, batch_size=t.batch_size,
+                gradient_clip=t.gradient_clip,
+                device_data=device_data, log_fn=log_fn)
+            state = ensemble_member(states, best)
+            ckpt_path = os.path.join(t.checkpoint_dir, "vae_hmm_trained")
+            save_checkpoint(ckpt_path, state, metadata={
+                "epochs": t.num_epochs,
+                "ensemble_seeds": seeds,
+                "best_seed": seeds[best],
+                "final_loss": float(hist[best, -1]),
+                "per_member_final_loss": [float(l) for l in hist[:, -1]],
+            })
+            save_params_npz(ckpt_path + ".npz", state.params)
+            if log_fn:
+                log_fn(f"ensemble: best seed {seeds[best]} "
+                       f"(loss {hist[best, -1]:.4f}) -> {ckpt_path}")
+            return state
+
         periodic = os.path.join(t.checkpoint_dir, "vae_hmm_periodic")
 
         tx = make_optimizer(t.learning_rate, t.gradient_clip)
