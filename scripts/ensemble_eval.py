@@ -48,13 +48,32 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--fixture", action="store_true",
+                    help="train/evaluate on the committed market-fixture "
+                         "windows (artifacts/data) instead of synthetic "
+                         "sequences; accuracy is held-out Viterbi decode "
+                         "vs the fixture's ground-truth regimes")
     args = ap.parse_args()
 
     from vqvaehmm_tpu import RandomChunkDataset, make_model
     from vqvaehmm_tpu.data.synthetic import synthetic_sequences
     from vqvaehmm_tpu.train import ensemble_member, train_ensemble
 
-    xs, us, zs = synthetic_sequences(6, 150, seed=0)
+    if args.fixture:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = os.path.join(root, "artifacts", "data")
+        xw = np.load(os.path.join(d, "x_sequences.npy"))
+        uw = np.load(os.path.join(d, "u_sequences.npy"))
+        zw = np.load(os.path.join(d, "z_windows.npy"))
+        n_train = int(0.8 * len(xw))
+        xs = [x for x in xw[:n_train]]
+        us = [u for u in uw[:n_train]]
+        # held-out evaluation windows + their ground truth
+        eval_x, eval_z = xw[n_train:], zw[n_train:]
+        eval_u = uw[n_train:]
+    else:
+        xs, us, zs = synthetic_sequences(6, 150, seed=0)
+        eval_x, eval_u, eval_z = xs, us, zs
     ds = RandomChunkDataset(xs, us, min_len=20, max_len=64,
                             samples_per_epoch=128, seed=0)
     model = make_model(5, 32, 3, 16, u_dim=4, trans_hidden=32)
@@ -66,10 +85,28 @@ def main():
     wall = time.perf_counter() - t0
 
     finals = hist[:, -1]
-    accs = [regime_accuracy(model, ensemble_member(states, i).params,
-                            xs, zs)
-            for i in range(args.seeds)]
+    if args.fixture:
+        from itertools import permutations
+
+        import jax.numpy as jnp
+
+        xb, ub = jnp.asarray(eval_x), jnp.asarray(eval_u)
+        zf = np.asarray(eval_z).reshape(-1)
+
+        def acc_of(params):
+            vit = np.asarray(model.viterbi_decode(params, xb, ub))
+            pred = vit.reshape(-1)
+            return max(float((np.asarray(p)[pred] == zf).mean())
+                       for p in permutations(range(3)))
+
+        accs = [acc_of(ensemble_member(states, i).params)
+                for i in range(args.seeds)]
+    else:
+        accs = [regime_accuracy(model, ensemble_member(states, i).params,
+                                eval_x, eval_z)
+                for i in range(args.seeds)]
     out = {
+        "data": "market_fixture_heldout" if args.fixture else "synthetic",
         "n_seeds": args.seeds,
         "epochs": args.epochs,
         "wall_seconds": round(wall, 1),
