@@ -104,8 +104,12 @@ def test_ragged_lengths_match_truncated():
     vit = hmm.viterbi(log_pi, jnp.asarray(log_A), jnp.asarray(log_obs),
                       jnp.asarray(lengths))
 
+    xi = hmm.pairwise_marginals(log_pi, jnp.asarray(log_A),
+                                jnp.asarray(log_obs),
+                                jnp.asarray(lengths))
+
     for b, L in enumerate(lengths):
-        ll, g, _, path, score = brute_force(
+        ll, g, x, path, score = brute_force(
             log_pi.astype(np.float64),
             log_A[b, :L].astype(np.float64),
             log_obs[b, :L].astype(np.float64))
@@ -113,6 +117,29 @@ def test_ragged_lengths_match_truncated():
         np.testing.assert_allclose(np.asarray(gamma[b, :L]), g, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(vit.states[b, :L]), path)
         assert abs(float(vit.score[b]) - score) < 1e-4
+        # xi: exact at valid pairs AND zero at padded pairs — summing
+        # over time (Baum-Welch M-step) must not overcount diagonals
+        np.testing.assert_allclose(np.asarray(xi[b, :L - 1]), x,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(xi[b, L - 1:]),
+                                      np.zeros_like(xi[b, L - 1:]))
+
+
+def test_log_A_shape_validation():
+    """(B,K,K) stationary-per-batch and mis-sized 4-D log_A are rejected
+    with clear errors (B==T would silently transpose the semantics)."""
+    import pytest
+
+    B, T, K = 3, 3, 2  # B == T: the dangerous square case
+    log_pi, _, log_obs = _random_hmm(B, T, K, seed=9, time_varying=False)
+    rng = np.random.default_rng(9)
+    per_batch = np.log(rng.dirichlet(np.ones(K), size=(4, K))
+                       .astype(np.float32))  # (4,K,K) != (T,K,K)
+    with pytest.raises(ValueError, match="3-D log_A"):
+        hmm.forward(log_pi, jnp.asarray(per_batch), jnp.asarray(log_obs))
+    bad4 = np.zeros((B + 1, T, K, K), np.float32)
+    with pytest.raises(ValueError, match="4-D log_A"):
+        hmm.forward(log_pi, jnp.asarray(bad4), jnp.asarray(log_obs))
 
 
 def test_sample_statistics():

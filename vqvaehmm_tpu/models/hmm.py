@@ -199,10 +199,8 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
         log_pi, log_A, log_Bm = carry
         log_obs = log_Bm.T[codes]  # (B,T,K)
         sm = ops.smoothing(log_pi, log_A, log_obs, lengths)
+        # ops.smoothing zeroes xi at invalid pairs (ragged batches)
         gamma, xi = sm.gamma, sm.xi
-        if lengths is not None:
-            pair_valid = valid[:, 1:] & valid[:, :-1]
-            xi = xi * pair_valid[:, :, None, None]
         gamma_m = gamma * valid[..., None]
 
         pi_new = gamma[:, 0].sum(0) + pseudocount
@@ -268,10 +266,8 @@ def fit_gaussian_em(x: jnp.ndarray, K: int, n_iters: int = 50,
         em = GaussianEmission(loc, scale)
         log_obs = em.log_prob(x)
         sm = ops.smoothing(log_pi, log_A, log_obs, lengths)
+        # ops.smoothing zeroes xi at invalid pairs (ragged batches)
         gamma, xi = sm.gamma, sm.xi
-        if lengths is not None:
-            pair_valid = valid[:, 1:] & valid[:, :-1]
-            xi = xi * pair_valid[:, :, None, None]
         g = gamma * validf[..., None]  # (B,T,K)
 
         nk = jnp.maximum(g.sum((0, 1)), 1e-6)  # (K,)

@@ -21,8 +21,12 @@ Conventions (matching the reference Prior, VQ_VAE_HMM_fixed.py:59-71):
                           (K, K) stationary (broadcast internally).
   log_obs : (B, T, K)     per-step emission log-likelihoods log p(x_t | z=k)
   lengths : (B,) optional; padded steps become identity transitions with
-            zero observation, so all quantities are exact for ragged
-            batches under static shapes.
+            zero observation, so likelihoods, Viterbi scores, pairwise
+            marginals, and all rows t < L are exact for ragged batches
+            under static shapes.  Marginal rows at padded steps t >= L
+            REPEAT the last valid row (each still normalizes to 1) —
+            time-aggregating consumers must mask with their own validity
+            mask; xi is already zeroed at invalid pairs.
 """
 
 from __future__ import annotations
@@ -37,11 +41,25 @@ from .precise import pexp, plogsumexp, psoftmax
 
 
 def _as_time_varying(log_A: jnp.ndarray, B: int, T: int) -> jnp.ndarray:
-    """Broadcast (K,K) / (T,K,K) / (B,T,K,K) to (B,T,K,K)."""
+    """Broadcast (K,K) / (T,K,K) / (B,T,K,K) to (B,T,K,K).
+
+    A 3-D input is time-varying-shared-across-batch BY CONTRACT; a
+    per-batch stationary (B,K,K) is NOT supported and is rejected here
+    (when B == T it would silently transpose the meaning — sequence b
+    would use batch t's matrix)."""
     if log_A.ndim == 2:
         return jnp.broadcast_to(log_A[None, None], (B, T) + log_A.shape)
     if log_A.ndim == 3:
+        if log_A.shape[0] != T:
+            raise ValueError(
+                f"3-D log_A must be (T,K,K) with T={T}, got "
+                f"{log_A.shape}; per-batch stationary (B,K,K) is not "
+                "supported — tile it to (B,T,K,K) explicitly")
         return jnp.broadcast_to(log_A[None], (B,) + log_A.shape)
+    if log_A.shape[:2] != (B, T):
+        raise ValueError(
+            f"4-D log_A must be (B,T,K,K)=({B},{T},K,K), got "
+            f"{log_A.shape}")
     return log_A
 
 
@@ -148,16 +166,29 @@ def smoothing(log_pi, log_A, log_obs,
     """All smoothing statistics from ONE forward + ONE backward scan
     (posterior_marginals + pairwise_marginals + likelihood each rerun the
     scans internally; EM should use this instead — 3x fewer forward scans
-    per iteration)."""
+    per iteration).
+
+    With lengths, xi is ZEROED at invalid pairs (t >= L-1): the masked
+    identity transition would otherwise put gamma_{L-1} on the diagonal
+    of every padded step, and summing xi over time (the Baum-Welch
+    M-step) would overcount self-transitions by (T-L)*gamma_{L-1}.
+    gamma rows at padded steps repeat the last valid row (see module
+    docstring)."""
     B, T, K = log_obs.shape
     log_A = _as_time_varying(log_A, B, T)
     log_Am, log_obsm = _mask_inputs(log_A, log_obs, lengths)
-    fwd = forward(log_pi, log_A, log_obs, lengths)
-    log_beta = backward(log_A, log_obs, lengths)
+    # inputs are already masked: pass lengths=None so forward/backward
+    # don't re-broadcast and re-mask the same (B,T,K,K) tensors
+    fwd = forward(log_pi, log_Am, log_obsm, None)
+    log_beta = backward(log_Am, log_obsm, None)
     gamma = psoftmax(fwd.log_alpha + log_beta, axis=-1)
     log_xi = (fwd.log_alpha[:, :-1, :, None] + log_Am[:, 1:]
               + (log_obsm + log_beta)[:, 1:, None, :])
     xi = pexp(log_xi - fwd.log_likelihood[:, None, None, None])
+    if lengths is not None:
+        valid = jnp.arange(T)[None, :] < lengths[:, None]  # (B,T)
+        pair_valid = valid[:, 1:] & valid[:, :-1]
+        xi = xi * pair_valid[:, :, None, None]
     return SmoothingResult(gamma, xi, fwd.log_likelihood)
 
 
