@@ -104,3 +104,85 @@ def test_grad_through_posterior_auto_dispatch(monkeypatch):
     # outside autodiff the forced-open gate still picks the fused path
     # (we only verify the decision, not the kernel, on CPU)
     assert vh._under_autodiff(params, x) is False
+
+
+def test_grad_through_infer_forward_takes_xla_path(monkeypatch):
+    """Same autodiff gate for the serving forward: jax.grad through
+    infer_forward with use_pallas=None must take the XLA path when the
+    TPU gate would otherwise pick the VJP-less fused kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.models import vae_hmm as vh
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 5, 16)).astype(np.float32))
+
+    monkeypatch.setattr(vh.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr("vqvaehmm_tpu.ops.pallas_infer.supported",
+                        lambda cfg, B, T: True)
+
+    def loss(xx):
+        mu, logvar, q = model.infer_forward(params, xx)
+        return (mu ** 2).sum()
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_grad_around_viterbi_decode_takes_scan_path(monkeypatch):
+    """viterbi_decode inside a differentiated computation must trace the
+    lax.scan path when the TPU gate would otherwise pick the VJP-less
+    doubling-scan kernel (states are ints — zero cotangent — but the
+    kernel itself cannot even trace under AD)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.models import vae_hmm as vh
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(2, 4, 16)).astype(np.float32))
+
+    monkeypatch.setattr(vh.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr("vqvaehmm_tpu.ops.pallas_hmm.viterbi_supported",
+                        lambda T, K: True)
+
+    def loss(xx):
+        states = model.viterbi_decode(params, xx, u)
+        onehot = jax.nn.one_hot(states, 3).transpose(0, 2, 1)
+        mu, _ = model.decode(params, onehot)
+        return (mu ** 2).sum()
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_forced_use_pallas_raises_on_unsupported_shapes():
+    """Explicit use_pallas=True is a FORCE: unsupported shapes raise with
+    a clear message instead of silently measuring the XLA path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from vqvaehmm_tpu import make_model
+
+    model = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 5, 15)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(2, 4, 15)).astype(np.float32))
+
+    with pytest.raises(ValueError, match="use_pallas=True forced"):
+        model.infer_forward(params, x, use_pallas=True)
+    with pytest.raises(ValueError, match="use_pallas=True forced"):
+        model._evidence_inputs(params, x, u, None, True)

@@ -85,3 +85,26 @@ def test_fused_encode_vector_valid_to(rng):
     want = model.encode(params, jnp.asarray(x),
                         valid_to=jnp.asarray(lengths))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_nonzero_tail_does_not_leak(setup):
+    """valid_to semantics with a NON-zero tail (x sliced from a longer
+    panel, not zero-padded): both paths must equal encoding the
+    zero-padded copy — the tail must not leak into t < valid_to through
+    conv1's receptive field."""
+    model, params, x, lengths = setup
+    x = np.asarray(x).copy()
+    vt = int(np.max(np.asarray(lengths)))
+    rng = np.random.default_rng(3)
+    x[:, :, vt:] = rng.normal(size=x[:, :, vt:].shape)  # garbage tail
+
+    xz = x.copy()
+    xz[:, :, vt:] = 0.0
+    with jax.default_matmul_precision("float32"):
+        want = model.encode(params, jnp.asarray(xz), valid_to=vt)
+        got_xla = model.encode(params, jnp.asarray(x), valid_to=vt)
+        got_pal = fused_encode(params, jnp.asarray(x), valid_to=vt)
+    np.testing.assert_allclose(np.asarray(got_xla)[:, :, :vt],
+                               np.asarray(want)[:, :, :vt], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_pal)[:, :, :vt],
+                               np.asarray(want)[:, :, :vt], atol=1e-5)

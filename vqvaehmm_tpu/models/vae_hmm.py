@@ -184,6 +184,13 @@ class VAEHMM:
                 highest=self.cfg.matmul_precision == "highest")
         p = self._cast_params(params["encoder"])
         x = self._cast_in(x)
+        if valid_to is not None:
+            # mask x itself, not just the intermediates: conv1's k=3 SAME
+            # output at t = valid_to-1 reads x[valid_to], so a caller
+            # whose tail is NOT zero (e.g. x sliced from a longer panel)
+            # would otherwise leak it into the valid region (no-op for
+            # the zero-padded producers in data/ and serve/)
+            x = x * self._time_bound_mask(x.shape[-1], valid_to, x.dtype)
         h = jax.nn.relu(ops.conv1d_same(p["conv1"], x, precision=self.precision, impl=self.conv_impl))
         if valid_to is not None:
             h = h * self._time_bound_mask(h.shape[-1], valid_to, h.dtype)
@@ -212,7 +219,11 @@ class VAEHMM:
         # log costs ~1.2e-4 of accuracy, which alone breaks the <=1e-4
         # parity bar (see ops/precise.py).
         log_A = plog_softmax(logits.reshape(B, T, cfg.K, cfg.K), axis=-1)
-        log_pi = plog_softmax(p["log_prior"].astype(jnp.float32))
+        # read log_prior from the UNCAST params: it is K floats used in no
+        # matmul, so a bf16 round-trip through _cast_params would cost
+        # ~16 mantissa bits of the learned init logits for zero savings
+        log_pi = plog_softmax(
+            params["prior"]["log_prior"].astype(jnp.float32))
         return log_pi, log_A
 
     def decode(self, params: Params, q: jnp.ndarray,
@@ -364,16 +375,26 @@ class VAEHMM:
             return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                              out_specs=(P("data"),) * 3,
                              check_rep=False)(*args)
+        forced = use_pallas is True
         if use_pallas is None:
-            # compute_dtype gate: see posterior() — the kernel is f32
+            # compute_dtype gate: see posterior() — the kernel is f32.
+            # autodiff gate: the kernel has no VJP, so differentiating
+            # callers (e.g. input attribution through the serving
+            # forward) must get the XLA path, not an error.
             use_pallas = (jax.default_backend() == "tpu"
-                          and self.compute_dtype == jnp.float32)
+                          and self.compute_dtype == jnp.float32
+                          and not _under_autodiff(params, x))
         if use_pallas:
             from ..ops.pallas_infer import fused_forward, supported
 
             B, _, T = x.shape
             if supported(self.cfg, B, T):
                 return fused_forward(self, params, x, valid_to=valid_to)
+            if forced:
+                raise ValueError(
+                    f"use_pallas=True forced but the fused serving "
+                    f"forward does not support B={B}, T={T} with this "
+                    "config (see ops/pallas_infer.supported)")
         logits = self.encode(params, x, valid_to=valid_to)
         q = psoftmax(logits, axis=1)
         mu, logvar = self.decode(params, q, valid_to=valid_to)
@@ -402,6 +423,10 @@ class VAEHMM:
             B, _, T = x.shape
             if supported(B, T, self.cfg):
                 return fused_evidence(self, params, x, u, lengths)
+            raise ValueError(
+                f"use_pallas=True forced but the fused evidence kernel "
+                f"does not support B={B}, T={T} with this config "
+                "(see ops/pallas_decode.supported)")
         log_pi, log_A = self.prior(params, u)
         log_obs = self._hmm_evidence(params, x, lengths)
         return log_pi, log_A, log_obs
@@ -493,8 +518,11 @@ class VAEHMM:
             # O(K) live (T, 128) tapes in VMEM); past it the tiled kernel
             # covers any T at VMEM O(chunk), so only enormous K (no legal
             # chunk) falls back to lax.scan.
+            # autodiff gate: the kernels have no VJP; a differentiated
+            # computation embedding the decode must trace the scan path
             use_pallas = (jax.default_backend() == "tpu"
                           and self.compute_dtype == jnp.float32
+                          and not _under_autodiff(params, x, u)
                           and (viterbi_supported(x.shape[2], self.cfg.K)
                                or viterbi_tiled_supported(self.cfg.K)))
         log_pi, log_A = self.prior(params, u)

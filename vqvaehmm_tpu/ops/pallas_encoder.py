@@ -99,6 +99,18 @@ def fused_encode(params: Params, x: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     p = params["encoder"]
     B, C, T = x.shape
+    if valid_to is not None:
+        # zero x at t >= valid_to BEFORE the conv stack, matching the XLA
+        # path: conv1's output at t = valid_to-1 reads x[valid_to], so a
+        # non-zero tail (x sliced from a longer panel) would otherwise
+        # leak into the valid region (no-op for zero-padded producers)
+        vt0 = jnp.asarray(valid_to)
+        col0 = jnp.arange(T, dtype=jnp.int32)
+        if vt0.ndim == 0:
+            x = x * (col0 < vt0).astype(x.dtype)[None, None, :]
+        else:  # per-sequence (B,) bounds
+            x = x * (col0[None, :] < vt0[:, None]).astype(
+                x.dtype)[:, None, :]
     H1 = p["conv1"]["weight"].shape[0]
     H2 = p["conv2"]["weight"].shape[0]
     K = p["to_logits"]["weight"].shape[0]

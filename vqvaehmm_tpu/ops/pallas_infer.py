@@ -185,6 +185,10 @@ def fused_forward(model, params: Params, x: jnp.ndarray,
                                   (B, T)).reshape(1, N)
         else:
             vm = (tcol < vt[:, None]).astype(f32).reshape(1, N)
+        # zero x beyond valid_to before conv1, matching VAEHMM.encode: a
+        # non-zero tail would otherwise leak into t = valid_to-1 through
+        # the k=3 SAME conv (no-op for zero-padded producers)
+        xt = xt * vm
 
     highest = model.cfg.matmul_precision == "highest"
     mu, logvar, q = _call(xt, vm, pack_infer_weights(params),
