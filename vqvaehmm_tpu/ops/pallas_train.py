@@ -17,7 +17,7 @@ Design (per grid step = one batch block, grid sequential on TPU):
     decoder -> masked Gaussian NLL, plus the u-conditioned prior MLP,
     transition cross terms and entropy (reference loss semantics:
     VQ_VAE_HMM_fixed.py:106-137, identical normalizations — the scales
-    arrive precomputed in SMEM).
+    arrive precomputed as a (1, 128) VMEM block via full_spec).
   * backward is hand-derived in-kernel (softmax/log-softmax VJPs in closed
     form, conv taps transposed); weight-gradient and loss-partial outputs
     are accumulated across grid steps (TPU grids are sequential).
@@ -114,12 +114,16 @@ def _kernel(  # noqa: C901 — one kernel, one pass, intentionally linear
         return a.astype(adt) if a.dtype != adt else a
 
     x = xt_ref[:].astype(f32)          # (C, N) f32 for the NLL
-    xa = A_(x)
     ua = A_(ut_ref[:].astype(f32))     # (U, N)
     mf = mf_ref[:]                     # (1, N) sequence mask
     vm = vm_ref[:]                     # (1, N) valid_to mask
     pm = pm_ref[:]                     # (1, N) pairwise transition mask
     vma = A_(vm)
+    # encoder input masked at t >= valid_to, matching VAEHMM.encode: the
+    # S_p conv tap at lane valid_to-1 would otherwise read x[valid_to]
+    # (leaks a non-zero tail into the valid region AND into the conv1
+    # weight grads below).  The NLL keeps raw x — the loss mask covers it.
+    xa = A_(x) * vma
     s_r = scales_ref[0, 0]             # 1 / max(sum(mask)*C, 1)
     s_p = scales_ref[0, 1]             # -beta / B
     s_h = scales_ref[0, 2]             # +beta / B   (q*logq term)
@@ -513,6 +517,14 @@ def fused_loss_and_grads(model, params: Params, x: jnp.ndarray,
         xt, ut = tokens
         B = lengths.shape[0]
         C = xt.shape[0]
+        if xt.shape[1] % B != 0 or ut.shape[1] != xt.shape[1]:
+            # T would silently floor to a wrong value, putting sequence
+            # boundaries in the wrong lanes (cross-sequence roll
+            # contamination) — e.g. global lengths with per-shard tokens
+            raise ValueError(
+                f"tokens lane count {xt.shape[1]} (u: {ut.shape[1]}) "
+                f"is not a multiple of B={B} from lengths; tokens and "
+                "lengths must describe the same (local) batch")
         T = xt.shape[1] // B
     else:
         B, C, T = x.shape
