@@ -95,8 +95,15 @@ def test_gather_supported_gate():
     assert pg.gather_supported(pool.shape, 16, 48)
     assert not pg.gather_supported(pool.shape, 16, 50)   # T % 8
     assert not pg.gather_supported(pool.shape, 3, 48)    # no window group
-    # out block past the VMEM budget: huge CUP x BB*T
-    assert not pg.gather_supported((4, 512, 1024), 4096, 1024)
+    # dtype gate: the kernel's loads/masks/scratch are f32
+    assert not pg.gather_supported(pool.shape, 16, 48,
+                                   dtype=jnp.bfloat16)
+    # big B where the LARGEST legal group blows VMEM: the picker drops
+    # to a smaller legal group that fits instead of rejecting outright
+    assert pg.gather_supported((4, 512, 2048), 4096, 1024)
+    assert pg._pick_bb(4096, 1024, (4, 512, 2048)) < 4096
+    # genuinely impossible: even bb=1's out block exceeds the budget
+    assert not pg.gather_supported((4, 65536, 2048), 4096, 1024)
 
 
 def test_fused_tokens_path_matches_xu_path():
@@ -163,7 +170,11 @@ def test_device_sampler_token_path_mesh_matches_single_device():
     rng = np.random.default_rng(1)
     xs = [rng.normal(size=(5, 100)).astype(np.float32) for _ in range(4)]
     us = [rng.normal(size=(4, 100)).astype(np.float32) for _ in range(4)]
-    ds = RandomChunkDataset(xs, us, min_len=16, max_len=48,
+    # T=64 -> bb0=2, so the B_local=2 per-shard batch passes the gather
+    # gate; T=48 (bb0=8) would be rejected and the force would raise —
+    # the gate no longer falls back silently, so an unsupported shape
+    # here would make this parity test vacuous (review finding)
+    ds = RandomChunkDataset(xs, us, min_len=16, max_len=64,
                             samples_per_epoch=64, seed=0)
     sampler = DeviceEpochSampler(ds)
     model = make_model(5, 32, 3, 16, u_dim=4, trans_hidden=32)

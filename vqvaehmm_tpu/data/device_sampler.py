@@ -113,14 +113,30 @@ class DeviceEpochSampler:
     def usrc(self):
         return self.dense_pools()[1]
 
+    def token_pool_shape(self):
+        """(N, CUP, TPAD) of token_pool() WITHOUT building it — the
+        dispatch gate only needs the shape, so an epoch step that ends
+        up on the XLA path never assembles or uploads the pool."""
+        from ..ops.pallas_gather import pool_pad_t
+
+        ds = self.dataset
+        C = ds.x_seqs[0].shape[0]
+        U = ds.u_seqs[0].shape[0]
+        cup = -(-(C + U) // 8) * 8
+        return (len(ds.x_seqs), cup,
+                pool_pad_t(int(self.seq_lens.max()), self.max_len))
+
     def token_pool(self):
         """Lazily-built stacked (N, CUP, TPAD) pool for the Pallas
         window-gather kernel (ops/pallas_gather.py layout contract)."""
         if not hasattr(self, "_token_pool"):
             from ..ops.pallas_gather import build_token_pool
 
-            self._token_pool = jnp.asarray(build_token_pool(
-                self.dataset.x_seqs, self.dataset.u_seqs, self.max_len))
+            with jax.ensure_compile_time_eval():
+                self._token_pool = jnp.asarray(build_token_pool(
+                    self.dataset.x_seqs, self.dataset.u_seqs,
+                    self.max_len))
+            assert self._token_pool.shape == self.token_pool_shape()
         return self._token_pool
 
     def sample_indices(self, batch_size: int,
@@ -212,7 +228,17 @@ class DeviceEpochSampler:
         max_len = self.max_len
         cfg = model.cfg
         C, U = cfg.input_dim, cfg.u_dim
-        token_pool = self.token_pool() if fused else None
+        C_ds = self.dataset.x_seqs[0].shape[0]
+        U_ds = self.dataset.u_seqs[0].shape[0]
+        if (C, U) != (C_ds, U_ds):
+            # the token layout slices tok[:C]/tok[C:C+U] by the MODEL's
+            # dims; a mismatch with the dataset's channel counts would
+            # silently feed u rows as x channels (the XLA path fails
+            # loudly on weight shapes instead)
+            raise ValueError(
+                f"model (input_dim={C}, u_dim={U}) does not match the "
+                f"dataset's channel counts (C={C_ds}, U={U_ds})")
+        tp_shape = self.token_pool_shape() if fused else None
         interpret = jax.default_backend() != "tpu"
 
         def gather_batch(src, si, st, ln):
@@ -223,14 +249,27 @@ class DeviceEpochSampler:
         def epoch(state, seq_idx, starts, lengths, beta):
             B = seq_idx.shape[1]
             B_local = B if mesh is None else B // mesh.shape["data"]
-            use_pg = (token_pool is not None
+            supported = (tp_shape is not None
+                         and pg.gather_supported(tp_shape, B_local,
+                                                 max_len))
+            if use_pallas_gather and not supported:
+                # forcing an unsupported shape must be loud: a silent
+                # XLA fallback makes forced parity tests vacuous and
+                # benchmarks measure the wrong path
+                raise ValueError(
+                    f"use_pallas_gather=True forced but the window "
+                    f"gather does not support B_local={B_local}, "
+                    f"T={max_len}, pool {tp_shape}")
+            use_pg = (supported
                       and use_pallas_gather is not False
-                      and (use_pallas_gather or not interpret)
-                      and pg.gather_supported(token_pool.shape, B_local,
-                                              max_len))
+                      and (use_pallas_gather or not interpret))
 
             def tokens_update(st, si, stt, ln, bb):
                 from ..ops.pallas_train import fused_loss_and_grads
+
+                # the pool is built/uploaded lazily, only when the
+                # Pallas token path is actually taken
+                token_pool = sampler.token_pool()
 
                 def per_shard(p, si_s, st_s, ln_s, bb_s):
                     toks = pg.gather_tokens(token_pool, si_s, st_s, ln_s,

@@ -86,29 +86,45 @@ def build_token_pool(x_seqs, u_seqs, T: int) -> np.ndarray:
     return pool
 
 
-def _pick_bb(B: int, T: int) -> int:
-    """Largest window-group size with (bb*T) % 128 == 0 dividing B."""
-    bb0 = _LANES // math.gcd(T, _LANES)
-    legal = [k * bb0 for k in range(B // bb0, 0, -1) if B % (k * bb0) == 0]
-    return legal[0] if legal else 0
-
-
-def gather_supported(pool_shape: Tuple[int, int, int], B: int,
-                     T: int) -> bool:
-    """Dispatch gate: backend handled by the caller; this bounds lane
-    tiling, window grouping, AND VMEM (out block + scratch/pool)."""
+def _vmem_ok(pool_shape: Tuple[int, int, int], bb: int, T: int) -> bool:
+    """Out block + resident pool (or DMA scratch) within the VMEM budget."""
     n, cup, tpad = pool_shape
-    if T % 8 != 0:
-        return False
-    bb = _pick_bb(B, T)
-    if bb == 0:
-        return False
     pool_bytes = n * cup * tpad * 4
     out_block = cup * bb * T * 4
     if pool_bytes <= _POOL_RESIDENT_MAX:
         return out_block + pool_bytes <= _VMEM_LIMIT - 8 * 1024 * 1024
     scratch = bb * cup * _wide(T) * 4
     return out_block + scratch <= _VMEM_LIMIT - 8 * 1024 * 1024
+
+
+def _pick_bb(B: int, T: int,
+             pool_shape: Optional[Tuple[int, int, int]] = None) -> int:
+    """Largest window-group size with (bb*T) % 128 == 0 dividing B; with
+    pool_shape, the largest such size that ALSO fits the VMEM budget
+    (unconditionally taking the largest would reject big-B shapes a
+    smaller legal group handles fine — same fitting pattern as
+    pallas_train._pick_block_b)."""
+    bb0 = _LANES // math.gcd(T, _LANES)
+    for k in range(B // bb0, 0, -1):
+        bb = k * bb0
+        if B % bb:
+            continue
+        if pool_shape is not None and not _vmem_ok(pool_shape, bb, T):
+            continue
+        return bb
+    return 0
+
+
+def gather_supported(pool_shape: Tuple[int, int, int], B: int,
+                     T: int, dtype=jnp.float32) -> bool:
+    """Dispatch gate: backend handled by the caller; this bounds dtype
+    (the kernel's loads/masks/scratch are f32), lane tiling, window
+    grouping, AND VMEM (out block + scratch/pool)."""
+    if dtype != jnp.float32:
+        return False
+    if T % 8 != 0:
+        return False
+    return _pick_bb(B, T, pool_shape) != 0
 
 
 def _epilogue(idx_ref, out_ref, load, w, b, T, TW):
@@ -159,7 +175,12 @@ def gather_tokens_raw(pool: jnp.ndarray, si: jnp.ndarray, st: jnp.ndarray,
     Caller must have checked `gather_supported`."""
     n, cup, tpad = pool.shape
     B = si.shape[0]
-    BB = _pick_bb(B, T)
+    BB = _pick_bb(B, T, pool.shape)
+    if BB == 0 or pool.dtype != jnp.float32:
+        raise ValueError(
+            f"window gather unsupported at B={B}, T={T}, "
+            f"pool {pool.shape}/{pool.dtype} (see gather_supported); "
+            "use the XLA gather path")
     TW = _wide(T)
     idx = jnp.stack([si, st, ln]).astype(jnp.int32)
     resident = n * cup * tpad * 4 <= _POOL_RESIDENT_MAX
