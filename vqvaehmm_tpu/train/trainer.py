@@ -58,8 +58,7 @@ def create_train_state(model: VAEHMM, key: jax.Array, lr: float,
 
 def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
                 state: TrainState, x, u, lengths, beta,
-                fused: bool = False, mesh: Optional[Mesh] = None,
-                tokens=None):
+                fused: bool = False, mesh: Optional[Mesh] = None):
     """One optimizer update — the single source of truth shared by the
     per-batch step and the epoch-fused scan.
 
@@ -68,15 +67,14 @@ def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
     jax.value_and_grad over the XLA forward — same update, a fraction of
     the HBM traffic.  With a mesh, the fused kernel runs per-shard under
     shard_map with globally-correct normalizations and a gradient psum
-    over the data axis (XLA cannot partition the kernel itself)."""
+    over the data axis (XLA cannot partition the kernel itself).
+
+    Token-layout inputs (ops/pallas_gather.py) do NOT come through here:
+    the device sampler's tokens_update calls fused_loss_and_grads +
+    _apply_grads directly (per-shard inside shard_map under a mesh)."""
     if fused:
         from ..ops.pallas_train import fused_loss_and_grads
 
-        if tokens is not None and mesh is not None:
-            raise ValueError(
-                "tokens= is per-shard data; with a mesh the gather must "
-                "run inside shard_map (DeviceEpochSampler.make_epoch_step "
-                "does this) rather than through _sgd_update")
         if mesh is not None:
             from jax.experimental.shard_map import shard_map
 
@@ -89,12 +87,6 @@ def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
                 in_specs=(P(), P("data"), P("data"), P("data"), P()),
                 out_specs=(P(), P()), check_rep=False,
             )(state.params, x, u, lengths, beta)
-        elif tokens is not None:
-            # token-layout fast path: inputs already in the kernel's
-            # (C, B*T) layout (ops/pallas_gather.py emits it directly)
-            loss, grads = fused_loss_and_grads(model, state.params, None,
-                                               None, lengths, beta,
-                                               tokens=tokens)
         else:
             loss, grads = fused_loss_and_grads(model, state.params, x, u,
                                                lengths, beta)
