@@ -245,3 +245,84 @@ def test_plot_results_and_plot_monte_carlo(tmp_path, rng):
           "daily_returns": rng.normal(0, 0.01, size=(50, 60))}
     plot_monte_carlo(mc, str(tmp_path / "mc.png"))
     assert (tmp_path / "mc.png").exists()
+
+
+def test_walkforward_warmup_actually_trades():
+    """warmup=True (default) feeds each test window the train tail as
+    posterior context, so trading starts at t=1 — the reference's
+    walk-forward never trades at the default test_window=21 (its test
+    slices carry no context and the backtester needs 20 steps before
+    the first trade)."""
+    data, prices, returns = _fixture(T=400)
+
+    wf = WalkForwardBacktest(train_window=252, test_window=21,
+                             retrain_freq=50)
+    results = wf.run(fake_model, fake_posterior, lambda d: None, data,
+                     prices, returns)
+    assert len(results) > 0
+    for r in results:
+        assert np.abs(r.positions).sum() > 0, "window traded nothing"
+        assert len(r.equity_curve) == 21
+
+    # reference parity mode: the dead zone is preserved on request
+    wf_ref = WalkForwardBacktest(train_window=252, test_window=21,
+                                 retrain_freq=50, warmup=False)
+    for r in wf_ref.run(fake_model, fake_posterior, lambda d: None, data,
+                        prices, returns):
+        assert np.abs(r.positions).sum() == 0
+
+
+def test_walkforward_includes_last_complete_window():
+    """Exactly one full train+test window must yield one result (the
+    reference's range bound dropped it)."""
+    data, prices, returns = _fixture(T=273)
+    wf = WalkForwardBacktest(train_window=252, test_window=21,
+                             retrain_freq=21)
+    results = wf.run(fake_model, fake_posterior, lambda d: None, data,
+                     prices, returns)
+    assert len(results) == 1
+
+
+def test_sortino_guard_single_loss():
+    """One losing step -> downside std 0; sortino must stay finite."""
+    bt = Backtester(tx_cost=0.0, slippage=0.0)
+    # flat prices except one dip: exactly one negative portfolio return
+    prices = np.full((30, 3), 100.0)
+    prices[15:] = 99.0
+    data = np.zeros((1, 5, 30), np.float32)
+    res = bt.run(fake_model, fake_posterior, data, prices,
+                 np.zeros((30, 3)))
+    assert np.isfinite(res.metrics["sortino_ratio"])
+
+
+def test_gross_leverage_clamp_cash_mode():
+    """cash mode bounds GROSS |w| exposure; reference mode keeps the
+    net-sum rule (long-short vectors evade it) for parity."""
+    def ls_model(q):
+        B = q.shape[0]
+        return jnp.tile(jnp.asarray([[1.5, -1.0, 0.0]]), (B, 1))
+
+    data, prices, returns = _fixture(T=80)
+
+    # rebalance every step: gross exposure is set from the PREVIOUS
+    # equity at each t, so the clamp is checkable step by step
+    res = Backtester(tx_cost=0.0, slippage=0.0).run(
+        ls_model, fake_posterior, data, prices, returns,
+        rebalance_freq=1)
+    gross = np.abs(res.positions * prices).sum(-1)
+    equity = res.equity_curve
+    traded = gross > 0
+    assert traded.any()
+    idx = np.nonzero(traded)[0]
+    np.testing.assert_array_less(gross[idx],
+                                 equity[idx - 1] * 1.0 + 1e-6)
+
+    # reference mode: the same vector's NET sum is 0.5, so it passes the
+    # net-sum rule unclamped at 2.5x gross (pinned as the parity target)
+    res_ref = Backtester(tx_cost=0.0, slippage=0.0,
+                         accounting="reference").run(
+        ls_model, fake_posterior, data, prices, returns,
+        rebalance_freq=1)
+    gross_ref = np.abs(res_ref.positions * prices).sum(-1)
+    idx_r = np.nonzero(gross_ref > 0)[0]
+    assert (gross_ref[idx_r] > res_ref.equity_curve[idx_r - 1]).any()

@@ -18,9 +18,8 @@ module (capability upgrade).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,32 +85,61 @@ class Backtester:
 
     def _weight_schedule(self, model_fn: Callable, posterior_fn: Callable,
                          data: np.ndarray, n_periods: int,
-                         rebalance_freq: int, window: int = 20) -> np.ndarray:
-        """Weights at each rebalance step, computed in one batched pass.
+                         rebalance_freq: int, window: int = 20,
+                         warmup: Optional[np.ndarray] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """(rebalance steps ts, weights (R, A)) in one batched pass;
+        both empty (shape (0,) / (0,)) when no step qualifies.
 
         Reference loop (backtesting.py:41-46): at each t with
         t % rebalance_freq == 0 and t > window, weights come from the
         posterior of data[:, :, t-window:t].
-        """
-        ts = [t for t in range(1, n_periods)
-              if t % rebalance_freq == 0 and t > window]
+
+        warmup: optional (1, C, W>=window) context PRECEDING data (e.g.
+        the tail of a walk-forward train window).  With it, every
+        t % rebalance_freq == 0 can trade — the posterior window reaches
+        back into the warmup — instead of the first `window` steps
+        sitting in cash (the reference's dead zone)."""
+        arr = np.asarray(data)
+        if warmup is not None:
+            wu = np.asarray(warmup)
+            if wu.shape[-1] < window:
+                raise ValueError(
+                    f"warmup must carry >= window={window} steps, got "
+                    f"{wu.shape[-1]}")
+            arr = np.concatenate([wu, arr], axis=-1)
+            off = wu.shape[-1]
+            ts = [t for t in range(1, n_periods)
+                  if t % rebalance_freq == 0]
+        else:
+            off = 0
+            ts = [t for t in range(1, n_periods)
+                  if t % rebalance_freq == 0 and t > window]
         if not ts:
             return np.zeros((0,)), np.zeros((0,))
-        windows = np.stack([np.asarray(data)[0, :, t - window:t] for t in ts])
+        windows = np.stack(
+            [arr[0, :, off + t - window:off + t] for t in ts])
         q = posterior_fn(jnp.asarray(windows))      # (R, K, window)
         w = np.asarray(model_fn(q))                 # (R, A)
         return np.asarray(ts), w
 
     def run(self, model_fn: Callable, posterior_fn: Callable,
             data, prices: np.ndarray, returns: np.ndarray,
-            rebalance_freq: int = 1) -> BacktestResult:
+            rebalance_freq: int = 1, window: int = 20,
+            warmup=None) -> BacktestResult:
         """model_fn: q -> weights; posterior_fn: x -> q (both closed over
-        params).  data: (1, C, T) features; prices: (T, A)."""
+        params).  data: (1, C, T) features; prices: (T, A).
+
+        returns is accepted for reference-signature parity but unused —
+        portfolio returns are derived from the equity curve (the
+        reference does the same; backtesting.py:93).
+        window/warmup: see _weight_schedule."""
         prices = np.asarray(prices, np.float64)
         n_periods, n_assets = prices.shape
 
         ts, w_sched = self._weight_schedule(model_fn, posterior_fn, data,
-                                            n_periods, rebalance_freq)
+                                            n_periods, rebalance_freq,
+                                            window=window, warmup=warmup)
         # dense weight/rebalance arrays for the scan
         rebalance = np.zeros(n_periods, bool)
         weights_t = np.zeros((n_periods, n_assets))
@@ -119,8 +147,14 @@ class Backtester:
             rebalance[t] = True
             weights_t[t] = w_sched[i]
 
-        # leverage clamp (reference :48)
-        sums = weights_t.sum(-1)
+        # leverage clamp.  reference mode: the reference's net-sum rule
+        # (backtesting.py:48) — long-short vectors evade it (their net
+        # sum can be tiny at huge gross exposure).  cash mode bounds the
+        # GROSS |w| sum so max_leverage actually caps exposure.
+        if self.accounting == "reference":
+            sums = weights_t.sum(-1)
+        else:
+            sums = np.abs(weights_t).sum(-1)
         over = sums > self.max_leverage
         weights_t[over] = (weights_t[over] / sums[over, None]
                            * self.max_leverage)
@@ -179,8 +213,10 @@ class Backtester:
         sharpe = ann_return / ann_vol if ann_vol > 0 else 0.0
 
         downside = returns[returns < 0]
-        downside_std = downside.std() * np.sqrt(252) if len(downside) > 0 \
-            else 1e-8
+        # guard the std itself, not just emptiness: ONE losing step has
+        # std 0 and would make sortino inf/nan
+        dstd = downside.std() * np.sqrt(252) if len(downside) > 0 else 0.0
+        downside_std = dstd if dstd > 0 else 1e-8
         sortino = ann_return / downside_std
 
         cummax = np.maximum.accumulate(equity)
@@ -210,11 +246,20 @@ class WalkForwardBacktest:
 
     def __init__(self, train_window: int = 252, test_window: int = 21,
                  retrain_freq: int = 21,
-                 backtester: Optional[Backtester] = None):
+                 backtester: Optional[Backtester] = None,
+                 warmup: bool = True):
         self.train_window = train_window
         self.test_window = test_window
         self.retrain_freq = retrain_freq
         self.backtester = backtester or Backtester()
+        # warmup=True feeds each test window the tail of its TRAIN window
+        # as posterior context, so trading starts at t=1.  warmup=False
+        # reproduces the reference exactly (backtesting.py:122-139):
+        # the backtester needs `window` (20) steps of context before the
+        # first trade, so the first 20 steps of EVERY test window sit in
+        # cash — and at the default test_window=21 the reference's
+        # walk-forward never trades at all.
+        self.warmup = warmup
 
     def run(self, model_fn, posterior_fn, train_fn, data,
             prices: np.ndarray, returns: np.ndarray) -> List[BacktestResult]:
@@ -224,16 +269,21 @@ class WalkForwardBacktest:
         results = []
         n_periods = len(prices)
         data = np.asarray(data)
+        # + 1: include the last complete window (the reference's bound
+        # drops it — its own `min(train_end + test_window, n_periods)`
+        # could never bind)
         for start in range(0, n_periods - self.train_window
-                           - self.test_window, self.retrain_freq):
+                           - self.test_window + 1, self.retrain_freq):
             train_end = start + self.train_window
             test_end = min(train_end + self.test_window, n_periods)
             out = train_fn(data[:, :, start:train_end])
             if out is not None:
                 model_fn, posterior_fn = out
+            wu = (data[:, :, start:train_end] if self.warmup else None)
             result = self.backtester.run(
                 model_fn, posterior_fn, data[:, :, train_end:test_end],
-                prices[train_end:test_end], returns[train_end:test_end])
+                prices[train_end:test_end], returns[train_end:test_end],
+                warmup=wu)
             results.append(result)
         return results
 
@@ -298,8 +348,14 @@ def plot_results(result: BacktestResult, title: str = "Backtest Results"):
     """3-panel equity/drawdown/returns-hist figure
     (reference: backtesting.py:184-211)."""
     try:
+        import sys
+
         import matplotlib
-        matplotlib.use("Agg")
+        if "matplotlib.pyplot" not in sys.modules:
+            # only force the headless backend when pyplot isn't already
+            # configured — switching an interactive session to Agg would
+            # silently stop every subsequent figure from rendering
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except ImportError:
         print("matplotlib not available for plotting")
