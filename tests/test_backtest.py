@@ -326,3 +326,56 @@ def test_gross_leverage_clamp_cash_mode():
     gross_ref = np.abs(res_ref.positions * prices).sum(-1)
     idx_r = np.nonzero(gross_ref > 0)[0]
     assert (gross_ref[idx_r] > res_ref.equity_curve[idx_r - 1]).any()
+
+
+def test_monte_carlo_reference_semantics():
+    """Pins the reference MC loop semantics (backtest.py:165-215):
+    day-0 pays the establishment cost from zero weights, and the regime
+    can switch only on rebalance days (weights lag the new regime)."""
+    K = A = 3
+    means = np.array([[1e-3] * A, [2e-3] * A, [3e-3] * A], np.float32)
+    covs = np.stack([np.eye(A, dtype=np.float32) * 1e-12] * K)
+
+    def weight_fn(onehot):
+        return onehot  # regime k holds asset k
+
+    # (a) establishment cost: no switching, huge rebalance interval ->
+    # exactly one rebalance (day 0) from w=0, cost = tx * |w|.sum() = tx
+    mc = monte_carlo_simulation(weight_fn, means, covs,
+                                jax.random.PRNGKey(0), n_sim=4,
+                                n_days=3, rebalance_every=10,
+                                switch_prob=0.0, tx_cost=0.01)
+    rets = np.asarray(mc["daily_returns"])
+    # day 0 return ratio = (1 - 0.01) * (1 + mean) - 1 ~= mean - 0.01
+    assert (rets[:, 0] < -0.005).all(), rets[:, 0]
+    assert (rets[:, 1:] > 0).all()  # no further costs
+
+    # (b) switch cadence: switch_prob=1 -> the regime changes at every
+    # REBALANCE, never between them; with near-zero cov the daily return
+    # is constant within each rebalance block
+    mc = monte_carlo_simulation(weight_fn, means, covs,
+                                jax.random.PRNGKey(1), n_sim=8,
+                                n_days=20, rebalance_every=5,
+                                switch_prob=1.0, tx_cost=0.0)
+    rets = np.asarray(mc["daily_returns"])
+    for blk in range(4):
+        block = rets[:, blk * 5:(blk + 1) * 5]
+        # atol 1e-4: regime means differ by 1e-3; the 1e-12*I cov
+        # jitter adds ~3e-6 of within-block noise
+        np.testing.assert_allclose(
+            block, np.broadcast_to(block[:, :1], block.shape), atol=1e-4,
+                                   err_msg=f"block {blk} not constant "
+                                           "(regime switched mid-block)")
+
+    # analyze reads initial_value from the results dict
+    stats = analyze_monte_carlo(mc)
+    assert np.isfinite(stats["expected_sharpe"])
+
+    # p0: a delta initial distribution pins every path's first block
+    mc = monte_carlo_simulation(weight_fn, means, covs,
+                                jax.random.PRNGKey(2), n_sim=8,
+                                n_days=4, rebalance_every=10,
+                                switch_prob=0.0, tx_cost=0.0,
+                                p0=np.array([0.0, 0.0, 1.0]))
+    rets = np.asarray(mc["daily_returns"])
+    np.testing.assert_allclose(rets, 3e-3, atol=1e-5)

@@ -22,7 +22,10 @@ def regime_statistics(returns: np.ndarray, regimes: np.ndarray, K: int,
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-regime mean/cov of asset returns (reference: backtest.py:156-163).
 
-    returns: (T, A); regimes: (T,) int labels."""
+    returns: (T, A); regimes: (T,) int labels.  A regime with too few
+    samples to estimate (<= A+1) falls back to zero mean / jitter*I —
+    WARNED, because days simulated in that regime contribute ~zero
+    return and volatility, silently understating tail risk."""
     T, A = returns.shape
     means = np.zeros((K, A))
     covs = np.tile(np.eye(A) * jitter, (K, 1, 1))
@@ -31,6 +34,13 @@ def regime_statistics(returns: np.ndarray, regimes: np.ndarray, K: int,
         if m.sum() > A + 1:
             means[k] = returns[m].mean(axis=0)
             covs[k] = np.cov(returns[m].T) + np.eye(A) * jitter
+        else:
+            import warnings
+
+            warnings.warn(
+                f"regime {k} has only {int(m.sum())} samples "
+                f"(need > {A + 1}); using zero-mean/jitter covariance — "
+                "MC days in this regime will be ~flat", stacklevel=2)
     return means, covs
 
 
@@ -40,18 +50,33 @@ def monte_carlo_simulation(weight_fn: Callable, means: np.ndarray,
                            rebalance_every: int = 5,
                            switch_prob: float = 0.05,
                            tx_cost: float = 0.001,
-                           initial_value: float = 1.0) -> Dict[str, jnp.ndarray]:
-    """Simulate n_sim paths of n_days.
+                           initial_value: float = 1.0,
+                           p0: Optional[np.ndarray] = None
+                           ) -> Dict[str, jnp.ndarray]:
+    """Simulate n_sim paths of n_days with the reference's exact loop
+    semantics (backtest.py:165-215), one jitted vmap-of-scan:
 
-    weight_fn: one-hot regime (K,) -> portfolio weights (A,)  (the reference
-    feeds a one-hot regime into the portfolio model at each rebalance,
-    backtest.py:179-194).
-    Each day: with prob switch_prob the regime resamples uniformly
-    (reference :197-198); returns draw from that regime's N(mean, cov).
-    """
+    * weights start at ZERO — the day-0 rebalance pays the portfolio
+      establishment cost (:172, :190-192);
+    * each rebalance sets weights from the CURRENT regime, and only then
+      may the regime switch (prob switch_prob, inside the rebalance
+      block, :196-198) — weights lag the return-generating regime until
+      the next rebalance, and switching happens per REBALANCE, not per
+      day;
+    * costs debit the portfolio value before the day's return compounds
+      (:191-192);
+    * p0: initial-regime distribution (the reference samples from the
+      detector's last-day posterior, :175); None = uniform.
+
+    weight_fn: one-hot regime (K,) -> portfolio weights (A,).
+    daily_returns are value-change ratios (costs included), so
+    cumprod(1 + daily_returns) reconstructs each equity path."""
     means = jnp.asarray(means, jnp.float32)
     K, A = means.shape
     chols = jnp.asarray(np.linalg.cholesky(np.asarray(covs)), jnp.float32)
+    logp0 = jnp.log(jnp.asarray(
+        np.full(K, 1.0 / K) if p0 is None else np.asarray(p0),
+        jnp.float32))
 
     # Precompute weights for each possible regime (K tiny) — turns the
     # per-day model call into a gather.
@@ -60,29 +85,27 @@ def monte_carlo_simulation(weight_fn: Callable, means: np.ndarray,
 
     def one_path(key):
         k0, kr = jax.random.split(key)
-        z0 = jax.random.randint(k0, (), 0, K)
-        w0 = regime_weights[z0]
+        z0 = jax.random.categorical(k0, logp0)
+        w0 = jnp.zeros((A,), jnp.float32)
 
-        def day(carry, inputs):
+        def day(carry, key_t):
             value, z, w, day_idx = carry
-            key_t = inputs
+            prev = value
             ks, kz, kn = jax.random.split(key_t, 3)
-            # regime switching
-            switch = jax.random.uniform(ks) < switch_prob
-            z_new = jax.random.randint(kz, (), 0, K)
-            z = jnp.where(switch, z_new, z)
-            # rebalance every rebalance_every days
             rebalance = (day_idx % rebalance_every) == 0
+            # rebalance to the PRE-switch regime's weights
             w_target = regime_weights[z]
-            cost = jnp.where(
-                rebalance, tx_cost * jnp.abs(w_target - w).sum(), 0.0)
+            cost_frac = tx_cost * jnp.abs(w_target - w).sum()
+            value = jnp.where(rebalance, value * (1.0 - cost_frac), value)
             w = jnp.where(rebalance, w_target, w)
-            # sample returns for the day
+            # regime may switch only on rebalance days, AFTER weights set
+            switch = rebalance & (jax.random.uniform(ks) < switch_prob)
+            z = jnp.where(switch, jax.random.randint(kz, (), 0, K), z)
+            # sample returns from the (possibly new) regime
             eps = jax.random.normal(kn, (A,))
             r = means[z] + chols[z] @ eps
-            day_ret = (w * r).sum() - cost
-            value = value * (1.0 + day_ret)
-            return (value, z, w, day_idx + 1), day_ret
+            value = value * (1.0 + (w * r).sum())
+            return (value, z, w, day_idx + 1), value / prev - 1.0
 
         keys = jax.random.split(kr, n_days)
         (final, _, _, _), rets = lax.scan(
@@ -90,19 +113,28 @@ def monte_carlo_simulation(weight_fn: Callable, means: np.ndarray,
         return final, rets
 
     keys = jax.random.split(key, n_sim)
-    finals, rets = jax.vmap(one_path)(keys)
-    return {"final_values": finals, "daily_returns": rets}
+    finals, rets = jax.jit(jax.vmap(one_path))(keys)
+    return {"final_values": finals, "daily_returns": rets,
+            "initial_value": initial_value}
 
 
 def analyze_monte_carlo(results: Dict[str, jnp.ndarray],
-                        initial_value: float = 1.0) -> Dict[str, float]:
-    """Percentiles, P(profit), expected Sharpe
-    (reference: backtest.py:219-249)."""
+                        initial_value: Optional[float] = None
+                        ) -> Dict[str, float]:
+    """Percentiles, P(profit), expected Sharpe — the reference's
+    cross-simulation annualized total-return Sharpe
+    (backtest.py:243-247), not a mean of per-path daily Sharpes.
+
+    initial_value defaults to the value recorded in `results` by
+    monte_carlo_simulation, so the pair cannot desynchronize."""
     finals = np.asarray(results["final_values"])
     rets = np.asarray(results["daily_returns"])
+    if initial_value is None:
+        initial_value = float(results.get("initial_value", 1.0))
     total_returns = finals / initial_value - 1.0
-    sharpe = (rets.mean(axis=1) / np.maximum(rets.std(axis=1, ddof=1), 1e-12)
-              * np.sqrt(252))
+    n_years = max(rets.shape[1], 1) / 252.0
+    expected_sharpe = ((total_returns.mean() / n_years)
+                       / (total_returns.std() / np.sqrt(n_years) + 1e-8))
     pct = np.percentile(total_returns, [5, 25, 50, 75, 95])
     return {
         "mean_return": float(total_returns.mean()),
@@ -110,7 +142,7 @@ def analyze_monte_carlo(results: Dict[str, jnp.ndarray],
         "p5": float(pct[0]), "p25": float(pct[1]),
         "p75": float(pct[3]), "p95": float(pct[4]),
         "prob_profit": float((total_returns > 0).mean()),
-        "expected_sharpe": float(sharpe.mean()),
+        "expected_sharpe": float(expected_sharpe),
         "worst_case": float(total_returns.min()),
         "best_case": float(total_returns.max()),
     }
@@ -119,8 +151,12 @@ def analyze_monte_carlo(results: Dict[str, jnp.ndarray],
 def plot_monte_carlo(results, path: Optional[str] = None):
     """Distribution + sample-path plots (reference: backtest.py:252-292)."""
     try:
+        import sys
+
         import matplotlib
-        matplotlib.use("Agg")
+        if "matplotlib.pyplot" not in sys.modules:
+            # don't switch an interactive session's backend from under it
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except ImportError:
         return None
@@ -141,4 +177,8 @@ def plot_monte_carlo(results, path: Optional[str] = None):
     fig.tight_layout()
     if path:
         fig.savefig(path, dpi=100)
+        # saved-to-disk figures are closed (the reference does the same,
+        # backtest.py:290-292) so repeated calls can't accumulate open
+        # figures holding full path arrays
+        plt.close(fig)
     return fig
