@@ -271,3 +271,60 @@ def test_optimize_rebalancing_frequency_matches_reference(rng):
     lo = int(optimize_rebalancing_frequency(q, A, r,
                                             transaction_cost=1e-9))
     assert lo == 1
+
+
+def test_risk_parity_matches_reference_formula(rng, data):
+    """Value parity vs a literal numpy port of the reference formula
+    (loss_functions.py:70-86): centered /T (biased) covariance, risk
+    contributions vs their mean."""
+    w, r, _, _ = data
+    from vqvaehmm_tpu.losses import risk_parity_loss
+
+    got = float(risk_parity_loss(jnp.asarray(w), jnp.asarray(r)))
+
+    B, T, A = r.shape
+    centered = r - r.mean(axis=1, keepdims=True)
+    cov = np.einsum("bta,btc->bac", centered, centered) / T
+    port_var = np.einsum("ba,bac,bc->b", w, cov, w)
+    port_std = np.sqrt(np.maximum(port_var, 1e-8))
+    marginal = np.einsum("bac,bc->ba", cov, w)
+    rc = w * marginal / port_std[:, None]
+    want = (((rc - rc.mean(-1, keepdims=True)) ** 2).sum(-1)).mean()
+    assert abs(got - want) < 1e-5
+
+
+def test_transition_aware_accepts_both_layouts(rng, data):
+    """(B,K,T) — the reference's declared layout — and (B,T,K) give the
+    same value (disambiguated against returns' T)."""
+    from vqvaehmm_tpu.losses import transition_aware_loss
+
+    w, r, q_kt, Amat = data
+    a = float(transition_aware_loss(jnp.asarray(w), jnp.asarray(r),
+                                    jnp.asarray(q_kt), jnp.asarray(Amat)))
+    q_tk = np.transpose(q_kt, (0, 2, 1))
+    b = float(transition_aware_loss(jnp.asarray(w), jnp.asarray(r),
+                                    jnp.asarray(q_tk), jnp.asarray(Amat)))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_regime_aware_sharpe_accepts_transition_stack(rng, data):
+    """Passing the full (B,T,K,K) stack equals passing the last step's
+    (B,K,K) matrix (the reference uses the final A)."""
+    from vqvaehmm_tpu.losses import regime_aware_sharpe_loss
+
+    w, r, q_kt, Amat = data
+    q_tk = np.transpose(q_kt, (0, 2, 1))
+    a = float(regime_aware_sharpe_loss(jnp.asarray(w), jnp.asarray(r),
+                                       jnp.asarray(q_tk),
+                                       jnp.asarray(Amat)))
+    b = float(regime_aware_sharpe_loss(jnp.asarray(w), jnp.asarray(r),
+                                       jnp.asarray(q_tk),
+                                       jnp.asarray(Amat[:, -1])))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_optimal_hedge_frequency_zero_vol_guard():
+    from vqvaehmm_tpu.losses import optimal_hedge_frequency
+
+    f = optimal_hedge_frequency(jnp.float32(0.0), 0.001, jnp.float32(2.0))
+    assert np.isfinite(float(f))

@@ -75,8 +75,12 @@ def portfolio_loss(weights, returns, prev_weights=None, regime_probs=None,
                    lambda_drawdown: float = 0.1,
                    lambda_cvar: float = 0.1) -> jnp.ndarray:
     """Multi-objective loss: -Sharpe + turnover + position/leverage
-    penalties + maxDD + CVaR@5% (reference: loss_functions.py:6-47)."""
-    B, T, n_assets = returns.shape
+    penalties + maxDD + CVaR@5% (reference: loss_functions.py:6-47).
+
+    regime_probs and covariance are accepted but UNUSED — the reference
+    declares and ignores them too (loss_functions.py:6-9), and callers
+    (train/heads.py) pass q through for signature parity."""
+    T = returns.shape[1]
     pr = _portfolio_returns(weights, returns)
 
     mu = pr.mean(axis=1)
@@ -122,9 +126,10 @@ def regime_conditional_loss(weights, returns, regime_probs,
                             K: int) -> jnp.ndarray:
     """Per-regime prob-weighted Sharpe, weighted by final-step regime prob
     (reference: loss_functions.py:89-109, Python loop over K vectorized)."""
+    from ..ops.nn import as_seq
+
     B, T, n_assets = returns.shape
-    rp = jnp.transpose(regime_probs, (0, 2, 1)) \
-        if regime_probs.shape[1] == K else regime_probs  # (B,T,K)
+    rp = as_seq(regime_probs, K)  # (B,T,K), reference sniff rule
 
     w_ret = returns[:, :, None, :] * rp[:, :, :, None]  # (B,T,K,A)
     centered = w_ret - w_ret.mean(axis=1, keepdims=True)
@@ -160,7 +165,17 @@ def transition_aware_loss(weights, returns, regime_probs, transition_probs,
                           rebalance_cost: float = 0.001,
                           lookahead: int = 5) -> jnp.ndarray:
     """Sharpe penalized by Chapman-Kolmogorov regime-change probability
-    (reference: loss_functions.py:128-147)."""
+    (reference: loss_functions.py:128-147).
+
+    regime_probs is (B, K, T) — the reference's declared layout
+    (loss_functions.py:129) — or (B, T, K), disambiguated against
+    returns' T; transition_probs is the per-timestep (B, T, K, K)
+    stack (the last matrix drives the lookahead, as in the
+    reference)."""
+    T = returns.shape[1]
+    if regime_probs.ndim == 3 and regime_probs.shape[2] != T \
+            and regime_probs.shape[1] == T:
+        regime_probs = jnp.transpose(regime_probs, (0, 2, 1))
     current = regime_probs[:, :, -1]  # (B,K)
     A_last = transition_probs[:, -1, :, :]  # (B,K,K)
 
@@ -193,6 +208,11 @@ def regime_aware_sharpe_loss(weights, returns, regime_probs, trans_probs,
         regime_probs = jnp.transpose(regime_probs, (0, 2, 1))
     confidence = regime_probs.max(axis=-1)
     weighted = pr * confidence
+    if trans_probs.ndim == 4:
+        # a per-timestep (B,T,K,K) stack: the reference uses the LAST
+        # step's transition matrix (VQ_VAE_HMM_fixed.py:214-228), not a
+        # time-average of diagonals
+        trans_probs = trans_probs[:, -1]
     diag = jnp.diagonal(trans_probs, axis1=-2, axis2=-1).mean(-1)
     duration = 1.0 / (1.0 - diag + 1e-8)
     penalty = 0.01 / jnp.maximum(duration, 1.0)
@@ -221,8 +241,9 @@ def minimum_variance_hedge_ratio(spot_ret, futures_ret, regime_probs=None,
     """Regime-conditional min-variance hedge ratio (reference :95-117);
     the per-K loop becomes an einsum."""
     if regime_probs is not None and K is not None:
-        rp = jnp.transpose(regime_probs, (0, 2, 1)) \
-            if regime_probs.shape[1] == K else regime_probs  # (B,T,K)
+        from ..ops.nn import as_seq
+
+        rp = as_seq(regime_probs, K)  # (B,T,K), reference sniff rule
         wsum = jnp.maximum(rp.sum(axis=1), 1e-8)  # (B,K)
         spot_w = spot_ret[:, :, None, :] * rp[:, :, :, None]  # (B,T,K,A)
         fut_w = futures_ret[:, :, None, :] * rp[:, :, :, None]
@@ -238,5 +259,6 @@ def minimum_variance_hedge_ratio(spot_ret, futures_ret, regime_probs=None,
 def optimal_hedge_frequency(spot_vol, tx_cost, regime_persistence):
     """Leland (1985) rehedging frequency scaled by regime persistence
     (reference :197-200)."""
-    base = jnp.sqrt(8.0 * tx_cost / (jnp.pi * spot_vol ** 2))
+    base = jnp.sqrt(8.0 * tx_cost
+                    / (jnp.pi * jnp.maximum(spot_vol ** 2, 1e-12)))
     return base / jnp.maximum(regime_persistence, 1.0)

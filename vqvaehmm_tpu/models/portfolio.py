@@ -38,10 +38,8 @@ def _last_step(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def _as_seq(q: jnp.ndarray, K: int) -> jnp.ndarray:
-    """(B,K,T)/(B,T,K) -> (B,T,K)."""
-    if q.ndim == 3 and q.shape[1] == K:
-        return jnp.transpose(q, (0, 2, 1))
-    return q
+    """(B,K,T)/(B,T,K) -> (B,T,K) — the shared reference sniff rule."""
+    return ops.as_seq(q, K)
 
 
 @dataclass(frozen=True)

@@ -30,6 +30,21 @@ _PRECISIONS = {
 }
 
 
+def as_seq(q, K: int):
+    """Normalize a regime-probability tensor to (B, T, K).
+
+    The reference's dim-sniffing idiom (VQ_VAE_HMM_fixed.py:64-65,
+    loss_functions.py:92): a 3-D input whose dim 1 equals K is treated
+    as (B, K, T) and transposed.  When T == K the layouts are
+    indistinguishable and the rule resolves the square case exactly as
+    the reference does (transpose)."""
+    import jax.numpy as jnp
+
+    if q.ndim == 3 and q.shape[1] == K:
+        return jnp.transpose(q, (0, 2, 1))
+    return q
+
+
 def resolve_precision(name: Optional[str]):
     if name is None:
         return None
