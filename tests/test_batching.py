@@ -184,9 +184,9 @@ def test_warmup_covers_non_power_of_two_max_batch(model):
     seen = []
     orig = model._infer
 
-    def spy(x, lengths):
+    def spy(x, lengths, use_pallas=None):
         seen.append(tuple(x.shape))
-        return orig(x, lengths)
+        return orig(x, lengths, use_pallas)
 
     model._infer = spy
     try:
@@ -237,12 +237,12 @@ def test_warmup_covers_solo_and_exact_paths(model):
     orig_sm, orig_fi, orig_vi = (model._smoothed, model._filtered,
                                  model._viterbi)
 
-    def spy_infer(x, lengths):
+    def spy_infer(x, lengths, use_pallas=None):
         if getattr(lengths, "ndim", 0) == 0 or isinstance(lengths, int):
             seen["scalar"] += 1
         else:
             seen["vector"] += 1
-        return orig_infer(x, lengths)
+        return orig_infer(x, lengths, use_pallas)
 
     def spy_exact(orig):
         def f(x, u, lens):
@@ -265,3 +265,35 @@ def test_warmup_covers_solo_and_exact_paths(model):
                                                             orig_fi,
                                                             orig_vi)
         b.close()
+
+
+def test_batching_model_is_true_drop_in(model):
+    """BatchingModel proxies everything it does not override (cfg,
+    params, checkpoint_loaded, ...) — the gradio surface reads m.cfg /
+    m.params off get_model()'s return, which is a BatchingModel under
+    VQHMM_BATCH (review finding: it crashed with AttributeError)."""
+    bm = _batcher(model)
+    try:
+        assert bm.cfg is model.cfg
+        assert bm.params is model.params
+        assert bm.checkpoint_loaded == model.checkpoint_loaded
+        # the exact attribute accesses the gradio callback makes
+        # (gradio_app.make_infer_fn: m.cfg.*, m.model.posterior(m.params))
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.asarray(np.zeros((1, bm.cfg.model.input_dim, 32),
+                                 np.float32))
+        q = bm.model.posterior(bm.params, x)
+        assert q.shape[1] == bm.cfg.model.K
+    finally:
+        bm.close()
+
+
+def test_infer_after_close_raises(model):
+    bm = _batcher(model)
+    bm.close()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="shut down"):
+        bm.infer([[0.0] * 32 for _ in range(model.cfg.model.input_dim)])

@@ -24,6 +24,9 @@ from typing import List, Optional
 import numpy as np
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
+# batch-dimension ladder shared with serve/batching.py: every
+# dispatch pads B up to one of these rungs
+BATCH_LADDER = (1, 2, 4, 8, 16, 32)
 
 
 class InferenceModel:
@@ -84,12 +87,16 @@ class InferenceModel:
 
         self._jnp = jnp
 
-        def _infer(x, valid_to):
-            # encode -> precise softmax -> decode; on TPU this
-            # auto-dispatches to the fused forward kernel
-            # (ops/pallas_infer.py) when shapes qualify.
+        def _infer(x, valid_to, use_pallas=None):
+            # encode -> precise softmax -> decode; use_pallas is decided
+            # ONCE PER BUCKET (_bucket_use_pallas) so solo and
+            # micro-batched dispatches always take the same executable
+            # family — per-shape auto-dispatch could route a coalesced
+            # batch to the fused kernel while the solo path ran XLA,
+            # making the same request's bytes depend on its neighbors.
             return self.model.infer_forward(self.params, x,
-                                            valid_to=valid_to)
+                                            valid_to=valid_to,
+                                            use_pallas=use_pallas)
 
         # valid_to may be a scalar (solo path) or a per-sequence (B,)
         # vector (micro-batched path, serve/batching.py): requests of
@@ -97,7 +104,7 @@ class InferenceModel:
         # bound, so a batched row is bit-identical to its solo result
         # (_time_bound_mask vector form; the fused kernel takes the same
         # (1, N) mask row).
-        self._infer = jax.jit(_infer)
+        self._infer = jax.jit(_infer, static_argnums=(2,))
         # Exact-inference modes jit once per padding bucket, like _infer —
         # repeated same-bucket requests hit a cached executable instead of
         # retracing per request.
@@ -143,19 +150,33 @@ class InferenceModel:
         and support check are constants, not per-request work."""
         cache = self.__dict__.setdefault("_batch_align_cache", {})
         if pad_to in cache:
-            return cache[pad_to]
-        bm = 1
+            return cache[pad_to][0]
+        bm, fused_ok = 1, False
         if pad_to % 8 == 0:
             import jax
 
             from ..ops.pallas_infer import batch_multiple, supported
 
             m = batch_multiple(pad_to)
-            if m <= 8 and jax.default_backend() == "tpu" \
-                    and supported(self.cfg.model, m, pad_to):
-                bm = m
-        cache[pad_to] = bm
+            if m <= 8 and jax.default_backend() == "tpu":
+                # the kernel must be eligible at EVERY batch size the
+                # micro-batcher can dispatch for this bucket, or a
+                # coalesced batch would take a different executable
+                # family than the solo path
+                pad_bs = {max(b, m) for b in BATCH_LADDER}
+                fused_ok = all(supported(self.cfg.model, b, pad_to)
+                               for b in sorted(pad_bs))
+                if fused_ok:
+                    bm = m
+        cache[pad_to] = (bm, fused_ok)
         return bm
+
+    def _bucket_use_pallas(self, pad_to: int):
+        """Per-bucket dispatch pin: None (auto -> fused on TPU) only
+        when the WHOLE batch ladder is kernel-eligible for this bucket,
+        else False everywhere (see _batch_align)."""
+        self._batch_align(pad_to)
+        return None if self._batch_align_cache[pad_to][1] else False
 
     def infer(self, x: List[List[float]], u: Optional[List[List[float]]] = None,
               mode: str = "mean_field"):
@@ -166,7 +187,9 @@ class InferenceModel:
         per padding bucket."""
         jnp = self._jnp
         padded, T = self._padded(x)
-        mu, logvar, q = self._infer(jnp.asarray(padded), T)
+        mu, logvar, q = self._infer(
+            jnp.asarray(padded), T,
+            self._bucket_use_pallas(padded.shape[2]))
         out = {
             "mu": np.asarray(mu)[0, :, :T].tolist(),
             "logvar": np.asarray(logvar)[0, :, :T].tolist(),
@@ -213,7 +236,8 @@ class InferenceModel:
         head is deterministic-random (documented demo behaviour)."""
         jnp = self._jnp
         padded, T = self._padded(x)
-        _, _, q = self._infer(jnp.asarray(padded), T)
+        _, _, q = self._infer(jnp.asarray(padded), T,
+                              self._bucket_use_pallas(padded.shape[2]))
         head, head_params = self._get_head()
         weights = head(head_params, jnp.asarray(np.asarray(q)[:, :, :T]))
         return {"weights": np.asarray(weights)[0].tolist(),

@@ -33,21 +33,23 @@ from typing import List, Optional
 
 import numpy as np
 
-from .app import InferenceModel
+from .app import BATCH_LADDER as _BATCH_LADDER, InferenceModel
 
-# batch-dimension ladder: every dispatch pads B up to one of these, so the
-# executable cache holds at most len(ladder) x len(length buckets) entries
-_BATCH_LADDER = (1, 2, 4, 8, 16, 32)
+# the batch-dimension ladder lives in serve/app.py (BATCH_LADDER): the
+# bucket dispatch pin (_batch_align/_bucket_use_pallas) must know every
+# batch size this dispatcher can produce
 
 
 class _Pending:
-    __slots__ = ("padded", "T", "event", "result", "error")
+    __slots__ = ("row", "bm", "T", "event", "result", "error")
 
     def __init__(self, padded: np.ndarray, T: int):
-        # (bm, C, pad_to): row 0 carries the request; rows 1..bm-1 are the
-        # kernel batch-alignment padding from app._padded (bm encodes the
-        # fused kernel's lane multiple for this bucket — _run reads it)
-        self.padded = padded
+        # keep ONLY row 0 (the request) and the bucket's batch multiple:
+        # app._padded's rows 1..bm-1 are zeros _run re-creates when it
+        # allocates the batch — holding them per queued request would
+        # multiply queue memory by bm for nothing
+        self.row = padded[0]          # (C, pad_to)
+        self.bm = padded.shape[0]     # fused kernel's lane multiple
         self.T = T
         self.event = threading.Event()
         self.result = None
@@ -66,7 +68,7 @@ class BatchingModel:
 
     def __init__(self, model: InferenceModel, max_batch: int = 16,
                  max_wait_ms: float = 2.0, pipeline_depth: int = 2):
-        self.model = model
+        self._inner = model
         self.max_batch = max(1, min(max_batch, _BATCH_LADDER[-1]))
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: List[_Pending] = []
@@ -100,12 +102,12 @@ class BatchingModel:
         jits per bucket."""
         from .app import DEFAULT_BUCKETS
 
-        jnp = self.model._jnp
-        C = self.model.cfg.model.input_dim
+        jnp = self._inner._jnp
+        C = self._inner.cfg.model.input_dim
         buckets = sorted({next((b for b in DEFAULT_BUCKETS if b >= T), T)
                           for T in lengths})
         for pad_to in buckets:
-            probe, _ = self.model._padded(
+            probe, _ = self._inner._padded(
                 [[0.0] * pad_to for _ in range(C)])
             bm = probe.shape[0]  # solo batch multiple for this bucket
             # exactly the pad_b values _run can dispatch: the next ladder
@@ -113,27 +115,28 @@ class BatchingModel:
             # max_batch when it is not itself a rung), floored at bm
             pad_bs = {max(next(b for b in _BATCH_LADDER if b >= B), bm)
                       for B in range(1, self.max_batch + 1)}
+            pin = self._inner._bucket_use_pallas(pad_to)
             for pad_b in sorted(pad_bs):
                 x = jnp.zeros((pad_b, C, pad_to), jnp.float32)
                 ln = jnp.ones((pad_b,), jnp.int32)
-                self.model._infer(x, ln)
+                self._inner._infer(x, ln, pin)
             # solo scalar-valid_to executable (predict / passthrough path)
-            self.model._infer(jnp.asarray(probe), pad_to)
+            self._inner._infer(jnp.asarray(probe), pad_to, pin)
             if exact_modes:
-                U = self.model.cfg.model.u_dim or 0
+                U = self._inner.cfg.model.u_dim or 0
                 xp = jnp.asarray(probe[:1])
                 up = jnp.zeros((1, U, pad_to), jnp.float32)
                 lens = jnp.asarray([pad_to], jnp.int32)
-                self.model._smoothed(xp, up, lens)
-                self.model._filtered(xp, up, lens)
-                self.model._viterbi(xp, up, lens)
+                self._inner._smoothed(xp, up, lens)
+                self._inner._filtered(xp, up, lens)
+                self._inner._viterbi(xp, up, lens)
 
     # -- the contract surface (same as InferenceModel) --------------------
 
     def infer(self, x: List[List[float]], u=None, mode: str = "mean_field"):
         if mode != "mean_field":
-            return self.model.infer(x, u=u, mode=mode)  # pass-through
-        padded, T = self.model._padded(x)  # validates shape; raises ValueError
+            return self._inner.infer(x, u=u, mode=mode)  # pass-through
+        padded, T = self._inner._padded(x)  # validates shape; raises ValueError
         item = _Pending(padded, T)
         with self._lock:
             if self._stop:
@@ -141,29 +144,47 @@ class BatchingModel:
             self._queue.append(item)
             self.requests += 1
         self._wakeup.set()
-        item.event.wait()
+        # bounded: if the dispatcher died (bug, shutdown race) the caller
+        # must error out, not hang its server thread forever
+        if not item.event.wait(timeout=max(60.0, 30 * self.max_wait_s)):
+            raise RuntimeError(
+                "batched inference timed out (dispatcher stalled?)")
         if item.error is not None:
             raise item.error
         return item.result
 
+    def __getattr__(self, name):
+        # true drop-in: anything not overridden (cfg, params, model
+        # — the raw VAEHMM — checkpoint_loaded, _padded, _infer, ...)
+        # proxies to the wrapped InferenceModel, so surfaces written
+        # against InferenceModel (gradio reads m.cfg / m.model.posterior /
+        # m.params) work unchanged when get_model returns a BatchingModel
+        # under VQHMM_BATCH.  NOTE: self._inner is the InferenceModel;
+        # `self.model` therefore resolves here to the VAEHMM, exactly as
+        # on InferenceModel itself.
+        return getattr(self._inner, name)
+
     def predict(self, x: List[List[float]]):
-        return self.model.predict(x)
+        return self._inner.predict(x)
 
     def stream(self, *args, **kwargs):
-        return self.model.stream(*args, **kwargs)
+        return self._inner.stream(*args, **kwargs)
 
     def close(self):
         with self._lock:
             self._stop = True
         self._wakeup.set()
-        self._thread.join(timeout=5)
-        self._pool.shutdown(wait=True)
-        # fail anything still queued so no caller hangs on event.wait()
+        # fail queued items FIRST: after the 5s join timeout the
+        # dispatcher could still pop a group and hit the shut-down pool;
+        # the loop's exception guard then fails that group too, so no
+        # caller is ever left waiting
         with self._lock:
             leftovers, self._queue = self._queue, []
         for it in leftovers:
             it.error = RuntimeError("batching dispatcher shut down")
             it.event.set()
+        self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
 
     # -- dispatcher --------------------------------------------------------
 
@@ -173,11 +194,11 @@ class BatchingModel:
         with self._lock:
             if not self._queue:
                 return []
-            bucket = self._queue[0].padded.shape[2]
+            bucket = self._queue[0].row.shape[1]
             group, rest = [], []
             for it in self._queue:
                 if len(group) < self.max_batch \
-                        and it.padded.shape[2] == bucket:
+                        and it.row.shape[1] == bucket:
                     group.append(it)
                 else:
                     rest.append(it)
@@ -192,38 +213,56 @@ class BatchingModel:
             self._wakeup.clear()
             if self._stop:
                 break
-            # linger briefly so a burst lands in one batch
+            # linger briefly so a burst lands in one batch; count only
+            # the HEAD bucket's items (what _take_group can dispatch) —
+            # a mixed-bucket burst must not end the wait early with an
+            # undersized group
             if self.max_wait_s > 0:
                 deadline = time.monotonic() + self.max_wait_s
                 while time.monotonic() < deadline:
                     with self._lock:
-                        n = len(self._queue)
+                        if not self._queue:
+                            n = 0
+                        else:
+                            bucket = self._queue[0].row.shape[1]
+                            n = sum(1 for it in self._queue
+                                    if it.row.shape[1] == bucket)
                     if n >= self.max_batch or n == 0:
                         break
                     time.sleep(min(2e-4, self.max_wait_s / 4))
             group = self._take_group()
             if group:
-                self._pool.submit(self._run, group)
+                try:
+                    self._pool.submit(self._run, group)
+                except Exception as e:  # pool shut down mid-race, etc.
+                    for it in group:
+                        if not it.event.is_set():
+                            it.error = e
+                            it.event.set()
 
     def _run(self, group: List[_Pending]):
-        jnp = self.model._jnp
+        jnp = self._inner._jnp
         try:
             B = len(group)
             # at least the solo path's batch multiple (kernel-eligible
             # block geometry — see app._padded) so batched dispatches use
             # the same fused executable family as solo requests
-            bm = group[0].padded.shape[0]
+            bm = group[0].bm
             pad_b = max(next(b for b in _BATCH_LADDER if b >= B), bm)
-            C, pad_to = group[0].padded.shape[1:]
+            C, pad_to = group[0].row.shape
             batch = np.zeros((pad_b, C, pad_to), np.float32)
             lengths = np.zeros(pad_b, np.int32)  # padded rows: bound at 0
             for i, it in enumerate(group):
-                batch[i] = it.padded[0]
+                batch[i] = it.row
                 lengths[i] = it.T
             # per-sequence valid_to vector: each coalesced request keeps
-            # its own time bound -> bit-identical to its solo result
-            mu, logvar, q = self.model._infer(jnp.asarray(batch),
-                                              jnp.asarray(lengths))
+            # its own time bound -> bit-identical to its solo result.
+            # the dispatch pin (use_pallas per BUCKET, not per shape)
+            # guarantees this batch takes the same executable family the
+            # solo path did — see app._bucket_use_pallas
+            mu, logvar, q = self._inner._infer(
+                jnp.asarray(batch), jnp.asarray(lengths),
+                self._inner._bucket_use_pallas(pad_to))
             mu = np.asarray(mu)
             logvar = np.asarray(logvar)
             q = np.asarray(q)
@@ -237,7 +276,8 @@ class BatchingModel:
                     "regime_probs": q[i, :, :T].tolist(),
                 }
                 it.event.set()
-        except Exception as e:  # wake every caller with the failure
+        except Exception as e:  # wake every UNDELIVERED caller
             for it in group:
-                it.error = e
-                it.event.set()
+                if not it.event.is_set():  # delivered results stay valid
+                    it.error = e
+                    it.event.set()
