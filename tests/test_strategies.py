@@ -201,3 +201,32 @@ def test_train_portfolio_fused_matches_stepwise(frozen_vae, rng):
                     jax.tree_util.tree_leaves(ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_head_trainers_reject_padded_batches():
+    """Head trainers consume full windows (pointwise heads read t=T-1);
+    a padded batch must be rejected loudly instead of silently training
+    on padding."""
+    import pytest
+
+    from vqvaehmm_tpu import make_model
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               RegimePortfolioOptimizer)
+    from vqvaehmm_tpu.train.heads import train_portfolio
+
+    vae = make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    vae_p = vae.init(jax.random.PRNGKey(0))
+    head = RegimePortfolioOptimizer(HeadConfig(K=3, n_assets=4,
+                                               hidden_dim=8))
+    head_p = head.init(jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 5, 20)).astype(np.float32)
+    u = rng.normal(size=(4, 4, 20)).astype(np.float32)
+    bad_lengths = np.array([20, 20, 12, 20], np.int32)  # one padded row
+    rets = rng.normal(0, 0.01, size=(4, 19, 4)).astype(np.float32)
+
+    with pytest.raises(ValueError, match="full windows"):
+        train_portfolio(head, head_p, vae, vae_p,
+                        [(x, u, bad_lengths)], [rets], num_epochs=1,
+                        log_fn=None)

@@ -9,6 +9,11 @@ never backprop into the VAE.  Covers the reference's
 
 The frozen posterior is jax.lax.stop_gradient + a jitted encode — the
 reference's torch.no_grad() equivalent without a second graph.
+
+Batches must be FULL windows: the reference trains heads on complete
+fixed-length windows (training.py:126-163) and these trainers take the
+posterior over the whole array (pointwise heads read t = T-1), so a
+padded batch would train on padding — lengths < T is rejected loudly.
 """
 
 from __future__ import annotations
@@ -27,6 +32,18 @@ from ..models.vae_hmm import VAEHMM
 class HeadTrainResult(NamedTuple):
     params: Dict
     history: list
+
+
+def _require_full_windows(batches):
+    """Head trainers consume complete windows (module docstring): a
+    ragged batch would silently train pointwise heads on padding."""
+    for i, (x, _, lengths) in enumerate(batches):
+        T = np.asarray(x).shape[-1]
+        if lengths is not None and (np.asarray(lengths) < T).any():
+            raise ValueError(
+                f"batch {i} has lengths < T={T}: head trainers require "
+                "full windows (pointwise heads read t = T-1, which would "
+                "be padding)")
 
 
 def train_portfolio(head_model, head_params, vae_model: VAEHMM, vae_params,
@@ -81,6 +98,12 @@ def train_portfolio(head_model, head_params, vae_model: VAEHMM, vae_params,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, w
 
+    _require_full_windows(batches)
+    # the frozen posterior is constant across epochs: compute it once
+    # per batch, not E times (E*N encoder dispatches -> N)
+    q_cache = [posterior(jnp.asarray(x)) for x, _, _ in batches]
+    rets_cache = [jnp.asarray(r) for r in returns_data]
+
     history = []
     prev_w = None
     params = head_params
@@ -88,10 +111,10 @@ def train_portfolio(head_model, head_params, vae_model: VAEHMM, vae_params,
         # cosine epoch schedule matching torch CosineAnnealingLR(T_max=E)
         lr_scale = 0.5 * (1 + np.cos(np.pi * ep / num_epochs)) \
             if use_scheduler else 1.0
-        epoch_loss = 0.0
-        for idx, (x, u, lengths) in enumerate(batches):
-            q = posterior(jnp.asarray(x))
-            rets = jnp.asarray(returns_data[idx])
+        epoch_loss = jnp.float32(0.0)  # device accumulate: one host
+        #                                sync per EPOCH, not per step
+        for idx in range(len(batches)):
+            q, rets = q_cache[idx], rets_cache[idx]
             if prev_w is None:
                 params, opt_state, loss, w = step_first(
                     params, opt_state, q, rets, jnp.float32(lr_scale))
@@ -100,8 +123,8 @@ def train_portfolio(head_model, head_params, vae_model: VAEHMM, vae_params,
                     params, opt_state, q, rets, prev_w,
                     jnp.float32(lr_scale))
             prev_w = jax.lax.stop_gradient(w)
-            epoch_loss += float(loss)
-        history.append(epoch_loss / max(len(batches), 1))
+            epoch_loss = epoch_loss + loss
+        history.append(float(epoch_loss) / max(len(batches), 1))
         if log_fn:
             log_fn(f"Epoch {ep + 1}/{num_epochs}, "
                    f"Loss: {history[-1]:.4f}")
@@ -128,6 +151,9 @@ def train_portfolio_fused(head_model, head_params, vae_model: VAEHMM,
     """
     if loss_fn is None:
         loss_fn = portfolio_loss
+    if not batches:
+        raise ValueError("train_portfolio_fused requires >= 1 batch")
+    _require_full_windows(batches)
 
     @jax.jit
     def posterior(x):
@@ -183,7 +209,10 @@ def train_portfolio_fused(head_model, head_params, vae_model: VAEHMM,
             carry, losses = jax.lax.scan(batch_step, carry, (qs, rets))
             return carry, losses.mean()
 
-        carry = (params, opt_state, jnp.zeros((B, A), qs.dtype),
+        # prev_w carry in f32: the heads emit f32 weights (psoftmax),
+        # so a bf16-activation model's qs.dtype would make the scan
+        # carry-in/carry-out dtypes disagree and fail the trace
+        carry = (params, opt_state, jnp.zeros((B, A), jnp.float32),
                  jnp.ones((), bool))
         (params, _, _, _), epoch_losses = jax.lax.scan(
             epoch_step, carry, lr_scales)
@@ -191,7 +220,9 @@ def train_portfolio_fused(head_model, head_params, vae_model: VAEHMM,
 
     params, epoch_losses = run(head_params, qs, rets,
                                jnp.asarray(lr_scales))
-    return HeadTrainResult(params, [float(v) for v in epoch_losses])
+    # ONE bulk device->host transfer, not num_epochs scalar fetches
+    return HeadTrainResult(params, np.asarray(epoch_losses)
+                           .astype(float).tolist())
 
 
 def train_portfolio_optimizer(head_model, head_params, vae_model: VAEHMM,
@@ -216,16 +247,19 @@ def train_portfolio_optimizer(head_model, head_params, vae_model: VAEHMM,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    _require_full_windows(batches)
+    q_cache = [posterior(jnp.asarray(x)) for x, _, _ in batches]
+    rets_cache = [jnp.asarray(r) for r in returns_data]
+
     history = []
     params = head_params
     for ep in range(num_epochs):
-        epoch_loss = 0.0
-        for idx, (x, u, lengths) in enumerate(batches):
-            q = posterior(jnp.asarray(x))
-            params, opt_state, loss = step(params, opt_state, q,
-                                           jnp.asarray(returns_data[idx]))
-            epoch_loss += float(loss)
-        history.append(epoch_loss / max(len(batches), 1))
+        epoch_loss = jnp.float32(0.0)  # one host sync per epoch
+        for idx in range(len(batches)):
+            params, opt_state, loss = step(params, opt_state,
+                                           q_cache[idx], rets_cache[idx])
+            epoch_loss = epoch_loss + loss
+        history.append(float(epoch_loss) / max(len(batches), 1))
         if log_fn:
             log_fn(f"Epoch {ep + 1}/{num_epochs}, Loss: {history[-1]:.4f}")
     return HeadTrainResult(params, history)
@@ -254,7 +288,6 @@ def train_delta_hedger(hedger, hedger_params, vae_model: VAEHMM, vae_params,
     def step(params, opt_state, q, x, fut):
         spot_ret = x[:, :, 1:] - x[:, :, :-1]
         spot_ret_t = jnp.transpose(spot_ret, (0, 2, 1))  # (B, T-1, C)
-        fut_t = fut
 
         def _loss(p):
             if is_lstm:
@@ -262,23 +295,27 @@ def train_delta_hedger(hedger, hedger_params, vae_model: VAEHMM, vae_params,
             else:
                 pos = jnp.ones_like(x[:, :, -1])
                 h, _ = hedger(p, q, x[:, :, -1], pos)
-            return delta_hedge_loss(h, spot_ret_t, fut_t)
+            return delta_hedge_loss(h, spot_ret_t, fut)
 
         loss, grads = jax.value_and_grad(_loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    _require_full_windows(spot_batches)
+    q_cache = [posterior(jnp.asarray(x)) for x, _, _ in spot_batches]
+    x_cache = [jnp.asarray(x) for x, _, _ in spot_batches]
+    fut_cache = [jnp.asarray(f) for f in futures_data]
+
     history = []
     params = hedger_params
     for ep in range(num_epochs):
-        epoch_loss = 0.0
-        for idx, (x, u, lengths) in enumerate(spot_batches):
-            q = posterior(jnp.asarray(x))
+        epoch_loss = jnp.float32(0.0)  # one host sync per epoch
+        for idx in range(len(spot_batches)):
             params, opt_state, loss = step(
-                params, opt_state, q, jnp.asarray(x),
-                jnp.asarray(futures_data[idx]))
-            epoch_loss += float(loss)
-        history.append(epoch_loss / max(len(spot_batches), 1))
+                params, opt_state, q_cache[idx], x_cache[idx],
+                fut_cache[idx])
+            epoch_loss = epoch_loss + loss
+        history.append(float(epoch_loss) / max(len(spot_batches), 1))
         if log_fn:
             log_fn(f"Epoch {ep + 1}/{num_epochs}, "
                    f"Loss: {history[-1]:.6f}")
