@@ -129,14 +129,12 @@ class HiddenMarkovModel:
         and only enormous K (no VMEM-legal chunk) falls back to scan."""
         log_obs, squeeze = self._log_obs(x)
         if use_pallas is None:
-            from ..ops.pallas_hmm import (viterbi_supported,
-                                          viterbi_tiled_supported)
+            from ..ops.pallas_hmm import viterbi_dispatchable
 
-            T, K = log_obs.shape[1], log_obs.shape[2]
-            use_pallas = (jax.default_backend() == "tpu"
-                          and log_obs.dtype == jnp.float32
-                          and (viterbi_supported(T, K)
-                               or viterbi_tiled_supported(K)))
+            # one gate, kept beside the kernels (bounds backend, dtype,
+            # lane tiling AND VMEM)
+            use_pallas = viterbi_dispatchable(
+                log_obs.shape[1], log_obs.shape[2], log_obs.dtype)
         if use_pallas:
             from ..ops.pallas_hmm import viterbi_auto
 

@@ -510,21 +510,16 @@ class VAEHMM:
         from ..ops import hmm as hmm_ops
 
         if use_pallas is None:
-            from ..ops.pallas_hmm import (viterbi_supported,
-                                          viterbi_tiled_supported)
+            from ..ops.pallas_hmm import viterbi_dispatchable
 
-            # compute_dtype gate: see posterior() — the kernels are f32.
-            # viterbi_supported bounds T (the doubling-scan kernel keeps
-            # O(K) live (T, 128) tapes in VMEM); past it the tiled kernel
-            # covers any T at VMEM O(chunk), so only enormous K (no legal
-            # chunk) falls back to lax.scan.
-            # autodiff gate: the kernels have no VJP; a differentiated
-            # computation embedding the decode must trace the scan path
-            use_pallas = (jax.default_backend() == "tpu"
-                          and self.compute_dtype == jnp.float32
-                          and not _under_autodiff(params, x, u)
-                          and (viterbi_supported(x.shape[2], self.cfg.K)
-                               or viterbi_tiled_supported(self.cfg.K)))
+            # viterbi_dispatchable bounds backend, dtype, lane tiling and
+            # VMEM beside the kernels (one gate, not per-call-site
+            # copies); the autodiff gate stays here — the kernels have no
+            # VJP, so a differentiated computation embedding the decode
+            # must trace the scan path.
+            use_pallas = (viterbi_dispatchable(x.shape[2], self.cfg.K,
+                                               self.compute_dtype)
+                          and not _under_autodiff(params, x, u))
         log_pi, log_A = self.prior(params, u)
         log_obs = self._hmm_evidence(params, x, lengths)
         if use_pallas:

@@ -33,11 +33,10 @@ Layouts (host-side wrapper transposes):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 
 from .hmm import ViterbiResult, _as_time_varying, _mask_inputs
@@ -54,12 +53,15 @@ def viterbi_supported(T: int, K: int,
 
     The kernel keeps O(K) live (T, 128) tapes: K*K step-matrix slices of
     the transition tape plus delta/bp (2K) in phase 1 and G/Gs/out (3K)
-    selector tapes in phase 3, all f32/i32.  Measured calibration: a
-    T=2327, K=3 decode was rejected by Mosaic at 24.84 MB — consistent
-    with ~(K*K + 5K + 4) tapes — so the gate uses that coefficient
-    against the 14 MB budget shared with the other kernels.  Beyond it,
-    callers (VAEHMM.viterbi_decode auto-dispatch) must take the lax.scan
-    path; forcing use_pallas=True past the bound fails at compile."""
+    selector tapes in phase 3, all f32/i32.  Calibration: a T=2327, K=3
+    decode was rejected by Mosaic at 24.84 MB, which corresponds to
+    ~21 live tapes; the gate's (K*K + 5K + 4) coefficient (28 tapes at
+    K=3) is deliberately ~30% CONSERVATIVE of that measurement, trading
+    some monolithic-kernel range (T in ~(1024, 1400] at K=3 routes to
+    the tiled kernel despite likely fitting) for a margin against
+    layout/version drift.  Beyond the bound, callers take the tiled
+    kernel or the lax.scan path; forcing the monolithic kernel past it
+    fails at compile."""
     tapes = K * K + 5 * K + 4
     return tapes * T * _LANES * 4 <= budget_bytes
 
@@ -80,8 +82,9 @@ def _pick_chunk(K: int, budget_bytes: int = 48 * 1024 * 1024) -> int:
     doubling scan's E/M/Xs step-matrix tapes plus the A input block all
     scale as K*K, so the fit 7*K*K + 7*K bounds both measurements with
     margin.  The 48 MB budget leaves 16 MB of the raised limit for
-    pipeline buffers.  Returns 0 when even a 128-row chunk does not fit
-    (K≳16) — callers then fall back to the lax.scan path."""
+    pipeline buffers.  Returns 0 when even a 128-row chunk does not
+    fit — with this coefficient that is K >= 10 (tapes*128*512B >
+    budget) — and callers then fall back to the lax.scan path."""
     tapes = 7 * K * K + 7 * K
     cap = budget_bytes // (tapes * _LANES * 4)
     if cap < 128:
@@ -199,9 +202,6 @@ def viterbi_pallas(log_pi: jnp.ndarray, log_A: jnp.ndarray,
                    interpret: Optional[bool] = None) -> ViterbiResult:
     """Drop-in replacement for ops.hmm.viterbi (same results, same masking
     semantics) running as a single fused kernel per batch block."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, K = log_obs.shape
@@ -467,13 +467,29 @@ def viterbi_pallas_tiled(log_pi: jnp.ndarray, log_A: jnp.ndarray,
     return ViterbiResult(states.T[:B, :T], score[:B])
 
 
+def viterbi_dispatchable(T: int, K: int, dtype=jnp.float32) -> bool:
+    """THE auto-dispatch gate for the Viterbi kernels, kept beside them
+    (CLAUDE.md: every gate must bound backend, dtype, lane tiling, AND
+    VMEM — backend is probed here too so call sites cannot drift)."""
+    import jax as _jax
+
+    return (_jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and (viterbi_supported(T, K) or viterbi_tiled_supported(K)))
+
+
 def viterbi_auto(log_pi: jnp.ndarray, log_A: jnp.ndarray,
                  log_obs: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None) -> ViterbiResult:
-    """Route to the monolithic kernel when T fits its VMEM bound, else the
-    tiled kernel.  Callers gate dispatch with
-    `viterbi_supported(T, K) or viterbi_tiled_supported(K)`."""
+    """Route to the monolithic kernel when T fits its VMEM bound, else
+    the tiled kernel, else — when no kernel is VMEM-legal (K >= 10) —
+    fall back to the lax.scan path itself, so a caller that forgot the
+    gate degrades gracefully instead of crashing at trace time."""
+    from . import hmm as hmm_ops
+
     _, T, K = log_obs.shape
     if viterbi_supported(T, K):
         return viterbi_pallas(log_pi, log_A, log_obs, lengths)
-    return viterbi_pallas_tiled(log_pi, log_A, log_obs, lengths)
+    if viterbi_tiled_supported(K):
+        return viterbi_pallas_tiled(log_pi, log_A, log_obs, lengths)
+    return hmm_ops.viterbi(log_pi, log_A, log_obs, lengths)
