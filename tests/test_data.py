@@ -286,3 +286,63 @@ def test_device_sampler_dense_pools_are_lazy():
     assert x_d.shape == (4, 8, 5, 24) and u_d.shape == (4, 8, 4, 24)
     first = sampler.dense_pools()
     assert sampler.dense_pools()[0] is first[0]  # cached, not rebuilt
+
+
+def test_dataset_validates_like_native_sampler():
+    """Construction-time validation matching native/fastdata.c: short
+    sequences, x/u time mismatch, min>max, and empty pools fail
+    immediately — the numpy path previously crashed nondeterministically
+    mid-epoch (whenever the RNG drew the bad sequence)."""
+    import pytest
+
+    from vqvaehmm_tpu.data import RandomChunkDataset
+
+    rng = np.random.default_rng(0)
+    ok_x = [rng.normal(size=(5, 50)).astype(np.float32)]
+    ok_u = [rng.normal(size=(4, 50)).astype(np.float32)]
+
+    with pytest.raises(ValueError, match="shorter than min_len"):
+        RandomChunkDataset([rng.normal(size=(5, 15)).astype(np.float32)],
+                           [rng.normal(size=(4, 15)).astype(np.float32)],
+                           min_len=20, max_len=48)
+    with pytest.raises(ValueError, match="time dims must match"):
+        RandomChunkDataset(ok_x,
+                           [rng.normal(size=(4, 40)).astype(np.float32)],
+                           min_len=10, max_len=48)
+    with pytest.raises(ValueError, match="min_len"):
+        RandomChunkDataset(ok_x, ok_u, min_len=60, max_len=48)
+    with pytest.raises(ValueError, match="empty"):
+        RandomChunkDataset([], [], min_len=10, max_len=48)
+
+
+def test_epoch_arrays_guards():
+    """Zero batches raise a clear error; explicit use_native=True raises
+    when the extension is unavailable instead of silently changing the
+    sample stream; oversized buckets are capped at max_len; pad_to
+    cannot truncate."""
+    import pytest
+
+    from vqvaehmm_tpu.data import RandomChunkDataset, epoch_arrays
+    from vqvaehmm_tpu.data.dataset import (_fastdata, collate_fn,
+                                           pick_bucket)
+
+    rng = np.random.default_rng(1)
+    ds = RandomChunkDataset(
+        [rng.normal(size=(5, 60)).astype(np.float32)],
+        [rng.normal(size=(4, 60)).astype(np.float32)],
+        min_len=8, max_len=24, samples_per_epoch=8, seed=0)
+
+    with pytest.raises(ValueError, match="no batches"):
+        epoch_arrays(ds, batch_size=16)
+
+    if _fastdata is None:
+        with pytest.raises(ImportError, match="native extension"):
+            epoch_arrays(ds, batch_size=4, use_native=True)
+
+    assert pick_bucket(20, (32, 256), max_len=24) == 24  # capped
+    assert pick_bucket(20, (32, 256), max_len=64) == 32
+
+    items = [ds[i] for i in range(4)]
+    bad = max(it[2] for it in items) - 1
+    with pytest.raises(ValueError, match="truncate"):
+        collate_fn(items, pad_to=bad)

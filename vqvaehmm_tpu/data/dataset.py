@@ -45,6 +45,24 @@ class RandomChunkDataset:
                        for u in u_sequences]
         if len(self.x_seqs) != len(self.u_seqs):
             raise ValueError("x_sequences and u_sequences must align")
+        # validate UP FRONT what the native sampler validates
+        # (native/fastdata.c:88,111-114,140,150): the numpy path would
+        # otherwise fail nondeterministically mid-epoch (an RNG draw that
+        # happens to hit a short sequence raises an opaque 'low >= high')
+        # or silently train on misaligned x/u slices.
+        if not self.x_seqs:
+            raise ValueError("sequence pool is empty")
+        if min_len > max_len:
+            raise ValueError(f"min_len={min_len} > max_len={max_len}")
+        for i, (xs, us) in enumerate(zip(self.x_seqs, self.u_seqs)):
+            if xs.shape[1] != us.shape[1]:
+                raise ValueError(
+                    f"sequence {i}: x/u time dims must match "
+                    f"({xs.shape[1]} vs {us.shape[1]})")
+            if xs.shape[1] < min_len:
+                raise ValueError(
+                    f"sequence {i} is shorter than min_len "
+                    f"({xs.shape[1]} < {min_len})")
         self.min_len = min_len
         self.max_len = max_len
         self.samples_per_epoch = samples_per_epoch
@@ -67,10 +85,12 @@ class RandomChunkDataset:
 
 def pick_bucket(batch_max: int, buckets: Sequence[int],
                 max_len: int) -> int:
-    """Smallest bucket >= batch_max, else max_len."""
+    """Smallest bucket >= batch_max, else max_len; capped at max_len —
+    chunks never exceed max_len, so a wider bucket would only compile an
+    extra shape and over-allocate past the documented ceiling."""
     for b in sorted(buckets):
         if b >= batch_max:
-            return b
+            return min(b, max_len)
     return max_len
 
 
@@ -83,6 +103,10 @@ def collate_fn(batch: List[Tuple[np.ndarray, np.ndarray, int]],
     instead of device-pinned tensors.  Pass pad_to for static-shape batches.
     """
     lengths = np.array([item[2] for item in batch], dtype=np.int32)
+    if pad_to is not None and pad_to < int(lengths.max()):
+        raise ValueError(
+            f"pad_to ({pad_to}) < batch max length ({int(lengths.max())})"
+            " — padding must not truncate")
     T = int(pad_to) if pad_to is not None else int(lengths.max())
     B = len(batch)
     C = batch[0][0].shape[0]
@@ -138,6 +162,16 @@ def epoch_arrays(dataset: RandomChunkDataset, batch_size: int,
     """
     if num_batches is None:
         num_batches = len(dataset) // batch_size
+    if num_batches <= 0:
+        raise ValueError(
+            f"no batches: batch_size={batch_size} > samples_per_epoch="
+            f"{len(dataset)} (the scan trainer would train on nothing)")
+    if use_native and _fastdata is None:
+        raise ImportError(
+            "use_native=True but the native extension is not built "
+            "(python setup.py build_ext --inplace); its sample stream "
+            "differs from the numpy path, so a silent fallback would "
+            "change the training trajectory")
     if use_native is None:
         use_native = _fastdata is not None
     if use_native and _fastdata is not None:
