@@ -188,3 +188,35 @@ def test_utility_functions(q3, rng):
 
     lev = optimize_leverage(w, rets)
     assert lev.shape == (B, 4)
+
+
+def test_temperature_scaling_reaches_far_optima_with_defaults():
+    """Log-space Adam must recover a 10x temperature with the DEFAULT
+    budget (plain Adam's additive steps capped the reach at ~lr*iters
+    from the 1.0 init — the reference's LBFGS had no such limit)."""
+    rng = np.random.default_rng(5)
+    true_logits = rng.normal(size=(600, 3)).astype(np.float32)
+    labels = np.array([np.random.default_rng(i).choice(
+        3, p=np.exp(l) / np.exp(l).sum()) for i, l in
+        enumerate(true_logits)]).astype(np.int32)
+    ts = TemperatureScaling()
+    p, temp = ts.calibrate(ts.init(), true_logits * 10.0, labels)
+    assert 6.0 < temp < 16.0, temp
+
+
+def test_lstm_regime_models_square_input_untransposed():
+    """Square (B, K, K) inputs pass through UNTRANSPOSED — the reference
+    LSTM models consume (B, T, K) directly with no layout sniff
+    (regime_utilities.py:14-16), so the square tie-break must not apply
+    VQ_VAE_HMM's transpose idiom here."""
+    rng = np.random.default_rng(7)
+    det = RegimeChangeDetector(3, hidden_dim=8)
+    p = det.init(jax.random.PRNGKey(0))
+    q_sq = jnp.asarray(rng.dirichlet(np.ones(3), size=(4, 3))
+                       .astype(np.float32))       # (B, T=3, K=3)
+    a = np.asarray(det(p, q_sq))
+    b = np.asarray(det(p, jnp.transpose(q_sq, (0, 2, 1))))
+    # if the sniff transposed squares, a and b would be identical runs
+    # of the same (transposed) array; the reference treats them as two
+    # DIFFERENT sequences
+    assert not np.allclose(a, b)

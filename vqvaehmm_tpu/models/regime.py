@@ -25,6 +25,20 @@ from ..ops.precise import plog_softmax, psoftmax
 from ..ops.rnn import init_lstm, lstm
 from .portfolio import _as_seq, _last_step
 
+
+def _as_seq_unambiguous(q, K: int):
+    """(B,K,T) -> (B,T,K) only when the layouts are distinguishable.
+
+    The LSTM regime models' reference (regime_utilities.py:14-16,28-30)
+    consumes (B, T, K) directly with NO layout sniff, so a square
+    (B, K, K) input must pass through untransposed — unlike as_seq,
+    whose square tie-break follows VQ_VAE_HMM_fixed.py's idiom."""
+    if q.ndim == 3 and q.shape[1] == K and q.shape[2] != K:
+        import jax.numpy as _jnp
+
+        return _jnp.transpose(q, (0, 2, 1))
+    return q
+
 Params = Dict
 
 
@@ -42,7 +56,7 @@ class RegimeChangeDetector:
                 "fc": ops.init_linear(k2, self.hidden_dim, 1)}
 
     def __call__(self, params, regime_probs_seq):
-        seq = _as_seq(regime_probs_seq, self.K)
+        seq = _as_seq_unambiguous(regime_probs_seq, self.K)
         out, _ = lstm(params["lstm"], seq)
         return jax.nn.sigmoid(ops.linear(params["fc"], out[:, -1, :]))
 
@@ -63,7 +77,7 @@ class ForwardTransitionPredictor:
                                       self.K * self.n_steps)}
 
     def __call__(self, params, regime_probs_seq):
-        seq = _as_seq(regime_probs_seq, self.K)
+        seq = _as_seq_unambiguous(regime_probs_seq, self.K)
         out, _ = lstm(params["lstm"], seq)
         logits = ops.linear(params["fc"], out[:, -1, :])
         logits = logits.reshape(-1, self.n_steps, self.K)
@@ -94,8 +108,12 @@ class RegimePersistenceModel:
 
 class TemperatureScaling:
     """Single learned temperature calibrating regime logits
-    (reference :76-94; LBFGS replaced by full-batch Adam, which reaches the
-    same 1-parameter optimum)."""
+    (reference :76-94; LBFGS replaced by Adam on LOG-temperature, which
+    reaches the same 1-parameter optimum — additive steps in log space
+    are multiplicative in T, so optima far from the 1.0 init are
+    reachable within the default budget, matching LBFGS's
+    curvature-scaled reach).  The whole optimization is ONE jitted
+    fori_loop dispatch, not max_iter host-driven steps."""
 
     def init(self) -> Params:
         return {"temperature": jnp.ones((1,))}
@@ -103,26 +121,30 @@ class TemperatureScaling:
     def __call__(self, params, logits):
         return logits / params["temperature"]
 
-    def calibrate(self, params, logits, labels, lr: float = 0.01,
+    def calibrate(self, params, logits, labels, lr: float = 0.05,
                   max_iter: int = 200) -> Tuple[Params, float]:
         logits = jnp.asarray(logits)
         labels = jnp.asarray(labels)
         opt = optax.adam(lr)
 
-        def loss_fn(p):
-            lp = plog_softmax(self(p, logits), axis=-1)
-            return -jnp.take_along_axis(lp, labels[:, None], 1).mean()
-
         @jax.jit
-        def step(p, s):
-            loss, g = jax.value_and_grad(loss_fn)(p)
-            updates, s = opt.update(g, s, p)
-            return optax.apply_updates(p, updates), s, loss
+        def run(log_t0):
+            def loss_fn(log_t):
+                lp = plog_softmax(logits / jnp.exp(log_t), axis=-1)
+                return -jnp.take_along_axis(lp, labels[:, None], 1).mean()
 
-        state = opt.init(params)
-        for _ in range(max_iter):
-            params, state, _ = step(params, state)
-        return params, float(params["temperature"][0])
+            def body(_, carry):
+                log_t, s = carry
+                g = jax.grad(loss_fn)(log_t)
+                updates, s = opt.update(g, s, log_t)
+                return optax.apply_updates(log_t, updates), s
+
+            log_t, _ = jax.lax.fori_loop(
+                0, max_iter, body, (log_t0, opt.init(log_t0)))
+            return log_t
+
+        t = jnp.exp(run(jnp.log(params["temperature"])))
+        return {"temperature": t}, float(t[0])
 
 
 class RegimeFactorModel:
@@ -135,10 +157,9 @@ class RegimeFactorModel:
         self.n_factors = n_factors
 
     def init(self, key) -> Params:
-        k1, _ = jax.random.split(key)
         return {
             "factor_loadings": jax.random.normal(
-                k1, (self.K, self.n_assets, self.n_factors)),
+                key, (self.K, self.n_assets, self.n_factors)),
             "specific_risk": jnp.ones((self.K, self.n_assets)),
         }
 
