@@ -1,14 +1,17 @@
 """Delta-hedging model zoo (reference: delta_hedger.py:7-183).
 
 Five hedgers consuming regime posteriors; same functional convention as
-models/portfolio.py.  Dropout layers in the reference (DynamicDeltaHedger,
-delta_hedger.py:46) are identity here (inference semantics; the reference's
-downstream consumers always run hedgers under eval()/no_grad).
+models/portfolio.py.  KNOWN DEVIATION: the reference's DynamicDeltaHedger
+carries Dropout(0.1) that IS active during its training
+(delta_hedger.py:46,207 — hedger.train()); here dropout is identity in
+training too (deterministic functional training; adding it would need a
+PRNG threaded through train_delta_hedger).  Inference semantics match
+exactly; trained-weight trajectories may differ by the missing
+regularization.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -83,13 +86,20 @@ class DynamicDeltaHedger:
                  gamma: Optional[jnp.ndarray] = None):
         q = _last_step(regime_probs)
         feats = [q, portfolio_pos, spot_prices]
-        if self.use_gamma and gamma is not None:
+        if self.use_gamma:
+            if gamma is None:
+                # params were sized for the gamma feature (init, :66);
+                # silently dropping it would fail later as an opaque
+                # matmul shape error (the reference crashes the same way)
+                raise ValueError(
+                    "DynamicDeltaHedger(use_gamma=True) requires gamma=; "
+                    "construct with use_gamma=False to hedge without it")
             feats.append(gamma)
         x = jnp.concatenate(feats, axis=-1)
         h = jax.nn.relu(ops.linear(params["delta1"], x))
         h = jax.nn.relu(ops.linear(params["delta2"], h))
         delta = ops.linear(params["delta3"], h)
-        if self.use_gamma and gamma is not None:
+        if self.use_gamma:
             g = jax.nn.relu(ops.linear(params["gamma1"], x))
             gamma_hedge = ops.linear(params["gamma2"], g)
             total = delta + 0.5 * gamma_hedge * spot_prices
@@ -117,7 +127,13 @@ class LSTMDeltaHedger:
 
     def __call__(self, params, regime_seq, price_seq):
         seq = _as_seq(regime_seq, self.cfg.K)
-        if price_seq.shape[1] != seq.shape[1]:
+        T = seq.shape[1]
+        # price_seq arrives channels-first (B, C, T) from the in-repo
+        # trainer (train/heads.py) or time-major (B, T, C); when C == T
+        # the layouts are indistinguishable and we resolve the square
+        # case CHANNELS-FIRST (transpose) — the documented caller
+        # contract — where the old sniff silently kept the wrong layout
+        if price_seq.shape[1] != T or price_seq.shape[2] == T:
             price_seq = jnp.transpose(price_seq, (0, 2, 1))
         combined = jnp.concatenate([seq, price_seq], axis=-1)
         out, _ = lstm(params["lstm"], combined)
