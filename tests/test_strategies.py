@@ -230,3 +230,40 @@ def test_head_trainers_reject_padded_batches():
         train_portfolio(head, head_p, vae, vae_p,
                         [(x, u, bad_lengths)], [rets], num_epochs=1,
                         log_fn=None)
+
+
+def test_walkforward_trainer_guards_and_lr_mutation():
+    """n_epochs=0 is a no-op; run() rejects data too short for the
+    requested windows; mutating lr between windows takes effect (the
+    cached executable is keyed on it, not frozen at first call)."""
+    import pytest
+
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               RegimePortfolioOptimizer)
+    from vqvaehmm_tpu.train.strategies import WalkForwardTrainer
+
+    head = RegimePortfolioOptimizer(HeadConfig(K=3, n_assets=4,
+                                               hidden_dim=8))
+    params = head.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    q = rng.dirichlet(np.ones(3), size=100).astype(np.float32)
+    rets = rng.normal(0, 0.01, size=(100, 4)).astype(np.float32)
+
+    from vqvaehmm_tpu.losses import sharpe_loss
+
+    wf = WalkForwardTrainer(head, params, sharpe_loss, train_window=40,
+                            test_window=10, retrain_freq=10)
+
+    p_before = jax.tree_util.tree_leaves(wf.params)
+    assert wf.train_epoch((q[:40], rets[:40]), n_epochs=0) == 0.0
+    for a, b in zip(p_before, jax.tree_util.tree_leaves(wf.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="need"):
+        wf.run((q, rets), n_periods=20)
+
+    wf.train_epoch((q[:40], rets[:40]), n_epochs=2)
+    key1 = wf._fit[0]
+    wf.lr = 1e-4
+    wf.train_epoch((q[:40], rets[:40]), n_epochs=2)
+    assert wf._fit[0] != key1  # new executable honoring the new lr

@@ -54,9 +54,17 @@ class MetaPortfolioOptimizer:
                 total = total + loss_fn(self.model(adapted, q), rets)
             return total
 
+        def meta_step(params, opt_state, tasks, loss_fn):
+            loss, grads = jax.value_and_grad(meta_loss)(params, tasks,
+                                                        loss_fn)
+            updates, opt_state = self.meta_opt.update(grads, opt_state,
+                                                      params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
         self._adapt = adapt
-        self._meta_grad = jax.jit(
-            jax.value_and_grad(meta_loss), static_argnames="loss_fn")
+        # the whole meta step (grad + Adam + apply) is one jitted call —
+        # eager optax tree ops would pay one device dispatch per leaf op
+        self._meta_step = jax.jit(meta_step, static_argnames="loss_fn")
 
     def adapt(self, support_data, loss_fn) -> Dict:
         """Return task-adapted parameters (reference: training.py:15-27)."""
@@ -68,10 +76,8 @@ class MetaPortfolioOptimizer:
         (reference: training.py:29-46)."""
         tasks = [tuple(tuple(jnp.asarray(a) for a in split)
                        for split in task) for task in tasks]
-        loss, grads = self._meta_grad(self.params, tasks, loss_fn)
-        updates, self.opt_state = self.meta_opt.update(
-            grads, self.opt_state, self.params)
-        self.params = optax.apply_updates(self.params, updates)
+        self.params, self.opt_state, loss = self._meta_step(
+            self.params, self.opt_state, tasks, loss_fn)
         return float(loss)
 
 
@@ -89,10 +95,11 @@ class OnlinePortfolioOptimizer:
         self.ema_params = jax.tree_util.tree_map(jnp.copy, params)
 
         @jax.jit
-        def _step(params, opt_state, ema, q, rets, loss_args):
+        def _step(params, opt_state, ema, q, rets):
             def _loss(p):
-                return sharpe_loss(self.model(p, q), rets) \
-                    if loss_args is None else loss_args(p)
+                # custom losses route through _make_custom_step (a
+                # callable cannot be a traced jit argument)
+                return sharpe_loss(self.model(p, q), rets)
 
             loss, grads = jax.value_and_grad(_loss)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -113,7 +120,7 @@ class OnlinePortfolioOptimizer:
                 self.params, self.opt_state, self.ema_params, q, rets)
         else:
             self.params, self.opt_state, self.ema_params, loss = self._step(
-                self.params, self.opt_state, self.ema_params, q, rets, None)
+                self.params, self.opt_state, self.ema_params, q, rets)
         return float(loss)
 
     def _make_custom_step(self, loss_fn):
@@ -168,11 +175,17 @@ class WalkForwardTrainer:
         """Fresh Adam per window, as in the reference (training.py:93).
 
         The whole window fits in ONE jitted lax.scan compiled once per
-        trainer (windows have identical shapes, so every retrain window
-        reuses the executable — no per-window retrace)."""
+        (lr, loss_fn) — windows have identical shapes, so every retrain
+        window reuses the executable (no per-window retrace), while
+        mutating self.lr / self.loss_fn between windows still takes
+        effect (the cache is keyed on them, not frozen at first call)."""
+        if n_epochs <= 0:
+            return 0.0  # no-op, params untouched (pre-scan behavior)
         q, rets = (jnp.asarray(a) for a in train_data)
-        if self._fit is None:
+        key = (self.lr, self.loss_fn)
+        if self._fit is None or self._fit[0] != key:
             tx = optax.adam(self.lr)
+            loss_fn = self.loss_fn
 
             def fit(params, q, rets, n_epochs):
                 opt_state = tx.init(params)
@@ -181,7 +194,7 @@ class WalkForwardTrainer:
                     params, opt_state = carry
 
                     def _loss(p):
-                        return self.loss_fn(self.model(p, q), rets)
+                        return loss_fn(self.model(p, q), rets)
 
                     loss, grads = jax.value_and_grad(_loss)(params)
                     updates, opt_state = tx.update(updates=grads,
@@ -194,8 +207,8 @@ class WalkForwardTrainer:
                     body, (params, opt_state), None, length=n_epochs)
                 return params, losses[-1]
 
-            self._fit = jax.jit(fit, static_argnums=3)
-        self.params, loss = self._fit(self.params, q, rets, n_epochs)
+            self._fit = (key, jax.jit(fit, static_argnums=3))
+        self.params, loss = self._fit[1](self.params, q, rets, n_epochs)
         return float(loss)
 
     def evaluate(self, test_data) -> float:
@@ -206,6 +219,16 @@ class WalkForwardTrainer:
         return float(sharpe)
 
     def run(self, full_data, n_periods: int) -> List[Dict[str, float]]:
+        T = len(full_data[0])
+        need = ((n_periods - 1) * self.retrain_freq + self.train_window
+                + self.test_window)
+        if T < need:
+            # a truncated last window would evaluate Sharpe on < 2 rows
+            # (ddof=1 std -> NaN) and re-trace the cached fit per shape
+            raise ValueError(
+                f"data has {T} rows but n_periods={n_periods} windows "
+                f"need {need} (train {self.train_window} + test "
+                f"{self.test_window}, retrain every {self.retrain_freq})")
         results = []
         for i in range(0, n_periods * self.retrain_freq, self.retrain_freq):
             train_data, test_data = self.train_test_split(full_data, i)
