@@ -96,7 +96,8 @@ def test_vqvae_hmm_end_to_end(rng):
     assert np.any(np.asarray(g["codebook"]) != 0)
 
     # EM HMM over codes + sampling round-trip
-    em = model.fit_hmm(params, x, n_iters=10)
+    # lengths routed through: EM must not count padding-derived codes
+    em = model.fit_hmm(params, x, lengths=lengths, n_iters=10)
     lls = np.asarray(em.log_likelihoods)
     assert np.isfinite(lls).all()
     out = model.sample(params, em.model, jax.random.PRNGKey(1),

@@ -82,11 +82,15 @@ class VQVAEHMM:
         h = jax.nn.relu(ops.conv1d_same(p["conv2"], h))
         return ops.conv1d_same(p["to_latent"], h)
 
-    def quantize(self, params: Params, z_e: jnp.ndarray) -> VQResult:
-        """z_e:(B,D,T) -> straight-through z_q:(B,D,T) + indices (B,T)."""
+    def quantize(self, params: Params, z_e: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> VQResult:
+        """z_e:(B,D,T) -> straight-through z_q:(B,D,T) + indices (B,T).
+
+        mask: optional (B,T) validity — losses averaged over valid
+        positions only (ragged batches)."""
         z = jnp.transpose(z_e, (0, 2, 1))  # (B,T,D): contraction-friendly
         res = quantize_st(z, params["codebook"], self.cfg.commitment_beta,
-                          use_pallas=self.cfg.use_pallas)
+                          use_pallas=self.cfg.use_pallas, mask=mask)
         return VQResult(jnp.transpose(res.quantized, (0, 2, 1)), res.indices,
                         res.commitment_loss, res.codebook_loss)
 
@@ -98,18 +102,33 @@ class VQVAEHMM:
         return ops.conv1d_same(p["to_out"], h)
 
     def codes(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
-        """Discrete code-index sequences (B, T)."""
-        return self.quantize(params, self.encode(params, x)).indices
+        """Discrete code-index sequences (B, T) — nearest-code lookup
+        only (no straight-through machinery or loss reductions; eager
+        callers like scripts/vq_quality.py would materialize that dead
+        work on device)."""
+        from ..ops.vq import vq_lookup
+
+        z = jnp.transpose(self.encode(params, x), (0, 2, 1))
+        _, idx = vq_lookup(z, params["codebook"])
+        return idx
 
     def compute_loss(self, params: Params, x: jnp.ndarray,
                      lengths: Optional[jnp.ndarray] = None) -> VQVAELoss:
         """Masked MSE + commitment + codebook loss (pseudocode.txt:16-19)."""
         z_e = self.encode(params, x)
-        res = self.quantize(params, z_e)
+        vmask = (length_mask(lengths, x.shape[-1])
+                 if lengths is not None else None)
+        # mask ALL three terms, not just recon: unmasked VQ means would
+        # pull codebook vectors toward padding latents and shift the
+        # recon/VQ weighting with the padding fraction
+        res = self.quantize(params, z_e, mask=vmask)
         x_hat = self.decode(params, res.quantized)
         if lengths is not None:
-            m = length_mask(lengths, x.shape[-1]).astype(x.dtype)[:, None, :]
-            denom = jnp.maximum(m.sum() * x.shape[1], 1.0)
+            m = vmask.astype(x.dtype)[:, None, :]
+            # exact integer count (a low-precision mask sum cannot
+            # represent large counts exactly)
+            denom = jnp.maximum(
+                lengths.sum().astype(jnp.float32) * x.shape[1], 1.0)
             recon = (((x_hat - x) ** 2) * m).sum() / denom
         else:
             recon = jnp.mean((x_hat - x) ** 2)
@@ -131,7 +150,19 @@ class VQVAEHMM:
         """Ancestral generation: hmm.sample -> codebook lookup -> decoder
         (pseudocode.txt:29-32).  The HMM's emission maps states to code
         indices; here states == codes (V == K)."""
+        from .hmm import CategoricalEmission
+
         states, obs = hmm.sample(key, num_steps=seq_len, batch=batch)
-        codes = obs.astype(jnp.int32) if obs.ndim == 2 else states
+        if isinstance(hmm.emission, CategoricalEmission):
+            codes = obs.astype(jnp.int32)  # emitted symbols ARE codes
+        elif hmm.emission is None:
+            codes = states                 # bare chain: states as codes
+        else:
+            # a Gaussian emission's continuous obs would silently
+            # truncate to garbage codebook indices (negatives wrap)
+            raise ValueError(
+                "VQVAEHMM.sample needs a categorical-emission (or "
+                "emission-free) HMM whose symbols index the codebook; "
+                f"got {type(hmm.emission).__name__}")
         z_q = params["codebook"][codes]          # (B,T,D)
         return self.decode(params, jnp.transpose(z_q, (0, 2, 1)))

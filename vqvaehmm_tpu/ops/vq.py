@@ -138,10 +138,16 @@ _pallas_nearest_codes.defvjp(_pnc_fwd, _pnc_bwd)
 
 def quantize_st(z_e: jnp.ndarray, codebook: jnp.ndarray,
                 commitment_beta: float = 0.25,
-                use_pallas: bool = False) -> VQResult:
+                use_pallas: bool = False,
+                mask: jnp.ndarray = None) -> VQResult:
     """Quantize with the straight-through estimator
     (pseudocode.txt:12-19: z_q_st = z_e + sg(z_q - z_e), commit/codebook
-    losses)."""
+    losses).
+
+    mask: optional (..., T) validity over z_e's leading dims — with it
+    the commitment/codebook losses are means over VALID positions only,
+    so padded timesteps cannot pull codebook vectors toward padding
+    latents (they'd otherwise enter the unmasked means)."""
     if use_pallas:
         # the kernel only picks the indices; z_q is re-expanded
         # differentiably (one_hot @ codebook) so the codebook loss can
@@ -153,9 +159,17 @@ def quantize_st(z_e: jnp.ndarray, codebook: jnp.ndarray,
         idx = idx_flat.reshape(z_e.shape[:-1])
     else:
         z_q, idx = vq_lookup(z_e, codebook)
-    commitment = commitment_beta * jnp.mean(
-        (z_e - lax.stop_gradient(z_q)) ** 2)
-    codebook_loss = jnp.mean((lax.stop_gradient(z_e) - z_q) ** 2)
+    if mask is not None:
+        m = mask.astype(z_e.dtype)[..., None]          # (..., T, 1)
+        denom = jnp.maximum(m.sum() * z_e.shape[-1], 1.0)
+        commitment = commitment_beta * (
+            ((z_e - lax.stop_gradient(z_q)) ** 2) * m).sum() / denom
+        codebook_loss = (
+            ((lax.stop_gradient(z_e) - z_q) ** 2) * m).sum() / denom
+    else:
+        commitment = commitment_beta * jnp.mean(
+            (z_e - lax.stop_gradient(z_q)) ** 2)
+        codebook_loss = jnp.mean((lax.stop_gradient(z_e) - z_q) ** 2)
     z_q_st = z_e + lax.stop_gradient(z_q - z_e)
     return VQResult(z_q_st, idx, commitment, codebook_loss)
 
