@@ -436,3 +436,43 @@ def test_pipeline_ensemble_seeds(tiny_config):
     assert len(finals) == 3
     assert meta["final_loss"] == min(finals)
     assert (tmp / "ck_ens" / "vae_hmm_trained.npz").exists()
+
+
+def test_gmm_feature_alignment_and_stat_persistence(rng, tmp_path):
+    """prepare_regime_features keeps one row per input day (interior
+    degenerate windows fill with 0, never drop — dropping misaligned
+    every consumer's returns[-len(probs):] pairing), and the detector's
+    normalization stats travel with the saved system so a reloaded
+    model scores new panels on the TRAINING scale."""
+    from vqvaehmm_tpu.models.gmm import prepare_regime_features
+    from vqvaehmm_tpu.train.gmm_pipeline import (load_improved_system,
+                                                 train_improved_system)
+
+    T, A = 260, 4
+    returns = rng.normal(5e-4, 0.01, size=(T, A)).astype(np.float32)
+    returns[100:130] = 0.0  # interior degenerate stretch (NaN skew/kurt)
+    feats = prepare_regime_features(returns)
+    assert feats.shape[0] == T  # full alignment, no dropped rows
+    assert np.isfinite(feats).all()
+
+    sys1 = train_improved_system(returns, n_regimes=3, hidden_dim=8,
+                                 num_epochs=10, patience=5, log_fn=None)
+    assert sys1.detector.feature_mu is not None
+    path = str(tmp_path / "sys.npz")
+    sys1.save(path)
+    sys2 = load_improved_system(path)
+
+    # a DIFFERENT panel scores identically through both (same stats)
+    new_returns = rng.normal(0, 0.02, size=(120, A)).astype(np.float32)
+    new_feats = prepare_regime_features(new_returns)
+    np.testing.assert_allclose(sys1.detector.predict_proba(new_feats),
+                               sys2.detector.predict_proba(new_feats),
+                               rtol=0, atol=0)
+
+    # unfitted detectors fail loudly
+    import pytest
+
+    from vqvaehmm_tpu.models.gmm import SimpleRegimeDetector
+
+    with pytest.raises(ValueError, match="not fitted"):
+        SimpleRegimeDetector().predict_proba(new_feats)

@@ -47,7 +47,10 @@ def _log_prob_components(params: GMMParams, x: jnp.ndarray) -> jnp.ndarray:
 
 
 class GaussianMixture:
-    """sklearn-like API: fit / predict / predict_proba / score."""
+    """sklearn-like API: fit / predict / predict_proba / score /
+    score_samples.  log_likelihood_ is the TOTAL training
+    log-likelihood of the fitted params (sklearn's lower_bound_ is the
+    per-sample mean — use score() for that)."""
 
     def __init__(self, n_components: int = 3, n_init: int = 10,
                  n_iter: int = 100, reg_covar: float = 1e-6,
@@ -86,24 +89,48 @@ class GaussianMixture:
                 / nk[:, None, None] + self.reg_covar * eye
             return GMMParams(weights, means, covs), ll
 
-        params, lls = jax.lax.scan(step, params, None, length=self.n_iter)
-        return params, lls[-1]
+        params, _ = jax.lax.scan(step, params, None, length=self.n_iter)
+        # ll of the FINAL params (the scan's last ll is evaluated BEFORE
+        # the last M-step — stale by one iteration, and restart ranking
+        # would compare pre-update values)
+        final_ll = plogsumexp(_log_prob_components(params, x),
+                              axis=-1).sum()
+        return params, final_ll
 
     def fit(self, x) -> "GaussianMixture":
         x = jnp.asarray(np.asarray(x, np.float32))
         keys = jax.random.split(jax.random.PRNGKey(self.seed), self.n_init)
         inits = jax.vmap(lambda k: self._init_params(k, x))(keys)
-        # all restarts in parallel (reference: sklearn n_init=10 sequential)
-        run = jax.jit(jax.vmap(lambda p: self._em(p, x)))
-        finals, lls = run(inits)
+        # all restarts in parallel (reference: sklearn n_init=10
+        # sequential).  x is a jit ARGUMENT, not a closure constant: a
+        # closure would bake the data into the HLO (new data -> new
+        # program -> full remote recompile per refit, the retrace trap
+        # the project notes call out) — the executable is cached on the
+        # class, keyed by shape via jit's own cache.
+        if not hasattr(GaussianMixture, "_run_cache"):
+            GaussianMixture._run_cache = {}
+        key = (self.K, self.n_iter, self.reg_covar)
+        if key not in GaussianMixture._run_cache:
+            GaussianMixture._run_cache[key] = jax.jit(
+                jax.vmap(self._em, in_axes=(0, None)))
+        finals, lls = GaussianMixture._run_cache[key](inits, x)
+        # a diverged restart's NaN ll must not win the argmax (NumPy/JAX
+        # argmax returns the NaN index)
+        lls = jnp.where(jnp.isnan(lls), -jnp.inf, lls)
         best = int(jnp.argmax(lls))
         self.params = jax.tree_util.tree_map(lambda a: a[best], finals)
         self.log_likelihood_ = float(lls[best])
         return self
 
+    def _require_fitted(self):
+        if self.params is None:
+            raise ValueError(
+                "GaussianMixture is not fitted; call fit(X) first")
+
     # -- inference -----------------------------------------------------
 
     def predict_proba(self, x) -> np.ndarray:
+        self._require_fitted()
         lp = _log_prob_components(self.params,
                                   jnp.asarray(np.asarray(x, np.float32)))
         return np.asarray(psoftmax(lp, axis=-1))
@@ -112,38 +139,77 @@ class GaussianMixture:
         return self.predict_proba(x).argmax(-1)
 
     def score_samples(self, x) -> np.ndarray:
+        self._require_fitted()
         lp = _log_prob_components(self.params,
                                   jnp.asarray(np.asarray(x, np.float32)))
         return np.asarray(plogsumexp(lp, axis=-1))
 
+    def score(self, x) -> float:
+        """Mean per-sample log-likelihood (sklearn semantics)."""
+        return float(self.score_samples(x).mean())
+
 
 class SimpleRegimeDetector:
     """GMM regime detector over engineered features
-    (reference: train_simple.py:10-28)."""
+    (reference: train_simple.py:10-28).
+
+    The detector OWNS feature normalization: fit() learns mu/sd from
+    its training features and every predict applies the SAME stats, so
+    inference-time features are on the training scale (normalizing each
+    panel independently silently shifted the posteriors; the stats are
+    persisted by save_improved_system)."""
 
     def __init__(self, n_regimes: int = 3, n_init: int = 10, seed: int = 0):
         self.n_regimes = n_regimes
         self.gmm = GaussianMixture(n_components=n_regimes, n_init=n_init,
                                    seed=seed)
         self.fitted = False
+        self.feature_mu: Optional[np.ndarray] = None
+        self.feature_sd: Optional[np.ndarray] = None
+
+    def _norm(self, features) -> np.ndarray:
+        f = np.asarray(features, np.float32)
+        if self.feature_mu is None:
+            return f
+        return (f - self.feature_mu) / self.feature_sd
 
     def fit(self, features) -> "SimpleRegimeDetector":
-        self.gmm.fit(features)
+        f = np.asarray(features, np.float32)
+        self.feature_mu = f.mean(0)
+        self.feature_sd = f.std(0) + 1e-8
+        self.gmm.fit(self._norm(f))
         self.fitted = True
         return self
 
     def predict_regime(self, features) -> np.ndarray:
-        return self.gmm.predict(features)
+        self._require_fitted()
+        return self.gmm.predict(self._norm(features))
 
     def predict_proba(self, features) -> np.ndarray:
-        return self.gmm.predict_proba(features)
+        self._require_fitted()
+        return self.gmm.predict_proba(self._norm(features))
+
+    def _require_fitted(self):
+        if not self.fitted:
+            raise ValueError(
+                "SimpleRegimeDetector is not fitted; call fit() first")
 
 
 def prepare_regime_features(returns: np.ndarray,
                             lookback: int = 20) -> np.ndarray:
-    """Engineered feature matrix from a (T, A) return panel
-    (reference: train_simple.py:63-100's feature recipe: level, dispersion,
-    momentum, downside stats across rolling windows)."""
+    """Engineered RAW feature matrix from a (T, A) return panel, one row
+    per input day (reference: train_simple.py:63-100's recipe: level,
+    dispersion, momentum, downside stats across rolling windows).
+
+    Alignment contract: len(output) == len(returns) — warm-up and
+    degenerate-window NaNs become 0 (the reference's np.nan_to_num,
+    :98), NEVER dropped; dropping interior rows silently misaligned
+    every consumer's `returns[-len(probs):]` tail pairing.
+    Normalization is NOT done here: SimpleRegimeDetector learns mu/sd
+    at fit() and reapplies them at predict, so train- and
+    inference-time features share one scale (per-panel z-scoring both
+    leaked full-sample statistics into walk-forwards and shifted the
+    scale between panels)."""
     import pandas as pd
 
     r = pd.DataFrame(np.asarray(returns))
@@ -154,7 +220,9 @@ def prepare_regime_features(returns: np.ndarray,
         "skew": mean_ret.rolling(lookback).skew(),
         "kurt": mean_ret.rolling(lookback).kurt(),
         "mom5": mean_ret.rolling(5).sum(),
-        "mom20": mean_ret.rolling(lookback).sum(),
+        # fixed 20-day momentum regardless of lookback (the name said
+        # 20 but the window followed lookback)
+        "mom20": mean_ret.rolling(20).sum(),
         "downside": mean_ret.clip(upper=0).rolling(lookback).std(),
         "dispersion": r.std(axis=1),
         "corr": r.rolling(lookback).corr().groupby(level=0).mean()
@@ -164,7 +232,5 @@ def prepare_regime_features(returns: np.ndarray,
         "abs_ret": mean_ret.abs().rolling(lookback).mean(),
         "range": (mean_ret.rolling(5).max() - mean_ret.rolling(5).min()),
     })
-    feats = feats.dropna()
-    vals = feats.values.astype(np.float32)
-    mu, sd = vals.mean(0), vals.std(0) + 1e-8
-    return (vals - mu) / sd
+    return np.nan_to_num(feats.values.astype(np.float32),
+                         nan=0.0, posinf=0.0, neginf=0.0)

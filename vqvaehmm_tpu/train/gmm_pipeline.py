@@ -53,13 +53,21 @@ def save_improved_system(system: ImprovedSystem, path: str) -> None:
         "head": {"K": cfg.K, "n_assets": cfg.n_assets,
                  "hidden_dim": cfg.hidden_dim},
     }
+    det = system.detector
+    extra = {}
+    if det.feature_mu is not None:
+        # the feature-normalization stats ARE part of the model: without
+        # them a reloaded detector would z-score inference panels with
+        # their own statistics (different scale than training)
+        extra["feature_mu"] = np.asarray(det.feature_mu)
+        extra["feature_sd"] = np.asarray(det.feature_sd)
     np.savez(path,
              meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
              gmm_weights=np.asarray(gmm.params.weights),
              gmm_means=np.asarray(gmm.params.means),
              gmm_covs=np.asarray(gmm.params.covs),
              history=np.asarray(system.history, np.float64),
-             **arrays)
+             **extra, **arrays)
 
 
 def load_improved_system(path: str) -> ImprovedSystem:
@@ -77,6 +85,10 @@ def load_improved_system(path: str) -> ImprovedSystem:
         history = z["history"].tolist()
         n_head = sum(1 for k in z.files if k.startswith("head_"))
         leaves = [jnp.asarray(z[f"head_{i}"]) for i in range(n_head)]
+        feature_mu = (np.asarray(z["feature_mu"])
+                      if "feature_mu" in z.files else None)
+        feature_sd = (np.asarray(z["feature_sd"])
+                      if "feature_sd" in z.files else None)
 
     g = meta["gmm"]
     detector = SimpleRegimeDetector(n_regimes=meta["n_regimes"],
@@ -85,6 +97,8 @@ def load_improved_system(path: str) -> ImprovedSystem:
     detector.gmm.reg_covar = g["reg_covar"]
     detector.gmm.params = gmm_params
     detector.gmm.log_likelihood_ = g["log_likelihood"]
+    detector.feature_mu = feature_mu
+    detector.feature_sd = feature_sd
     detector.fitted = True
 
     h = meta["head"]
