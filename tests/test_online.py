@@ -408,3 +408,59 @@ def test_export_race_raises_instead_of_stale_snapshot(setup):
         mgr.export_session("s")
     # the replacement session is untouched and still live
     assert mgr._sessions["s"] is f2
+
+
+def test_update_losing_to_export_raises_not_ghost(setup):
+    """An update that loses its session to a concurrent EXPORT must
+    raise SessionConflict instead of silently resurrecting the id as a
+    fresh empty filter (a divergent ghost stream this worker would keep
+    alive while the real state lives on another worker)."""
+    import threading
+
+    from vqvaehmm_tpu.models.online import SessionConflict, StreamManager
+
+    model, params, x, u = setup
+    mgr = StreamManager(model, params)
+    mgr.update("s", x[:, 0], u[:, 0])
+
+    class ExportsWhileWaiting:
+        """Session lock whose acquisition exports the session first."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.armed = True
+
+        def __enter__(self):
+            if self.armed:
+                self.armed = False
+                mgr.export_session("s")
+            return self._inner.__enter__()
+
+        def __exit__(self, *exc):
+            return self._inner.__exit__(*exc)
+
+    mgr._session_locks["s"] = ExportsWhileWaiting(
+        mgr._session_locks["s"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(SessionConflict, match="exported or finished"):
+        mgr.update("s", x[:, 1], u[:, 1])
+    assert "s" not in mgr._sessions  # no ghost resurrected
+
+
+def test_import_session_replacement_semantics(setup):
+    """import_session over a LIVE id reuses its per-session lock (the
+    replacement serializes behind in-flight updates) and does not count
+    against max_sessions."""
+    from vqvaehmm_tpu.models.online import StreamManager
+
+    model, params, x, u = setup
+    mgr = StreamManager(model, params, max_sessions=1)
+    mgr.update("s", x[:, 0], u[:, 0])
+    lock_before = mgr._session_locks["s"]
+    blob = mgr._sessions["s"].state_dict()
+
+    # replacement at the max_sessions cap must succeed (table not grown)
+    mgr.import_session("s", blob)
+    assert mgr._session_locks["s"] is lock_before

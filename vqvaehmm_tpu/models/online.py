@@ -206,6 +206,14 @@ class OnlineFilter:
         return s, np.asarray(q)
 
 
+class SessionConflict(ValueError):
+    """Transient per-session race: the session was replaced or removed
+    (export, finish, carried-state replacement) while this call waited
+    on its lock.  Subclasses ValueError so HTTP layers keep mapping it
+    to a client error, but callers can catch it specifically to retry
+    or re-route (a plain 'no open session' ValueError is permanent)."""
+
+
 class StreamManager:
     """Named OnlineFilter sessions for the serving layer (POST /stream).
 
@@ -254,24 +262,32 @@ class StreamManager:
                     # we waited for its lock.  Returning f.state_dict() here
                     # would hand out a STALE snapshot while a newer filter
                     # stays live under the same id — two divergent streams.
-                    raise ValueError(
-                        f"session {session!r} was replaced or closed during "
-                        "export; retry against the current session")
+                    raise SessionConflict(
+                        f"session {session!r} was replaced or closed "
+                        "during export; if it was replaced, retry — if "
+                        "it was finished, there is nothing to export")
                 self._sessions.pop(session, None)
                 self._touched.pop(session, None)
                 self._session_locks.pop(session, None)
             return f.state_dict()
 
     def import_session(self, session: str, state: dict) -> None:
-        """Adopt a session exported elsewhere; continues bit-identically."""
+        """Adopt a session exported elsewhere; continues bit-identically.
+
+        Replacing a live session reuses its per-session lock (like the
+        carried-state branch of update) so the replacement serializes
+        behind any in-flight update instead of computing concurrently,
+        and a replacement does not count against max_sessions."""
         with self._lock:
-            if len(self._sessions) >= self.max_sessions:
+            if session not in self._sessions \
+                    and len(self._sessions) >= self.max_sessions:
                 raise ValueError("too many open stream sessions")
             f = OnlineFilter(self.model, self.params,
                              step_fn=self._step_fn)
             f.load_state(state)
             self._sessions[session] = f
-            self._session_locks[session] = self._threading.Lock()
+            self._session_locks.setdefault(session,
+                                           self._threading.Lock())
             import time as _time
 
             self._touched[session] = _time.monotonic()
@@ -341,9 +357,23 @@ class StreamManager:
             with slock:
                 with self._lock:
                     if self._sessions.get(session) is not f:
-                        # exported/expired between lookup and lock
-                        # acquisition — retry against the current tables
-                        # so no frame lands on an orphaned filter
+                        if (not new_session and state is None
+                                and session not in self._sessions):
+                            # the session we were updating was EXPORTED
+                            # or FINISHED while we waited: retrying would
+                            # resurrect the id as a fresh empty filter —
+                            # a divergent ghost stream this worker keeps
+                            # alive while the real state lives elsewhere.
+                            # The frame must be re-sent to the session's
+                            # new home (or with carried state).
+                            raise SessionConflict(
+                                f"session {session!r} was exported or "
+                                "finished while this update waited; "
+                                "re-send the frame to the session's new "
+                                "home (or attach carried state)")
+                        # replaced (carried-state/import) — retry against
+                        # the current tables so no frame lands on an
+                        # orphaned filter
                         continue
                 return self._update_locked(f, session, x_t, u_t, finish,
                                            carry_state, new_session,
