@@ -149,3 +149,27 @@ def test_calibrate_regime_thresholds_per_regime(rng):
         cal = ThresholdCalibrator(min_precision=0.6, min_recall=0.5)
         want = cal.calibrate(preds, (true == k).astype(int)).threshold
         assert th[k] == want
+
+
+def test_evaluation_loop_accepts_generators(separable):
+    """A one-shot generator of batches must work for every iteration
+    (the reference consumes a re-iterable DataLoader; the port
+    materializes the iterable once)."""
+    preds, targets = separable
+    from vqvaehmm_tpu.calibration import (EmpiricalStoppingCriteria,
+                                          EvaluationLoop,
+                                          ThresholdCalibrator)
+
+    loop = EvaluationLoop(ThresholdCalibrator(min_precision=0.1,
+                                              min_recall=0.1),
+                          EmpiricalStoppingCriteria(patience=2))
+    gen = ((preds, targets) for _ in range(3))  # one-shot
+    out = loop.run(lambda x: x, gen, max_iter=5)
+    assert out["iterations"] >= 2  # iteration 2 did not see empty data
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        EvaluationLoop(ThresholdCalibrator(),
+                       EmpiricalStoppingCriteria()).run(
+            lambda x: x, iter(()), max_iter=3)

@@ -8,6 +8,22 @@ evaluates all thresholds at once instead of the reference's Python loop.
 Names follow the canonical library API (the reference's
 examples/calibration_example.py drifted from it — SURVEY.md section 4.1;
 we match calibration.py, the real surface).
+
+Reference-faithful quirks kept deliberately (parity is this module's
+contract; each matches the reference line for line):
+* ThresholdCalibrator's constraint-miss fallback scans the curve
+  ACCUMULATED across every calibrate() call on the instance
+  (calibration.py:43), so reuse across datasets can return a result
+  from earlier data — use a fresh calibrator per dataset to avoid it.
+* SignalNoiseController.find_threshold truncates the quantile index
+  with int() (calibration.py:86): float error can land one index low
+  for ratios like 0.8/0.9 (int(10*0.0999...) == 0).
+* evaluate_quality scores NON-binary labels as wrong on both branches
+  (calibration.py:97-105), unlike _eval_thresholds which excludes
+  them from fp — the two metrics disagree on e.g. -1 labels.
+* EmpiricalStoppingCriteria silently reads 0.0 for a missing metric
+  key (calibration.py:130), and EvaluationLoop accumulates results/
+  stopping state across run() calls.
 """
 
 from __future__ import annotations
@@ -205,7 +221,14 @@ class EvaluationLoop:
         self.results: List[CalibrationResult] = []
 
     def run(self, predict_fn: Callable, val_batches, max_iter: int = 100):
-        """predict_fn: x -> scores; val_batches: iterable of (x, y)."""
+        """predict_fn: x -> scores; val_batches: iterable of (x, y).
+
+        val_batches is materialized once: the reference consumes a
+        re-iterable DataLoader, so a one-shot generator here would be
+        silently exhausted after iteration 1 and crash iteration 2."""
+        val_batches = list(val_batches)
+        if not val_batches:
+            raise ValueError("val_batches is empty")
         for _ in range(max_iter):
             preds, targets = [], []
             for x, y in val_batches:
