@@ -370,3 +370,22 @@ def test_validation_catches_renamed_keys(tmp_path):
     renamed["dec"] = renamed.pop(list(params)[-1])  # same leaves, new key
     with pytest.raises(ValueError, match="missing"):
         validate_params_for(model, renamed)
+
+
+def test_httpd_client_errors_are_400(server):
+    """Malformed payloads are client errors on the stdlib server exactly
+    as on the ASGI surface: non-dict bodies, un-convertible x, bad
+    Content-Length — none may surface as 500."""
+    def post_raw(body, headers=None):
+        req = urllib.request.Request(
+            server + "/infer", data=body,
+            headers={"Content-Type": "application/json", **(headers or {})})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post_raw(b"5") == 400                      # non-dict body
+    assert post_raw(json.dumps({"x": {"a": 1}}).encode()) == 400  # TypeError
+    assert post_raw(b"{}", {"Content-Length": "-1"}) == 400

@@ -280,23 +280,29 @@ class InferenceModel:
                                     carry_state=bool(carry_state))
 
     def _get_head(self):
-        if not hasattr(self, "_head"):
+        if not hasattr(self, "_head_state"):
             import jax
 
             from ..models.portfolio import (HeadConfig,
                                             RegimePortfolioOptimizer)
 
-            self._head = RegimePortfolioOptimizer(HeadConfig(
+            head = RegimePortfolioOptimizer(HeadConfig(
                 K=self.cfg.model.K, n_assets=self.cfg.portfolio.n_assets,
                 hidden_dim=self.cfg.portfolio.hidden_dim))
             head_ckpt = self.cfg.head_checkpoint_path
             if head_ckpt and os.path.exists(str(head_ckpt) + ".npz"):
                 from ..data.checkpoint import load_params_npz
 
-                self._head_params = load_params_npz(str(head_ckpt) + ".npz")
+                head_params = load_params_npz(str(head_ckpt) + ".npz")
             else:
-                self._head_params = self._head.init(jax.random.PRNGKey(0))
-        return self._head, self._head_params
+                head_params = head.init(jax.random.PRNGKey(0))
+            # SINGLE atomic assignment: the threaded servers can race
+            # two first /predict calls, and a two-field lazy init let a
+            # reader observe _head without _head_params (the same hazard
+            # the eager _streams comment documents); the worst case now
+            # is both threads building an identical tuple, last wins
+            self._head_state = (head, head_params)
+        return self._head_state
 
 
 @lru_cache(maxsize=1)

@@ -15,11 +15,23 @@ from typing import Optional
 
 from .app import get_model
 
+# bound on request bodies: a hostile/buggy Content-Length must not be
+# able to park a handler thread on an unbounded read
+_MAX_BODY = 64 * 1024 * 1024
+
 
 def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
-            body = json.dumps(payload).encode()
+            try:
+                # allow_nan=False: emitting bare NaN/Infinity tokens is
+                # not valid JSON and strict clients reject the 200 body
+                # (the FastAPI surface errors on the same values)
+                body = json.dumps(payload, allow_nan=False).encode()
+            except ValueError:
+                code = 500
+                body = json.dumps(
+                    {"detail": "non-finite values in response"}).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -37,8 +49,21 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
                 self._send(404, {"detail": "not found"})
                 return
             try:
+                if "chunked" in (self.headers.get("Transfer-Encoding")
+                                 or "").lower():
+                    self._send(411, {"detail": "Content-Length required"})
+                    return
                 length = int(self.headers.get("Content-Length", 0))
+                if not 0 <= length <= _MAX_BODY:
+                    # a negative or absurd length would otherwise block
+                    # this handler thread on an unbounded/stalled read
+                    self._send(400, {"detail": "bad Content-Length"})
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    self._send(400, {"detail": "body must be a JSON "
+                                               "object"})
+                    return
                 if self.path == "/stream":
                     self._send(200, model.stream(
                         req.get("session"), x_t=req.get("x_t"),
@@ -56,7 +81,10 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
                         mode=req.get("mode", "mean_field")))
                 else:
                     self._send(200, model.predict(req["x"]))
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
+                # TypeError covers malformed payloads (e.g. {"x": {...}})
+                # — a client error, mapped to 400 exactly as serve/asgi
+                # does; leaving it in the broad handler returned 500
                 self._send(400, {"detail": str(e)})
             except Exception as e:  # noqa: BLE001 (parity: reference 500s)
                 self._send(500, {"detail": str(e)})
@@ -73,24 +101,36 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
           warmup_lengths=(200,)) -> Optional[ThreadingHTTPServer]:
     """batch=True coalesces concurrent /infer requests into single device
     calls (serve/batching.py) — the TPU-native serving shape under load.
-    warmup_lengths: sequence lengths whose batch-ladder executables are
-    compiled BEFORE serving starts (no live request pays a compile); pass
-    your deployment's expected lengths, or () to skip."""
+    warmup_lengths: sequence lengths whose executables are compiled
+    BEFORE serving starts (no live request pays a compile); pass your
+    deployment's expected lengths, or () to skip.  If VQHMM_BATCH
+    already wrapped the model, its env-tuned max_batch/max_wait stand,
+    but warmup_lengths given here are still warmed.
+
+    background=True returns the server; any BatchingModel it serves is
+    reachable as `server.vqhmm_model` so callers can close() it (its
+    dispatcher thread and pool would otherwise outlive shutdown())."""
     model = get_model(config_path)
     from .batching import BatchingModel
 
     if batch and not isinstance(model, BatchingModel):
-        # get_model may already have wrapped it (VQHMM_BATCH env)
         model = BatchingModel(model, max_batch=max_batch,
                               max_wait_ms=max_wait_ms)
-        if warmup_lengths:
-            model.warmup(warmup_lengths)
+    if warmup_lengths and isinstance(model, BatchingModel):
+        # also covers the VQHMM_BATCH-wrapped case: the env default only
+        # warms its own VQHMM_WARMUP_LENGTHS
+        model.warmup(warmup_lengths)
     httpd = ThreadingHTTPServer((host, port), _make_handler(model))
+    httpd.vqhmm_model = model
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
         return httpd
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        if isinstance(model, BatchingModel):
+            model.close()
     return None
 
 
@@ -106,7 +146,10 @@ if __name__ == "__main__":
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     a = p.parse_args()
-    print(f"serving on {a.host}:{a.port}"
-          + (f" (micro-batching <= {a.max_batch})" if a.batch else ""))
+    # the banner prints from serve() only after the model is loaded and
+    # the port is bound — announcing "serving" before either is a lie
+    print(f"starting on {a.host}:{a.port}"
+          + (f" (micro-batching <= {a.max_batch})" if a.batch else "")
+          + " ...", flush=True)
     serve(a.config, a.host, a.port, batch=a.batch, max_batch=a.max_batch,
           max_wait_ms=a.max_wait_ms)
