@@ -82,6 +82,29 @@ def test_bayesian_mc_sampling(q3):
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
 
 
+def test_transformer_accepts_last_step_input(q3):
+    # (B,K) arrival shape = length-1 sequence (reference unsqueezes:
+    # portfolio_optimizer.py:23-35 feeds whatever the caller has).
+    m = TransformerPortfolioOptimizer(CFG)
+    p = m.init(jax.random.PRNGKey(4))
+    w_2d = m(p, q3[:, :, -1])
+    _check_weights(w_2d)
+    w_len1 = m(p, q3[:, :, -1:])
+    np.testing.assert_allclose(np.asarray(w_2d), np.asarray(w_len1),
+                               atol=1e-6)
+
+
+def test_bayesian_uncertainty_requires_key_and_samples(q3):
+    m = BayesianPortfolioOptimizer(CFG, n_samples=16)
+    p = m.init(jax.random.PRNGKey(2))
+    with pytest.raises(ValueError, match="requires key="):
+        m(p, q3, return_uncertainty=True)
+    m1 = BayesianPortfolioOptimizer(CFG, n_samples=1)
+    p1 = m1.init(jax.random.PRNGKey(2))
+    with pytest.raises(ValueError, match="n_samples >= 2"):
+        m1(p1, q3, key=jax.random.PRNGKey(3), return_uncertainty=True)
+
+
 def test_attention_heads_divisibility():
     with pytest.raises(ValueError):
         AttentionPortfolioOptimizer(CFG, n_heads=4).init(

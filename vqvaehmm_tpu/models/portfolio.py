@@ -33,7 +33,12 @@ Params = Dict
 
 
 def _last_step(q: jnp.ndarray) -> jnp.ndarray:
-    """(B,K,T) -> (B,K): take the final timestep (reference idiom)."""
+    """(B,K,T) -> (B,K): take the final timestep (reference idiom).
+
+    CONTRACT: 3-D input must be (B, K, T) — time LAST, the layout every
+    model-side producer emits.  A (B, T, K) input is NOT sniffed here
+    (the pointwise heads mirror the reference exactly); with T == K it
+    would be indistinguishable anyway."""
     return q[:, :, -1] if q.ndim == 3 else q
 
 
@@ -117,6 +122,8 @@ class TransformerPortfolioOptimizer:
         }
 
     def __call__(self, params: Params, regime_seq: jnp.ndarray):
+        if regime_seq.ndim == 2:  # (B,K) arrival shape: length-1 sequence
+            regime_seq = regime_seq[:, None, :]
         seq = _as_seq(regime_seq, self.cfg.K)
         out = transformer_encoder(params["encoder"], seq, self.n_heads)
         return psoftmax(ops.linear(params["head"], out[:, -1]), axis=-1)
@@ -140,6 +147,16 @@ class BayesianPortfolioOptimizer:
     def __call__(self, params: Params, regime_probs: jnp.ndarray,
                  key: Optional[jax.Array] = None,
                  return_uncertainty: bool = False):
+        if return_uncertainty and key is None:
+            # the deterministic path has no MC spread; silently
+            # returning bare weights made `w, unc = ...` unpack garbage
+            raise ValueError(
+                "return_uncertainty=True requires key= (MC sampling); "
+                "the deterministic path has no uncertainty estimate")
+        if return_uncertainty and self.n_samples < 2:
+            raise ValueError(
+                "uncertainty needs n_samples >= 2 (ddof=1 std over one "
+                "sample is NaN)")
         q = _last_step(regime_probs)
         mu = jax.nn.relu(ops.linear(params["fc1_mu"], q))
         logvar = ops.linear(params["fc1_logvar"], q)
