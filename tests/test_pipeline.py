@@ -62,6 +62,31 @@ def test_eval_cli(tiny_config):
     assert "Mean Recon MSE" in open(out).read()
 
 
+def test_masked_recon_mse_caches_one_executable():
+    """Per-batch eval must not rebuild the jit: one cached executable on
+    the model, with params as a TRACED argument (new params, same
+    trace)."""
+    import jax
+
+    from vqvaehmm_tpu.core.config import ModelConfig
+    from vqvaehmm_tpu.eval.evaluate import masked_recon_mse
+    from vqvaehmm_tpu.models.vae_hmm import VAEHMM
+
+    model = VAEHMM(ModelConfig(input_dim=5, hidden_dim=8, K=3,
+                               hidden_dim2=4, u_dim=4, trans_hidden=8))
+    p1 = model.init(jax.random.PRNGKey(0))
+    p2 = model.init(jax.random.PRNGKey(1))
+    xs, _, _ = synthetic_sequences(1, 40, 5, 4, 3, seed=2)
+    x = xs[:1, :, :32]
+    lengths = np.array([30], np.int32)
+
+    m1 = masked_recon_mse(model, p1, x, lengths)
+    fn = model._eval_mse_jit
+    m2 = masked_recon_mse(model, p2, x, lengths)
+    assert model._eval_mse_jit is fn
+    assert np.isfinite(m1) and np.isfinite(m2) and m1 != m2
+
+
 def test_checkpoint_resume(tiny_config):
     """Training resumes exactly: params + optimizer state + step."""
     cfg_path, tmp = tiny_config

@@ -18,25 +18,34 @@ import numpy as np
 
 def masked_recon_mse(model, params, x, lengths) -> float:
     """Masked reconstruction MSE (reference formula,
-    evaluation/evaluate.py:89-99)."""
+    evaluation/evaluate.py:89-99).
+
+    The jitted executable is cached on the model (params are a traced
+    argument), so per-batch eval loops pay one trace total instead of one
+    per call — a fresh jit closure per batch costs a full retrace
+    (~10 s each through a remote-compile relay)."""
     import jax
     import jax.numpy as jnp
 
-    from ..core.masking import length_mask
-    from ..ops.precise import psoftmax
+    _mse = getattr(model, "_eval_mse_jit", None)
+    if _mse is None:
+        from ..core.masking import length_mask
+        from ..ops.precise import psoftmax
 
-    @jax.jit
-    def _mse(x, lengths):
-        valid_to = jnp.max(lengths)
-        logits = model.encode(params, x, valid_to=valid_to)
-        q = psoftmax(logits, axis=1)
-        mu, _ = model.decode(params, q, valid_to=valid_to)
-        mask = length_mask(lengths, x.shape[2]).astype(x.dtype)
-        recon = ((mu - x) ** 2) * mask[:, None, :]
-        denom = jnp.maximum(mask.sum() * x.shape[1], 1.0)
-        return recon.sum() / denom
+        @jax.jit
+        def _mse(params, x, lengths):
+            valid_to = jnp.max(lengths)
+            logits = model.encode(params, x, valid_to=valid_to)
+            q = psoftmax(logits, axis=1)
+            mu, _ = model.decode(params, q, valid_to=valid_to)
+            mask = length_mask(lengths, x.shape[2]).astype(x.dtype)
+            recon = ((mu - x) ** 2) * mask[:, None, :]
+            denom = jnp.maximum(mask.sum() * x.shape[1], 1.0)
+            return recon.sum() / denom
 
-    return float(_mse(jnp.asarray(x), jnp.asarray(lengths)))
+        model._eval_mse_jit = _mse
+
+    return float(_mse(params, jnp.asarray(x), jnp.asarray(lengths)))
 
 
 def evaluate(config: str, checkpoint: str, data=None,
