@@ -156,6 +156,29 @@ def test_prefetch_epochs_yields_all():
         assert lens.shape == (4, 16)
 
 
+def test_prefetch_early_stop_releases_producer():
+    """Closing the consumer early must not leave the producer thread
+    blocked forever on a full queue (it holds device arrays)."""
+    import threading
+    import time
+
+    from vqvaehmm_tpu.data.prefetch import prefetch_epochs
+
+    before = {t.ident for t in threading.enumerate()}
+    gen = prefetch_epochs(_dataset(), batch_size=16, num_epochs=50,
+                          buffer_size=1)
+    next(gen)
+    gen.close()  # consumer stops after 1 of 50 epochs
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"
+
+
 def test_mesh_epoch_scan_matches_single_device():
     """The epoch-fused scan under the 8-device mesh must match the
     unsharded epoch scan (this is the path train_model(mesh=...) uses)."""

@@ -27,6 +27,18 @@ def prefetch_epochs(dataset: RandomChunkDataset, batch_size: int,
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     stop = threading.Event()
 
+    def put_unless_stopped(item) -> bool:
+        # a plain q.put would block forever on a full queue after the
+        # consumer stopped early (stop is only observable between puts),
+        # leaking this thread and the device arrays it holds
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for _ in range(num_epochs):
@@ -34,9 +46,10 @@ def prefetch_epochs(dataset: RandomChunkDataset, batch_size: int,
                     return
                 arrays = epoch_arrays(dataset, batch_size, num_batches)
                 arrays = tuple(jax.device_put(a, device) for a in arrays)
-                q.put(arrays)
+                if not put_unless_stopped(arrays):
+                    return
         finally:
-            q.put(None)
+            put_unless_stopped(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
