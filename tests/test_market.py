@@ -50,6 +50,15 @@ def test_create_sequences_windows(frames):
     np.testing.assert_array_equal(xs[1][:30], xs[0][10:])
 
 
+def test_fixture_errors_never_fall_back_to_synthetic(tmp_path):
+    """An explicit fixture_path that fails must raise, not silently
+    substitute synthetic data (which would invalidate any quality number
+    attributed to the fixture)."""
+    with pytest.raises(Exception):
+        load_portfolio_data(fixture_path=str(tmp_path / "missing.csv"),
+                            log_fn=None)
+
+
 def test_load_portfolio_data_synthetic_fallback():
     """Without network, the pipeline falls back to synthetic data with the
     documented shapes instead of crashing (the reference hard-requires

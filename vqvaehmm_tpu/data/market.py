@@ -142,7 +142,11 @@ def load_portfolio_data(tickers: Optional[List[str]] = None,
         return {"x_sequences": x_seq, "u_sequences": u_seq,
                 "returns": returns, "prices": aligned, "tickers": tickers}
     except Exception as e:
-        if not fallback_synthetic:
+        if fixture_path or not fallback_synthetic:
+            # a fixture is an explicit local input: a typo'd path or a
+            # malformed CSV is a caller bug, and silently substituting
+            # synthetic data would quietly invalidate quality numbers
+            # measured "on the fixture"
             raise
         if log_fn:
             log_fn(f"market data unavailable ({e}); using synthetic data")
