@@ -283,13 +283,13 @@ class DeviceEpochSampler:
                 if mesh is None:
                     loss, grads = per_shard(st.params, si, stt, ln, bb)
                 else:
-                    from jax.experimental.shard_map import shard_map
+                    from jax import shard_map
 
                     loss, grads = shard_map(
                         per_shard, mesh=mesh,
                         in_specs=(P(), P("data"), P("data"), P("data"),
                                   P()),
-                        out_specs=(P(), P()), check_rep=False,
+                        out_specs=(P(), P()), check_vma=False,
                     )(st.params, si, stt, ln, bb)
                 return _apply_grads(tx, st, grads), loss
 

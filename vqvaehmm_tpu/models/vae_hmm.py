@@ -354,7 +354,7 @@ class VAEHMM:
         dispatch.  The forward has no cross-sequence math, so no
         collectives are needed; B must divide the data axis."""
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             vt = None if valid_to is None else jnp.asarray(valid_to)
@@ -374,7 +374,7 @@ class VAEHMM:
                 args = (params, x, vt)
             return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                              out_specs=(P("data"),) * 3,
-                             check_rep=False)(*args)
+                             check_vma=False)(*args)
         forced = use_pallas is True
         if use_pallas is None:
             # compute_dtype gate: see posterior() — the kernel is f32.

@@ -68,14 +68,14 @@ def make_ensemble_epoch_step(model: VAEHMM, tx, donate: bool = True,
     if mesh is None:
         return jax.jit(epoch, donate_argnums=dn)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     sharded = shard_map(
         epoch, mesh=mesh,
         in_specs=(P(axis), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=dn)
 

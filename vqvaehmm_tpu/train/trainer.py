@@ -76,7 +76,7 @@ def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
         from ..ops.pallas_train import fused_loss_and_grads
 
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
 
             def per_shard(p, xx, uu, ll, bb):
                 return fused_loss_and_grads(model, p, xx, uu, ll, bb,
@@ -85,7 +85,7 @@ def _sgd_update(model: VAEHMM, tx: optax.GradientTransformation,
             loss, grads = shard_map(
                 per_shard, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data"), P()),
-                out_specs=(P(), P()), check_rep=False,
+                out_specs=(P(), P()), check_vma=False,
             )(state.params, x, u, lengths, beta)
         else:
             loss, grads = fused_loss_and_grads(model, state.params, x, u,
