@@ -20,14 +20,18 @@ def parse_market_text(text: str, input_dim: int = 5) -> np.ndarray:
     Accepts either C rows of T values (one row per line) or a flat list
     reshaped into C feature rows.
     """
+    def parse_floats(s: str) -> np.ndarray:
+        toks = s.replace(",", " ").split()
+        return np.array([float(t) for t in toks], np.float64)
+
     rows = [r.strip() for r in text.strip().splitlines() if r.strip()]
     if len(rows) == input_dim:
-        data = [np.fromstring(r.replace(",", " "), sep=" ") for r in rows]
+        data = [parse_floats(r) for r in rows]
         T = min(len(d) for d in data)
         if T < 3:
             raise ValueError("need at least 3 timesteps per feature row")
         return np.stack([d[:T] for d in data])[None].astype(np.float32)
-    flat = np.fromstring(text.replace(",", " ").replace("\n", " "), sep=" ")
+    flat = parse_floats(text)
     if flat.size < input_dim * 3:
         raise ValueError(
             f"need at least {input_dim * 3} values ({input_dim} features x "
