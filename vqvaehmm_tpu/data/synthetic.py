@@ -10,7 +10,7 @@ paths for HMM/calibration tests.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -13,8 +13,6 @@ import os
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
-
 
 def masked_recon_mse(model, params, x, lengths) -> float:
     """Masked reconstruction MSE (reference formula,

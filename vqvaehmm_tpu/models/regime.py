@@ -12,7 +12,6 @@ become einsums — one fused contraction on the MXU.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import jax
@@ -23,7 +22,7 @@ import optax
 from ..ops import nn as ops
 from ..ops.precise import plog_softmax, psoftmax
 from ..ops.rnn import init_lstm, lstm
-from .portfolio import _as_seq, _last_step
+from .portfolio import _last_step
 
 
 def _as_seq_unambiguous(q, K: int):

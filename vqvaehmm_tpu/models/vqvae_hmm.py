@@ -17,7 +17,7 @@ exists only as pseudocode.  This module implements that sketch TPU-first:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

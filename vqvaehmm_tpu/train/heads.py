@@ -18,7 +18,7 @@ padded batch would train on padding — lengths < T is rejected loudly.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

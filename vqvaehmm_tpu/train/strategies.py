@@ -10,11 +10,10 @@ JAX renders each strategy as composition instead of mutation:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, NamedTuple, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..losses.portfolio import sharpe_loss
