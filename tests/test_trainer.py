@@ -179,6 +179,20 @@ def test_prefetch_early_stop_releases_producer():
     assert not leaked, f"producer thread leaked: {leaked}"
 
 
+def test_prefetch_producer_error_propagates():
+    """A producer crash must surface in the consumer, not end the stream
+    cleanly (silent truncation = training 'succeeds' with fewer
+    epochs)."""
+    import pytest
+
+    from vqvaehmm_tpu.data.prefetch import prefetch_epochs
+
+    ds = _dataset()
+    ds.x_seqs = None  # poison: epoch_arrays will raise on first access
+    with pytest.raises(Exception):
+        list(prefetch_epochs(ds, batch_size=16, num_epochs=2))
+
+
 def test_mesh_epoch_scan_matches_single_device():
     """The epoch-fused scan under the 8-device mesh must match the
     unsharded epoch scan (this is the path train_model(mesh=...) uses)."""

@@ -40,6 +40,9 @@ def prefetch_epochs(dataset: RandomChunkDataset, batch_size: int,
         return False
 
     def producer():
+        # a producer crash must reach the consumer as an exception: a bare
+        # end sentinel would end the stream cleanly and training would
+        # silently finish with fewer epochs than requested
         try:
             for _ in range(num_epochs):
                 if stop.is_set():
@@ -48,8 +51,9 @@ def prefetch_epochs(dataset: RandomChunkDataset, batch_size: int,
                 arrays = tuple(jax.device_put(a, device) for a in arrays)
                 if not put_unless_stopped(arrays):
                     return
-        finally:
             put_unless_stopped(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            put_unless_stopped(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -58,6 +62,8 @@ def prefetch_epochs(dataset: RandomChunkDataset, batch_size: int,
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()
