@@ -286,6 +286,50 @@ def test_cli_vae_stack_with_trained_checkpoint(tmp_path, capsys):
     assert "Current regime:" in out and "Allocation:" in out
 
 
+def test_head_checkpoint_loads_with_explicit_npz_suffix(tmp_path):
+    """head_checkpoint_path given WITH its .npz suffix must load (not
+    probe 'head.npz.npz', miss, and silently serve a random-init head —
+    the bug class the main checkpoint loader already guards), and a
+    mismatched head checkpoint must fail at first /predict, not serve."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu.data.checkpoint import save_params_npz
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               RegimePortfolioOptimizer)
+    from vqvaehmm_tpu.serve.app import InferenceModel
+
+    head = RegimePortfolioOptimizer(HeadConfig(K=3, n_assets=4,
+                                               hidden_dim=8))
+    head_params = head.init(jax.random.PRNGKey(7))
+    save_params_npz(str(tmp_path / "head.npz"), head_params)
+
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+           "portfolio": {"n_assets": 4, "hidden_dim": 8},
+           "head_checkpoint_path": str(tmp_path / "head.npz")}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    m = InferenceModel(str(cfg_path))
+    x = np.random.default_rng(0).normal(size=(5, 30)).astype(np.float32)
+    out = m.predict(x.tolist())
+    # the served weights must come from the SAVED head, not a random init
+    q = np.array(m.infer(x.tolist())["regime_probs"])[None]  # (1, K, T)
+    want = np.asarray(head(head_params, jnp.asarray(q)))[0]
+    np.testing.assert_allclose(np.array(out["weights"]), want, atol=1e-5)
+
+    # wrong-shape head checkpoint: loud failure at head init
+    bad = RegimePortfolioOptimizer(HeadConfig(K=3, n_assets=9,
+                                              hidden_dim=8))
+    save_params_npz(str(tmp_path / "bad.npz"),
+                    bad.init(jax.random.PRNGKey(0)))
+    cfg["head_checkpoint_path"] = str(tmp_path / "bad.npz")
+    cfg_path.write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="head checkpoint"):
+        InferenceModel(str(cfg_path)).predict(x.tolist())
+
+
 def test_server_rejects_mismatched_checkpoint(tmp_path):
     """A config/checkpoint mismatch must fail at model-load time with
     the mismatched leaf paths, not as request-time 500s."""

@@ -290,12 +290,28 @@ class InferenceModel:
                 K=self.cfg.model.K, n_assets=self.cfg.portfolio.n_assets,
                 hidden_dim=self.cfg.portfolio.hidden_dim))
             head_ckpt = self.cfg.head_checkpoint_path
-            if head_ckpt and os.path.exists(str(head_ckpt) + ".npz"):
-                from ..data.checkpoint import load_params_npz
+            # accept the path verbatim OR with the implicit .npz suffix —
+            # the same rule as the main checkpoint above (configuring
+            # "head.npz" must not probe "head.npz.npz", miss, and silently
+            # serve a random-init head)
+            npz = str(head_ckpt) if str(head_ckpt or "").endswith(".npz") \
+                else str(head_ckpt or "") + ".npz"
+            if head_ckpt and os.path.exists(npz):
+                from ..data.checkpoint import (load_params_npz,
+                                               validate_params_for)
 
-                head_params = load_params_npz(str(head_ckpt) + ".npz")
+                head_params = load_params_npz(npz)
+                validate_params_for(head, head_params,
+                                    what=f"head checkpoint {head_ckpt!r}")
             else:
                 head_params = head.init(jax.random.PRNGKey(0))
+                if head_ckpt:
+                    import sys
+
+                    print(f"WARNING: head_checkpoint_path {head_ckpt!r} is "
+                          "configured but no checkpoint was found; /predict "
+                          "serves a random-init head", file=sys.stderr,
+                          flush=True)
             # SINGLE atomic assignment: the threaded servers can race
             # two first /predict calls, and a two-field lazy init let a
             # reader observe _head without _head_params (the same hazard
