@@ -24,6 +24,12 @@ import argparse
 import itertools
 import json
 import os
+
+# persistent compile cache (CLAUDE.md: remote compiles cost minutes)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/jax_cache_tests" if os.environ.get("JAX_PLATFORMS") == "cpu"
+    else "/tmp/jax_cache_bench")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -16,6 +16,12 @@ Usage: python scripts/scaling_eval.py   (self-pins JAX_PLATFORMS=cpu)
 from __future__ import annotations
 
 import os
+
+# persistent compile cache (CLAUDE.md: remote compiles cost minutes)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/jax_cache_tests" if os.environ.get("JAX_PLATFORMS") == "cpu"
+    else "/tmp/jax_cache_bench")
 import sys
 
 if __name__ == "__main__" and os.environ.get("_SCALING_CHILD") != "1":

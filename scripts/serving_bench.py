@@ -14,6 +14,12 @@ import argparse
 import concurrent.futures
 import json
 import os
+
+# persistent compile cache (CLAUDE.md: remote compiles cost minutes)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/jax_cache_tests" if os.environ.get("JAX_PLATFORMS") == "cpu"
+    else "/tmp/jax_cache_bench")
 import sys
 import tempfile
 import threading
