@@ -71,9 +71,13 @@ class TrainConfig:
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
     save_freq: int = 10
-    # Fuse this many optimizer steps into one jitted lax.scan (removes the
-    # per-step host dispatch + loss.item() sync the reference pays).
-    steps_per_call: int = 0  # 0 => whole epoch in one scan
+    # Upper bound on optimizer steps per jitted dispatch.  0 (default) =
+    # the whole epoch in ONE lax.scan — maximum throughput (the reference
+    # pays a host sync per step at loss.item()).  N > 0 chunks each epoch
+    # into ceil(batches/N) bounded calls with an identical trajectory —
+    # use when one dispatch must not outlive an external bound
+    # (timeout-guarded on-chip stages, preemptible runs).
+    steps_per_call: int = 0
     # Single-kernel Pallas loss+grads path (ops/pallas_train.py). Needs
     # T % 8 == 0 and a 128-divisible lane block; the pipeline falls back
     # to the XLA path automatically when the shapes don't qualify.

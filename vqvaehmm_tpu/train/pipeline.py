@@ -164,6 +164,26 @@ class TrainPipeline:
         else:
             epoch_step = make_epoch_step(model, tx, mesh=self.mesh,
                                          fused=fused)
+
+        # steps_per_call > 0 splits each epoch's scan into bounded jitted
+        # calls (trajectory identical — the scan is sequential either
+        # way).  Use when one whole-epoch dispatch would outlive an
+        # external bound (`timeout`-guarded on-chip stages, preemptible
+        # runs): the cost is one extra host round-trip per chunk.  At
+        # most two executables compile (full chunk + remainder).
+        spc = int(getattr(t, "steps_per_call", 0) or 0)
+
+        def run_epoch(state, step_fn, args, beta, nb):
+            if spc <= 0 or spc >= nb:
+                return step_fn(state, *args, beta)
+            loss_sum, n_sum = None, 0
+            for i in range(0, nb, spc):
+                chunk = tuple(a[i:i + spc] for a in args)
+                state, ml = step_fn(state, *chunk, beta)
+                n = min(spc, nb - i)
+                loss_sum = ml * n if loss_sum is None else loss_sum + ml * n
+                n_sum += n
+            return state, loss_sum / n_sum
         import contextlib
 
         from ..utils.profiling import trace as _trace
@@ -183,14 +203,16 @@ class TrainPipeline:
                 if device_input:
                     si, st_, ln = sampler.sample_indices_fast(t.batch_size,
                                                               num_batches)
-                    state, mean_loss = gstep(state, jnp.asarray(si),
-                                             jnp.asarray(st_),
-                                             jnp.asarray(ln),
-                                             jnp.float32(beta))
+                    state, mean_loss = run_epoch(
+                        state, gstep,
+                        (jnp.asarray(si), jnp.asarray(st_),
+                         jnp.asarray(ln)),
+                        jnp.float32(beta), num_batches)
                 else:
                     xs, us, lens = epoch_arrays(dataset, t.batch_size)
-                    state, mean_loss = epoch_step(state, xs, us, lens,
-                                                  jnp.float32(beta))
+                    state, mean_loss = run_epoch(
+                        state, epoch_step, (xs, us, lens),
+                        jnp.float32(beta), xs.shape[0])
                 if profiling:
                     # the epoch step is async; sync INSIDE the trace so
                     # the device work lands in the captured window
