@@ -39,9 +39,10 @@ class ModelConfig:
     # Conv lowering: "conv" (lax.conv) | "matmul" (shifted MXU matmuls;
     # usually faster for this model's tiny channel counts).
     conv_impl: str = "conv"
-    # True VQ codebook (pseudocode.txt capability upgrade); latent dim of the
-    # codebook.  None => soft mean-field lookup only (reference behaviour).
-    vq_latent_dim: Optional[int] = None
+    # NOTE: the true-VQ stack (pseudocode.txt capability upgrade) is its
+    # own model with its own config — models/vqvae_hmm.VQVAEConfig
+    # (latent_dim/num_codes live there); VAEHMM itself is always the
+    # reference's soft mean-field lookup.
 
 
 @dataclass(frozen=True)
@@ -123,9 +124,11 @@ class PortfolioConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh for SPMD execution. The reference is single-device
-    (SURVEY.md section 2.9); here data-parallelism over ICI is first-class."""
+    (SURVEY.md section 2.9); here data-parallelism over ICI is
+    first-class.  The data axis is named "data" throughout the framework
+    (every PartitionSpec/psum spells it out) — it is a contract, not a
+    config knob."""
 
-    data_axis: str = "data"
     # None => use all visible devices on the data axis.
     num_devices: Optional[int] = None
 
