@@ -22,4 +22,8 @@ run bench python bench.py
 #    measurement)
 run ensbench python scripts/ensemble_bench.py
 
+# 3. production-scale fused-kernel block sweep (refreshes the
+#    BENCH_NOTES "production-scale block sweep" table on this toolchain)
+run mxuprobe python scripts/mxu_probe.py
+
 echo "queue complete"
