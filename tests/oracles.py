@@ -24,7 +24,9 @@ import torch.nn.functional as F
 
 
 def _t(a) -> torch.Tensor:
-    return torch.from_numpy(np.asarray(a, dtype=np.float32))
+    # np.array (copy) rather than asarray: jax arrays convert to
+    # NON-writable numpy views, and torch.from_numpy warns on those
+    return torch.from_numpy(np.array(a, dtype=np.float32))
 
 
 def torch_encode(params, x: torch.Tensor) -> torch.Tensor:
