@@ -70,7 +70,7 @@ def torch_elbo(params, x, u, lengths, beta: float, K: int,
     """Full masked negative ELBO with the reference's exact normalizations."""
     x = _t(x)
     u = _t(u)
-    lengths = torch.from_numpy(np.asarray(lengths, dtype=np.int64))
+    lengths = torch.from_numpy(np.array(lengths, dtype=np.int64))
     B, C, T = x.shape
 
     mask = torch.arange(T)[None, :] < lengths[:, None]
