@@ -165,3 +165,47 @@ def test_gaussian_em_recovers_regimes():
     s_np = np.asarray(states)
     acc = max((decoded == s_np).mean(), (1 - decoded == s_np).mean())
     assert acc > 0.85
+
+
+def test_fit_transitions_em_recovers_dynamics_over_fixed_emissions():
+    """fit_transitions_em learns (pi, A) with emissions held fixed: given
+    the TRUE per-step emission log-densities, the learned A recovers the
+    generating chain's stickiness, the data log-likelihood is
+    non-decreasing, and Viterbi with the learned dynamics beats the
+    static per-step argmax (the value of the chain isolated from the
+    emission model — reference train_simple.py's GMM has no chain)."""
+    from vqvaehmm_tpu.models import fit_transitions_em
+    from vqvaehmm_tpu.ops import hmm as hmm_ops
+
+    K = 2
+    A = np.array([[0.95, 0.05], [0.06, 0.94]], np.float32)
+    emission = GaussianEmission(loc=jnp.array([-1.0, 1.0]),
+                                scale=jnp.array([1.4, 1.4]))  # weak evidence
+    true = HiddenMarkovModel([0.5, 0.5], A, emission)
+    states, obs = true.sample(jax.random.PRNGKey(2), num_steps=200,
+                              batch=8)
+    log_obs = emission.log_prob(obs)                    # (B, T, K), fixed
+
+    log_pi, log_A, lls = fit_transitions_em(log_obs, n_iters=30)
+    lls = np.asarray(lls)
+    # non-decreasing up to f32 accumulation noise at convergence
+    tol = 1e-5 * abs(float(lls[0]))
+    assert (np.diff(lls) >= -tol).all(), "EM log-likelihood decreased"
+
+    A_hat = np.exp(np.asarray(log_A))
+    np.testing.assert_allclose(A_hat.sum(-1), 1.0, atol=1e-5)
+    assert np.trace(A_hat) / K > 0.85, A_hat  # stickiness recovered
+
+    s_np = np.asarray(states)
+    static = np.asarray(log_obs.argmax(-1))
+    vit = np.asarray(hmm_ops.viterbi(log_pi, log_A, log_obs).states)
+    acc_static = (static == s_np).mean()
+    acc_vit = (vit == s_np).mean()
+    assert acc_vit > acc_static + 0.03, (acc_vit, acc_static)
+
+    # ragged lengths run and stay normalized
+    lengths = jnp.asarray(np.array([200, 150, 120, 200, 90, 60, 200, 30],
+                                   np.int32))
+    _, log_A_r, _ = fit_transitions_em(log_obs, n_iters=5, lengths=lengths)
+    np.testing.assert_allclose(np.exp(np.asarray(log_A_r)).sum(-1), 1.0,
+                               atol=1e-5)

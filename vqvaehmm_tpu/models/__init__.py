@@ -1,6 +1,6 @@
 from .vae_hmm import VAEHMM, make_model
 from .hmm import (CategoricalEmission, GaussianEmission, HiddenMarkovModel,
-                  fit_categorical_em, fit_gaussian_em)
+                  fit_categorical_em, fit_gaussian_em, fit_transitions_em)
 from .vqvae_hmm import VQVAEConfig, VQVAEHMM
 from .online import OnlineFilter, StreamManager
 from .portfolio import (AttentionPortfolioOptimizer,

@@ -224,6 +224,47 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
     return EMResult(model, lls[best])
 
 
+def fit_transitions_em(log_obs: jnp.ndarray, n_iters: int = 50,
+                       lengths: Optional[jnp.ndarray] = None,
+                       pseudocount: float = 1e-3,
+                       init_stickiness: float = 0.9
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EM over (pi, A) ONLY, with the emission model held fixed.
+
+    Adds exact temporal dynamics on top of ANY per-step evidence: pass
+    log p(x_t | z_t = k) as `log_obs: (B, T, K)` — e.g. a fitted GMM's
+    per-component log-densities, a classifier's log-probs — and get back
+    (log_pi, log_A, log_likelihoods (n_iters,)).  Decode afterwards with
+    ops.hmm.viterbi / posterior_marginals using the same log_obs.
+
+    This isolates the value of the chain itself: the emission family is
+    identical to the static model's, so any accuracy gain is purely the
+    temporal smoothing (used by scripts/fixture_model_compare.py to
+    compare the reference's static GMM detector, train_simple.py:10-28,
+    against the same GMM + learned dynamics).
+    """
+    log_obs = jnp.asarray(log_obs, jnp.float32)
+    B, T, K = log_obs.shape
+    A0 = jnp.full((K, K), (1.0 - init_stickiness) / max(K - 1, 1))
+    A0 = A0.at[jnp.arange(K), jnp.arange(K)].set(
+        init_stickiness if K > 1 else 1.0)
+
+    def em_step(carry, _):
+        log_pi, log_A = carry
+        sm = ops.smoothing(log_pi, log_A, log_obs, lengths)
+        valid = (jnp.arange(T)[None, :] < lengths[:, None]) \
+            if lengths is not None else jnp.ones((B, T), bool)
+        pi_new = (sm.gamma[:, 0] * valid[:, :1]).sum(0) + pseudocount
+        A_new = sm.xi.sum((0, 1)) + pseudocount  # xi zeroed at invalid pairs
+        new = (plog(pi_new / pi_new.sum()),
+               plog(A_new / A_new.sum(-1, keepdims=True)))
+        return new, sm.log_likelihood.sum()
+
+    init = (plog(jnp.full((K,), 1.0 / K)), plog(A0))
+    (log_pi, log_A), lls = jax.lax.scan(em_step, init, None, length=n_iters)
+    return log_pi, log_A, lls
+
+
 def fit_gaussian_em(x: jnp.ndarray, K: int, n_iters: int = 50,
                     seed: int = 0,
                     lengths: Optional[jnp.ndarray] = None,
