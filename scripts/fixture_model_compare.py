@@ -82,6 +82,7 @@ def main():
     # the value of the chain with the emission family held fixed ---
     from vqvaehmm_tpu.models.gmm import _log_prob_components
     from vqvaehmm_tpu.ops import hmm as hmm_ops
+    import jax.numpy as jnp
 
     log_obs = np.asarray(_log_prob_components(
         det.gmm.params, det._norm(feats)))[None]       # (1, T, K)
@@ -102,6 +103,31 @@ def main():
     out["regime_acc_gaussian_hmm_viterbi"] = round(
         best_perm_accuracy(hmm_pred, truth, K), 4)
     out["switch_rate_gaussian_hmm_viterbi"] = round(switch_rate(hmm_pred), 4)
+
+    # --- held-out split: fit GMM (+ chain) on the first 80% of days,
+    # score the last 20% — the in-sample rows above could in principle
+    # flatter the fitted models; this one cannot ---
+    cut = int(0.8 * len(truth))
+    det_h = SimpleRegimeDetector(n_regimes=K, seed=0)
+    det_h.fit(feats[:cut])
+    pred_h = np.asarray(det_h.predict_regime(feats[cut:]))
+    out["heldout_regime_acc_gmm"] = round(
+        best_perm_accuracy(pred_h, truth[cut:], K), 4)
+    out["heldout_switch_rate_gmm"] = round(switch_rate(pred_h), 4)
+
+    lo_train = np.asarray(_log_prob_components(
+        det_h.gmm.params, det_h._norm(feats[:cut])))[None]
+    log_pi_h, log_A_h, _ = fit_transitions_em(lo_train, n_iters=40)
+    lo_test = np.asarray(_log_prob_components(
+        det_h.gmm.params, det_h._norm(feats[cut:])))[None]
+    chain_h = np.asarray(
+        hmm_ops.viterbi(log_pi_h, log_A_h, jnp.asarray(lo_test)).states)[0]
+    out["heldout_regime_acc_gmm_plus_chain"] = round(
+        best_perm_accuracy(chain_h, truth[cut:], K), 4)
+    out["heldout_switch_rate_gmm_plus_chain"] = round(
+        switch_rate(chain_h), 4)
+    out["heldout_switch_rate_ground_truth"] = round(
+        switch_rate(truth[cut:]), 4)
 
     # --- VAE-HMM window-level numbers for context (committed artifact) ---
     qf = os.path.join(os.path.dirname(FIXTURE), "..", "..", "artifacts",
