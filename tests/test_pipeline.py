@@ -169,6 +169,61 @@ def test_gmm_pipeline(rng):
     assert bench["final_value"] > 0
 
 
+def test_gmm_temporal_chain_roundtrip_and_smoothing(tmp_path):
+    """train_improved_system(temporal=True) fits regime dynamics over
+    the GMM's own emissions; the chain persists through save/load with
+    identical marginals, and on a sticky regime-switching panel the
+    smoothed decode switches less than the static argmax while the
+    static path stays bit-identical to temporal=False."""
+    from vqvaehmm_tpu.models.gmm import prepare_regime_features
+    from vqvaehmm_tpu.serve.cli import main as cli_main
+    from vqvaehmm_tpu.train.gmm_pipeline import (load_improved_system,
+                                                 train_improved_system)
+
+    # sticky 2-regime return panel (calm vs turbulent)
+    rng_ = np.random.default_rng(3)
+    T, A = 400, 4
+    z, zs = 0, []
+    for _ in range(T):
+        if rng_.random() < 0.04:
+            z = 1 - z
+        zs.append(z)
+    zs = np.array(zs)
+    scale = np.where(zs == 0, 0.005, 0.025)[:, None]
+    drift = np.where(zs == 0, 8e-4, -8e-4)[:, None]
+    returns = (drift + scale * rng_.normal(size=(T, A))).astype(np.float32)
+
+    sys_t = train_improved_system(returns, n_regimes=2, hidden_dim=8,
+                                  num_epochs=10, patience=5,
+                                  temporal=True, log_fn=None)
+    assert sys_t.chain is not None
+    sys_s = train_improved_system(returns, n_regimes=2, hidden_dim=8,
+                                  num_epochs=10, patience=5, log_fn=None)
+    assert sys_s.chain is None
+
+    feats = prepare_regime_features(returns)
+    # static posterior unchanged by the temporal flag
+    np.testing.assert_array_equal(sys_t.detector.predict_proba(feats),
+                                  sys_s.detector.predict_proba(feats))
+    static_pred = sys_s.regime_marginals(feats).argmax(-1)
+    smooth_pred = sys_t.regime_marginals(feats).argmax(-1)
+    flips = lambda s: int((np.diff(s) != 0).sum())
+    assert flips(smooth_pred) <= flips(static_pred)
+
+    path = str(tmp_path / "temporal_system.npz")
+    sys_t.save(path)
+    sys_2 = load_improved_system(path)
+    assert sys_2.chain is not None
+    np.testing.assert_allclose(sys_2.regime_marginals(feats),
+                               sys_t.regime_marginals(feats),
+                               rtol=0, atol=0)
+
+    # the CLI consumes a temporal archive end-to-end
+    data_path = str(tmp_path / "returns.npy")
+    np.save(data_path, returns)
+    cli_main(["--stack", "gmm", "--checkpoint", path, "--data", data_path])
+
+
 def test_periodic_save_and_auto_resume(tiny_config):
     """save_freq checkpoints are written and training resumes from them
     (the reference configures save_freq but never implements it)."""

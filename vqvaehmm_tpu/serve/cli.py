@@ -70,7 +70,9 @@ def report_gmm(system, returns: np.ndarray,
 
     returns = np.asarray(returns, np.float32)
     feats = prepare_regime_features(returns)
-    probs = system.detector.predict_proba(feats)            # (Tf, K)
+    # static responsibilities, or exact HMM smoothed marginals when the
+    # system carries learned dynamics (train_improved_system temporal=True)
+    probs = system.regime_marginals(feats)                  # (Tf, K)
     K, Tf = probs.shape[1], probs.shape[0]
     regimes = probs.argmax(axis=1)
     current_regime = int(regimes[-1])

@@ -6,7 +6,7 @@ diversification penalty and early stopping.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +22,13 @@ class ImprovedSystem(NamedTuple):
     optimizer: ImprovedPortfolioOptimizer
     params: Dict
     history: list
+    # Optional learned regime dynamics (log_pi (K,), log_A (K,K)) fitted
+    # over the detector's own emission densities — models/hmm.
+    # fit_transitions_em; set by train_improved_system(temporal=True).
+    # With a chain, regime_marginals() replaces the static per-day
+    # posterior (measured: ~half the spurious switching at equal
+    # accuracy — BENCH_NOTES "Model-family comparison").
+    chain: Optional[Tuple] = None
 
     def save(self, path: str) -> None:
         save_improved_system(self, path)
@@ -29,6 +36,22 @@ class ImprovedSystem(NamedTuple):
     @classmethod
     def load(cls, path: str) -> "ImprovedSystem":
         return load_improved_system(path)
+
+    def regime_marginals(self, features) -> np.ndarray:
+        """(Tf, K) per-day regime posterior.  Static GMM responsibilities
+        without a chain; exact HMM smoothed marginals over the SAME
+        emission densities with one."""
+        if self.chain is None:
+            return self.detector.predict_proba(features)
+        from ..models.gmm import _log_prob_components
+        from ..ops import hmm as hmm_ops
+
+        log_pi, log_A = self.chain
+        log_obs = _log_prob_components(
+            self.detector.gmm.params,
+            jnp.asarray(self.detector._norm(features)))[None]
+        return np.asarray(hmm_ops.posterior_marginals(
+            jnp.asarray(log_pi), jnp.asarray(log_A), log_obs))[0]
 
 
 def save_improved_system(system: ImprovedSystem, path: str) -> None:
@@ -61,6 +84,9 @@ def save_improved_system(system: ImprovedSystem, path: str) -> None:
         # their own statistics (different scale than training)
         extra["feature_mu"] = np.asarray(det.feature_mu)
         extra["feature_sd"] = np.asarray(det.feature_sd)
+    if system.chain is not None:
+        extra["chain_log_pi"] = np.asarray(system.chain[0])
+        extra["chain_log_A"] = np.asarray(system.chain[1])
     np.savez(path,
              meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
              gmm_weights=np.asarray(gmm.params.weights),
@@ -89,6 +115,9 @@ def load_improved_system(path: str) -> ImprovedSystem:
                       if "feature_mu" in z.files else None)
         feature_sd = (np.asarray(z["feature_sd"])
                       if "feature_sd" in z.files else None)
+        chain = ((jnp.asarray(z["chain_log_pi"]),
+                  jnp.asarray(z["chain_log_A"]))
+                 if "chain_log_pi" in z.files else None)
 
     g = meta["gmm"]
     detector = SimpleRegimeDetector(n_regimes=meta["n_regimes"],
@@ -109,7 +138,7 @@ def load_improved_system(path: str) -> ImprovedSystem:
     treedef = jax.tree_util.tree_structure(
         optimizer.init(jax.random.PRNGKey(0)))
     params = jax.tree_util.tree_unflatten(treedef, leaves)
-    return ImprovedSystem(detector, optimizer, params, history)
+    return ImprovedSystem(detector, optimizer, params, history, chain)
 
 
 def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
@@ -117,6 +146,7 @@ def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
                           lr: float = 1e-3, lookback: int = 20,
                           diversification_weight: float = 0.1,
                           patience: int = 20, seed: int = 0,
+                          temporal: bool = False,
                           log_fn=print) -> ImprovedSystem:
     """End-to-end GMM stack (reference: train_simple.py:103-182).
 
@@ -124,6 +154,14 @@ def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
     features, then trains the per-regime MLP mixture on
     -Sharpe + diversification penalty (squared deviation from equal
     weight), with patience-based early stopping.
+
+    temporal=True additionally fits regime DYNAMICS over the GMM's own
+    emission densities (models/hmm.fit_transitions_em) and stores them
+    on the system: `regime_marginals` then returns exact HMM smoothed
+    posteriors instead of per-day static responsibilities — measured
+    ~half the spurious regime switching at equal accuracy
+    (BENCH_NOTES "Model-family comparison").  Capability upgrade over
+    the reference's static detector; default off for exact parity.
     """
     returns = np.asarray(returns, np.float32)
     T, A = returns.shape
@@ -185,7 +223,16 @@ def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
             break
         if log_fn and (ep + 1) % 50 == 0:
             log_fn(f"Epoch {ep + 1}/{num_epochs}, Loss: {loss:.4f}")
-    return ImprovedSystem(detector, opt_model, best_params, history)
+    chain = None
+    if temporal:
+        from ..models.gmm import _log_prob_components
+        from ..models.hmm import fit_transitions_em
+
+        log_obs = _log_prob_components(
+            detector.gmm.params, jnp.asarray(detector._norm(feats)))[None]
+        log_pi, log_A, _ = fit_transitions_em(log_obs, n_iters=40)
+        chain = (log_pi, log_A)
+    return ImprovedSystem(detector, opt_model, best_params, history, chain)
 
 
 def benchmark_equal_weight(returns: np.ndarray,
