@@ -210,6 +210,15 @@ def test_gmm_temporal_chain_roundtrip_and_smoothing(tmp_path):
     flips = lambda s: int((np.diff(s) != 0).sum())
     assert flips(smooth_pred) <= flips(static_pred)
 
+    # filtered (causal) marginals: valid distribution, final step equals
+    # the smoothed posterior's final step (no future to peek at there)
+    filt = sys_t.regime_marginals(feats, mode="filtered")
+    smoo = sys_t.regime_marginals(feats, mode="smoothed")
+    np.testing.assert_allclose(filt.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(filt[-1], smoo[-1], atol=1e-5)
+    with pytest.raises(ValueError, match="unknown mode"):
+        sys_t.regime_marginals(feats, mode="viterbi")
+
     path = str(tmp_path / "temporal_system.npz")
     sys_t.save(path)
     sys_2 = load_improved_system(path)

@@ -37,10 +37,15 @@ class ImprovedSystem(NamedTuple):
     def load(cls, path: str) -> "ImprovedSystem":
         return load_improved_system(path)
 
-    def regime_marginals(self, features) -> np.ndarray:
+    def regime_marginals(self, features,
+                         mode: str = "smoothed") -> np.ndarray:
         """(Tf, K) per-day regime posterior.  Static GMM responsibilities
-        without a chain; exact HMM smoothed marginals over the SAME
-        emission densities with one."""
+        without a chain; with one, exact HMM marginals over the SAME
+        emission densities — mode="smoothed" (all-data, offline reports)
+        or "filtered" (causal: day t uses days <= t only, the live
+        trading choice)."""
+        if mode not in ("smoothed", "filtered"):
+            raise ValueError(f"unknown mode {mode!r}")
         if self.chain is None:
             return self.detector.predict_proba(features)
         from ..models.gmm import _log_prob_components
@@ -50,8 +55,10 @@ class ImprovedSystem(NamedTuple):
         log_obs = _log_prob_components(
             self.detector.gmm.params,
             jnp.asarray(self.detector._norm(features)))[None]
-        return np.asarray(hmm_ops.posterior_marginals(
-            jnp.asarray(log_pi), jnp.asarray(log_A), log_obs))[0]
+        fn = (hmm_ops.posterior_marginals if mode == "smoothed"
+              else hmm_ops.filtered_marginals)
+        return np.asarray(fn(jnp.asarray(log_pi), jnp.asarray(log_A),
+                             log_obs))[0]
 
 
 def save_improved_system(system: ImprovedSystem, path: str) -> None:
