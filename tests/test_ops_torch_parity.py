@@ -22,13 +22,13 @@ def test_lstm_matches_torch():
     with torch.no_grad():
         for layer in range(L):
             getattr(ref, f"weight_ih_l{layer}").copy_(
-                torch.from_numpy(np.asarray(params[layer]["weight_ih"])))
+                torch.from_numpy(np.array(params[layer]["weight_ih"])))
             getattr(ref, f"weight_hh_l{layer}").copy_(
-                torch.from_numpy(np.asarray(params[layer]["weight_hh"])))
+                torch.from_numpy(np.array(params[layer]["weight_hh"])))
             getattr(ref, f"bias_ih_l{layer}").copy_(
-                torch.from_numpy(np.asarray(params[layer]["bias_ih"])))
+                torch.from_numpy(np.array(params[layer]["bias_ih"])))
             getattr(ref, f"bias_hh_l{layer}").copy_(
-                torch.from_numpy(np.asarray(params[layer]["bias_hh"])))
+                torch.from_numpy(np.array(params[layer]["bias_hh"])))
 
     x = np.random.default_rng(0).normal(size=(B, T, D)).astype(np.float32)
     out_j, (h_j, c_j) = lstm(params, jnp.asarray(x))
@@ -46,13 +46,13 @@ def test_mha_matches_torch():
     ref = nn.MultiheadAttention(E, H, batch_first=True)
     with torch.no_grad():
         ref.in_proj_weight.copy_(
-            torch.from_numpy(np.asarray(params["in_proj_weight"])))
+            torch.from_numpy(np.array(params["in_proj_weight"])))
         ref.in_proj_bias.copy_(
-            torch.from_numpy(np.asarray(params["in_proj_bias"])))
+            torch.from_numpy(np.array(params["in_proj_bias"])))
         ref.out_proj.weight.copy_(
-            torch.from_numpy(np.asarray(params["out_proj"]["weight"])))
+            torch.from_numpy(np.array(params["out_proj"]["weight"])))
         ref.out_proj.bias.copy_(
-            torch.from_numpy(np.asarray(params["out_proj"]["bias"])))
+            torch.from_numpy(np.array(params["out_proj"]["bias"])))
 
     x = np.random.default_rng(1).normal(size=(B, T, E)).astype(np.float32)
     out_j = mha(params, jnp.asarray(x), H)
@@ -71,33 +71,33 @@ def test_transformer_encoder_layer_matches_torch():
     ref.eval()
     with torch.no_grad():
         ref.self_attn.in_proj_weight.copy_(
-            torch.from_numpy(np.asarray(params["self_attn"]
+            torch.from_numpy(np.array(params["self_attn"]
                                         ["in_proj_weight"])))
         ref.self_attn.in_proj_bias.copy_(
-            torch.from_numpy(np.asarray(params["self_attn"]
+            torch.from_numpy(np.array(params["self_attn"]
                                         ["in_proj_bias"])))
         ref.self_attn.out_proj.weight.copy_(
-            torch.from_numpy(np.asarray(params["self_attn"]["out_proj"]
+            torch.from_numpy(np.array(params["self_attn"]["out_proj"]
                                         ["weight"])))
         ref.self_attn.out_proj.bias.copy_(
-            torch.from_numpy(np.asarray(params["self_attn"]["out_proj"]
+            torch.from_numpy(np.array(params["self_attn"]["out_proj"]
                                         ["bias"])))
         ref.linear1.weight.copy_(
-            torch.from_numpy(np.asarray(params["linear1"]["weight"])))
+            torch.from_numpy(np.array(params["linear1"]["weight"])))
         ref.linear1.bias.copy_(
-            torch.from_numpy(np.asarray(params["linear1"]["bias"])))
+            torch.from_numpy(np.array(params["linear1"]["bias"])))
         ref.linear2.weight.copy_(
-            torch.from_numpy(np.asarray(params["linear2"]["weight"])))
+            torch.from_numpy(np.array(params["linear2"]["weight"])))
         ref.linear2.bias.copy_(
-            torch.from_numpy(np.asarray(params["linear2"]["bias"])))
+            torch.from_numpy(np.array(params["linear2"]["bias"])))
         ref.norm1.weight.copy_(
-            torch.from_numpy(np.asarray(params["norm1"]["weight"])))
+            torch.from_numpy(np.array(params["norm1"]["weight"])))
         ref.norm1.bias.copy_(
-            torch.from_numpy(np.asarray(params["norm1"]["bias"])))
+            torch.from_numpy(np.array(params["norm1"]["bias"])))
         ref.norm2.weight.copy_(
-            torch.from_numpy(np.asarray(params["norm2"]["weight"])))
+            torch.from_numpy(np.array(params["norm2"]["weight"])))
         ref.norm2.bias.copy_(
-            torch.from_numpy(np.asarray(params["norm2"]["bias"])))
+            torch.from_numpy(np.array(params["norm2"]["bias"])))
 
     x = np.random.default_rng(2).normal(size=(B, T, E)).astype(np.float32)
     out_j = encoder_layer(params, jnp.asarray(x), H)
