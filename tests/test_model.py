@@ -142,3 +142,35 @@ def test_bf16_compute_dtype():
     _, hist = train_model(m16, ds, num_epochs=6, lr=3e-3, batch_size=16,
                           log_fn=None)
     assert hist[-1] < hist[2]
+
+
+def test_sample_generative_rollout():
+    """model.sample: ancestral regime path from the input-conditioned
+    prior + Gaussian decode — deterministic per key, mean path equals
+    decoding the one-hot states, observation noise keyed separately."""
+    model = make_model(5, 16, 3, 8, u_dim=4, trans_hidden=16)
+    params = model.init(jax.random.PRNGKey(0))
+    B, T = 4, 24
+    u = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(B, 4, T)).astype(np.float32))
+
+    states, x = model.sample(params, u, jax.random.PRNGKey(1))
+    assert states.shape == (B, T) and states.dtype == jnp.int32
+    assert x.shape == (B, 5, T)
+    s = np.asarray(states)
+    assert ((s >= 0) & (s < 3)).all()
+
+    # deterministic per key; different key -> different draw
+    states2, x2 = model.sample(params, u, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(states), np.asarray(states2))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+    _, x3 = model.sample(params, u, jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(x), np.asarray(x3))
+
+    # sample_obs=False returns exactly the decoder mean of the one-hot path
+    states_m, mu = model.sample(params, u, jax.random.PRNGKey(1),
+                                sample_obs=False)
+    q = jax.nn.one_hot(states_m, 3, axis=1, dtype=jnp.float32)
+    mu_direct, _ = model.decode(params, q)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_direct),
+                               rtol=0, atol=0)

@@ -312,6 +312,35 @@ class VAEHMM:
 
     forward = __call__
 
+    def sample(self, params: Params, u: jnp.ndarray, key: jax.Array,
+               sample_obs: bool = True
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Generative ancestral rollout: (states (B,T) int32, x (B,C,T)).
+
+        Samples a regime path from the input-conditioned prior chain
+        p(z | u) (exact categorical draws through ops/hmm.sample) and
+        decodes it through the Gaussian emission model — one-hot states
+        are a point on the simplex, so the soft codebook lookup reduces
+        to the sampled regime's embedding row.  sample_obs=False returns
+        the emission mean instead of a draw.  Capability the reference
+        never implements for the VAE stack (its design sketch only
+        samples the VQ stack, pseudocode.txt:30-32 — models/vqvae_hmm.py
+        covers that path)."""
+        from ..ops import hmm as hmm_ops
+
+        log_pi, log_A = self.prior(params, u)     # (K,), (B,T,K,K)
+        B, T = log_A.shape[0], log_A.shape[1]
+        kz, kx = jax.random.split(key)
+        states = hmm_ops.sample(kz, log_pi, log_A, T, batch=B)
+        q = jax.nn.one_hot(states, self.cfg.K, axis=1,
+                           dtype=jnp.float32)     # (B,K,T)
+        mu, logvar = self.decode(params, q)
+        if not sample_obs:
+            return states, mu
+        std = pexp(0.5 * logvar)
+        x = mu + std * jax.random.normal(kx, mu.shape, mu.dtype)
+        return states, x
+
     def posterior(self, params: Params, x: jnp.ndarray,
                   fused: Optional[bool] = None) -> jnp.ndarray:
         """Mean-field regime posterior q:(B,K,T) = softmax(encode(x)).
