@@ -240,6 +240,14 @@ class StreamManager:
         self._lock = threading.Lock()
         self._session_locks: Dict[str, object] = {}
 
+    def n_sessions(self) -> int:
+        """Live (unexpired) session count — the serving /metrics gauge."""
+        import time as _time
+
+        with self._lock:
+            self._expire(_time.monotonic())
+            return len(self._sessions)
+
     def export_session(self, session: str) -> dict:
         """Serialize and REMOVE a session (hand-off to another worker).
 

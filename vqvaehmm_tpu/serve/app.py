@@ -114,6 +114,18 @@ class InferenceModel:
         from ..models.online import StreamManager
 
         self._streams = StreamManager(self.model, self.params)
+        from .metrics import METRICS
+
+        # live-value gauges, read at scrape time (GET /metrics); register
+        # replaces, so a reloaded model never leaves a stale closure
+        METRICS.register_gauge(
+            "vqhmm_stream_sessions", self._streams.n_sessions,
+            "Live streaming sessions in this worker process.")
+        METRICS.register_gauge(
+            "vqhmm_checkpoint_loaded",
+            lambda: 1.0 if self.checkpoint_loaded else 0.0,
+            "1 iff serving weights came from a checkpoint "
+            "(0 = random init).")
         self._smoothed = jax.jit(
             lambda x, u, lens: self.model.smoothed_posterior(
                 self.params, x, u, lens))
@@ -346,8 +358,13 @@ def get_model(config_path: str = "inference_config.json"):
 def create_app(config_path: str = "inference_config.json"):
     """Build the FastAPI app (import-gated so the core library never
     requires fastapi)."""
-    from fastapi import FastAPI, HTTPException
+    import time as _time
+
+    from fastapi import FastAPI, HTTPException, Response
     from pydantic import BaseModel
+
+    from .metrics import CONTENT_TYPE as _METRICS_CT
+    from .metrics import METRICS
 
     app = FastAPI(title="vqvaehmm-tpu inference")
 
@@ -355,6 +372,23 @@ def create_app(config_path: str = "inference_config.json"):
         x: List[List[float]]
         u: Optional[List[List[float]]] = None
         mode: str = "mean_field"
+
+    @app.middleware("http")
+    async def _observe(request, call_next):
+        # request counts + latency for every route except the scrape
+        # itself (Prometheus convention: the collector's own traffic is
+        # not a serving signal)
+        if request.url.path == "/metrics":
+            return await call_next(request)
+        t0 = _time.perf_counter()
+        resp = await call_next(request)
+        METRICS.observe_request(request.url.path, resp.status_code,
+                                _time.perf_counter() - t0)
+        return resp
+
+    @app.get("/metrics")
+    def metrics():
+        return Response(content=METRICS.render(), media_type=_METRICS_CT)
 
     @app.get("/health")
     def health():

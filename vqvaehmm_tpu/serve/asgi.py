@@ -16,6 +16,7 @@ plus this framework's extensions):
                     reference's broken Flask /predict, api.py:18)
   POST /stream   -> streaming filtered-posterior sessions (one frame per
                     request; models/online.py)
+  GET  /metrics  -> Prometheus text exposition (serve/metrics.py)
 
 Run: uvicorn 'vqvaehmm_tpu.serve.asgi:create_asgi_app()'
 """
@@ -24,8 +25,11 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from .app import get_model
+from .metrics import CONTENT_TYPE as _METRICS_CT
+from .metrics import METRICS
 
 
 async def _read_body(receive) -> bytes:
@@ -74,8 +78,28 @@ def create_asgi_app(config_path: str = "inference_config.json"):
         assert scope["type"] == "http"
         path, method = scope["path"], scope["method"]
 
+        if path == "/metrics" and method == "GET":
+            # the scrape itself is not recorded (same convention as the
+            # other two surfaces)
+            data = METRICS.render().encode()
+            await send({
+                "type": "http.response.start",
+                "status": 200,
+                "headers": [(b"content-type", _METRICS_CT.encode()),
+                            (b"content-length", str(len(data)).encode())],
+            })
+            await send({"type": "http.response.body", "body": data})
+            return
+
+        t0 = time.perf_counter()
+
+        async def respond(status: int, payload: dict) -> None:
+            METRICS.observe_request(path, status,
+                                    time.perf_counter() - t0)
+            await _respond(send, status, payload)
+
         if path == "/health" and method == "GET":
-            await _respond(send, 200, {"status": "ok"})
+            await respond(200, {"status": "ok"})
             return
         if path in ("/infer", "/predict", "/stream") and method == "POST":
             try:
@@ -88,7 +112,7 @@ def create_asgi_app(config_path: str = "inference_config.json"):
                         finish=bool(req.get("finish", False)),
                         state=req.get("state"),
                         carry_state=bool(req.get("carry_state", False)))
-                    await _respond(send, 200, out)
+                    await respond(200, out)
                     return
                 if "x" not in req:
                     raise ValueError("missing field 'x'")
@@ -97,15 +121,15 @@ def create_asgi_app(config_path: str = "inference_config.json"):
                                       mode=req.get("mode", "mean_field"))
                 else:
                     out = model.predict(req["x"])
-                await _respond(send, 200, out)
+                await respond(200, out)
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 # TypeError covers malformed payloads numpy rejects
                 # (e.g. x as a JSON object) — still the client's fault
-                await _respond(send, 400, {"error": str(e)})
+                await respond(400, {"error": str(e)})
             except Exception as e:  # parity with the reference's 500
-                await _respond(send, 500, {"error": str(e)})
+                await respond(500, {"error": str(e)})
             return
-        await _respond(send, 404, {"error": f"no route {method} {path}"})
+        await respond(404, {"error": f"no route {method} {path}"})
 
     return app
 

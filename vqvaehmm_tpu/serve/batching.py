@@ -34,6 +34,7 @@ from typing import List, Optional
 import numpy as np
 
 from .app import BATCH_LADDER as _BATCH_LADDER, InferenceModel
+from .metrics import METRICS
 
 # the batch-dimension ladder lives in serve/app.py (BATCH_LADDER): the
 # bucket dispatch pin (_batch_align/_bucket_use_pallas) must know every
@@ -268,6 +269,9 @@ class BatchingModel:
             q = np.asarray(q)
             with self._lock:  # _run may execute on several pool threads
                 self.dispatches += 1
+            # actual coalesced size (not pad_b): the /metrics histogram
+            # answers "how full are my batches" (serve/metrics.py)
+            METRICS.observe_batch(B)
             for i, it in enumerate(group):
                 T = it.T
                 it.result = {

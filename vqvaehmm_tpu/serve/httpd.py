@@ -10,10 +10,13 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from .app import get_model
+from .metrics import CONTENT_TYPE as _METRICS_CT
+from .metrics import METRICS
 
 # bound on request bodies: a hostile/buggy Content-Length must not be
 # able to park a handler thread on an unbounded read
@@ -32,6 +35,8 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
                 code = 500
                 body = json.dumps(
                     {"detail": "non-finite values in response"}).encode()
+            METRICS.observe_request(self.path, code,
+                                    time.perf_counter() - self._t0)
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -39,12 +44,23 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/health":
+            self._t0 = time.perf_counter()
+            if self.path == "/metrics":
+                # the scrape itself is not recorded (same convention as
+                # the FastAPI middleware)
+                body = METRICS.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", _METRICS_CT)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/health":
                 self._send(200, {"status": "ok"})
             else:
                 self._send(404, {"detail": "not found"})
 
         def do_POST(self):
+            self._t0 = time.perf_counter()
             if self.path not in ("/infer", "/predict", "/stream"):
                 self._send(404, {"detail": "not found"})
                 return
