@@ -113,6 +113,16 @@ def test_fastapi_app_builds_and_serves(cfg_path):
     assert client.post("/infer", json={"x": x[:2]}).status_code == 400
     r = client.post("/predict", json={"x": x})
     assert r.status_code == 200 and "weights" in r.json()
+    # /metrics: the middleware recorded the calls above; the scrape is
+    # text exposition (serve/metrics.py) and never records itself
+    r = client.get("/metrics")
+    assert r.status_code == 200
+    assert r.headers["content-type"].startswith("text/plain")
+    assert 'vqhmm_requests_total{endpoint="/infer",status="200"}' in r.text
+    assert 'vqhmm_requests_total{endpoint="/infer",status="400"}' in r.text
+    assert "vqhmm_request_seconds_bucket" in r.text
+    before = r.text
+    assert client.get("/metrics").text == before  # scrapes not recorded
 
 
 def test_gradio_demo_builds(cfg_path):
