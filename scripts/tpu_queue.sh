@@ -26,4 +26,8 @@ run ensbench python scripts/ensemble_bench.py
 #    BENCH_NOTES "production-scale block sweep" table on this toolchain)
 run mxuprobe python scripts/mxu_probe.py
 
+# 4. HTTP-stack serving throughput, batched vs unbatched (refreshes the
+#    BENCH_NOTES "Serving micro-batching" numbers on-chip)
+run servbench python scripts/serving_bench.py --clients 32 --seconds 5
+
 echo "queue complete"
