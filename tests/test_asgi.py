@@ -143,6 +143,19 @@ def test_asgi_malformed_payload_types_are_400(cfg_path):
     assert st == 400
 
 
+def test_asgi_oversized_body_is_413(cfg_path, monkeypatch):
+    """Bodies beyond the bound 413 instead of ballooning worker memory
+    (the same _MAX_BODY guard the stdlib server applies)."""
+    from vqvaehmm_tpu.serve import asgi as asgi_mod
+
+    monkeypatch.setattr(asgi_mod, "_MAX_BODY", 1024)
+    app = asgi_mod.create_asgi_app(cfg_path)
+    st, out = asgi_request(app, "POST", "/infer",
+                           {"x": [[0.0] * 2000] * 5})
+    assert st == 413
+    assert "exceeds" in out["error"]
+
+
 def test_gradio_callback_inference(cfg_path):
     """One text -> (regime, probs, allocation) inference through the
     demo's actual click callback (make_infer_fn), no gradio needed —

@@ -32,11 +32,22 @@ from .metrics import CONTENT_TYPE as _METRICS_CT
 from .metrics import METRICS
 
 
+# same bound as serve/httpd._MAX_BODY: a hostile/buggy client must not
+# be able to balloon worker memory with an unbounded body
+_MAX_BODY = 64 * 1024 * 1024
+
+
+class _BodyTooLarge(Exception):
+    pass
+
+
 async def _read_body(receive) -> bytes:
     body = b""
     while True:
         msg = await receive()
         body += msg.get("body", b"")
+        if len(body) > _MAX_BODY:
+            raise _BodyTooLarge(f"request body exceeds {_MAX_BODY} bytes")
         if not msg.get("more_body"):
             return body
 
@@ -122,6 +133,8 @@ def create_asgi_app(config_path: str = "inference_config.json"):
                 else:
                     out = model.predict(req["x"])
                 await respond(200, out)
+            except _BodyTooLarge as e:
+                await respond(413, {"error": str(e)})
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 # TypeError covers malformed payloads numpy rejects
                 # (e.g. x as a JSON object) — still the client's fault
