@@ -156,6 +156,17 @@ def test_asgi_oversized_body_is_413(cfg_path, monkeypatch):
     assert "exceeds" in out["error"]
 
 
+def test_fastapi_body_bound_helper():
+    """The FastAPI middleware's Content-Length gate (no fastapi needed)."""
+    from vqvaehmm_tpu.serve.app import MAX_BODY, declared_body_too_large
+
+    assert not declared_body_too_large(None)
+    assert not declared_body_too_large("")
+    assert not declared_body_too_large(str(MAX_BODY))
+    assert not declared_body_too_large("not-a-number")
+    assert declared_body_too_large(str(MAX_BODY + 1))
+
+
 def test_gradio_callback_inference(cfg_path):
     """One text -> (regime, probs, allocation) inference through the
     demo's actual click callback (make_infer_fn), no gradio needed —

@@ -24,6 +24,16 @@ from typing import List, Optional
 import numpy as np
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
+# request-body bound shared across all three surfaces (httpd/asgi use
+# their _MAX_BODY twins; the FastAPI middleware checks the declared
+# Content-Length because uvicorn imposes no bound of its own)
+MAX_BODY = 64 * 1024 * 1024
+
+
+def declared_body_too_large(content_length) -> bool:
+    """True iff a Content-Length header declares a body beyond MAX_BODY."""
+    return bool(content_length) and str(content_length).isdigit() \
+        and int(content_length) > MAX_BODY
 # batch-dimension ladder shared with serve/batching.py: every
 # dispatch pads B up to one of these rungs
 BATCH_LADDER = (1, 2, 4, 8, 16, 32)
@@ -381,7 +391,15 @@ def create_app(config_path: str = "inference_config.json"):
         if request.url.path == "/metrics":
             return await call_next(request)
         t0 = _time.perf_counter()
-        resp = await call_next(request)
+        # same body bound as the other two surfaces (httpd/asgi _MAX_BODY
+        # = 64 MB): uvicorn itself imposes none, and a declared oversized
+        # body should be refused before it is read
+        if declared_body_too_large(request.headers.get("content-length")):
+            resp = Response(content='{"detail": "request body too large"}',
+                            status_code=413,
+                            media_type="application/json")
+        else:
+            resp = await call_next(request)
         METRICS.observe_request(request.url.path, resp.status_code,
                                 _time.perf_counter() - t0)
         return resp

@@ -27,14 +27,12 @@ import json
 import os
 import time
 
+# MAX_BODY is shared across all three surfaces: a hostile or buggy
+# client must not be able to balloon worker memory with an unbounded body
+from .app import MAX_BODY as _MAX_BODY
 from .app import get_model
 from .metrics import CONTENT_TYPE as _METRICS_CT
 from .metrics import METRICS
-
-
-# same bound as serve/httpd._MAX_BODY: a hostile/buggy client must not
-# be able to balloon worker memory with an unbounded body
-_MAX_BODY = 64 * 1024 * 1024
 
 
 class _BodyTooLarge(Exception):

@@ -14,13 +14,10 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+from .app import MAX_BODY as _MAX_BODY  # shared across all 3 surfaces
 from .app import get_model
 from .metrics import CONTENT_TYPE as _METRICS_CT
 from .metrics import METRICS
-
-# bound on request bodies: a hostile/buggy Content-Length must not be
-# able to park a handler thread on an unbounded read
-_MAX_BODY = 64 * 1024 * 1024
 
 
 def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
