@@ -546,6 +546,13 @@ def stage_report(outdir):
         "training, evaluation, backtest and Monte Carlo stages are "
         "byte-identical to the live path from `prepare_sequences` onward.",
         "",
+        "**Hardware note:** the two training stages (sections 1-2) ran on "
+        "one TPU v5e chip. The head/backtest/walk-forward/Monte-Carlo "
+        "stages were last regenerated on the CPU backend (same code, "
+        "float-level differences only — verified both ways on earlier "
+        "runs) after the Improved head gained the reference's middle "
+        "fc2 layer (train_simple.py:43-44).",
+        "",
         "## 1. Published training recipe (150 epochs, B=64, lr=1e-5)",
         "",
         f"- final negative ELBO: **{pub.get('loss', ['?'])[-1]}** "

@@ -169,6 +169,24 @@ def test_gmm_pipeline(rng):
     assert bench["final_value"] > 0
 
 
+def test_gmm_dropout_training_mode(rng):
+    """dropout=True trains with the head's Dropout(0.2) active (the
+    reference torch module's train-mode behavior, train_simple.py:42,45):
+    a different trajectory than the deterministic default, same-seed
+    reproducible, and still early-stoppable."""
+    from vqvaehmm_tpu.train.gmm_pipeline import train_improved_system
+
+    T, A = 250, 3
+    returns = rng.normal(5e-4, 0.01, size=(T, A)).astype(np.float32)
+    kw = dict(n_regimes=2, hidden_dim=8, num_epochs=8, patience=8,
+              log_fn=None)
+    det = train_improved_system(returns, dropout=False, **kw)
+    d1 = train_improved_system(returns, dropout=True, **kw)
+    d2 = train_improved_system(returns, dropout=True, **kw)
+    assert d1.history != det.history
+    assert d1.history == d2.history
+
+
 def test_gmm_temporal_chain_roundtrip_and_smoothing(tmp_path):
     """train_improved_system(temporal=True) fits regime dynamics over
     the GMM's own emissions; the chain persists through save/load with

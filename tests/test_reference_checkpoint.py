@@ -69,6 +69,182 @@ def test_identical_regime_sequences(loaded):
                                   q_torch.argmax(axis=1))
 
 
+REF_PORTFOLIO = "/root/reference/models/portfolio.pt"
+REF_IMPROVED = "/root/reference/models/portfolio_improved.pt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PORTFOLIO),
+                    reason="reference portfolio.pt not present")
+def test_regime_head_checkpoint_parity():
+    """models/portfolio.pt loads into RegimePortfolioOptimizer and gives
+    the torch module's exact weights (reference VQ_VAE_HMM_fixed.py:182-196
+    in eval mode)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               RegimePortfolioOptimizer)
+    from vqvaehmm_tpu.utils import (load_torch_file,
+                                    regime_head_params_from_state_dict)
+
+    sd = load_torch_file(REF_PORTFOLIO)
+    params = regime_head_params_from_state_dict(sd)
+    hidden, K = sd["net.0.weight"].shape
+    n_assets = sd["net.4.weight"].shape[0]
+    head = RegimePortfolioOptimizer(HeadConfig(K=K, n_assets=n_assets,
+                                               hidden_dim=hidden))
+    rng = np.random.default_rng(3)
+    q = rng.dirichlet(np.ones(K), size=8).astype(np.float32)
+
+    with jax.default_matmul_precision("float32"):
+        ours = np.asarray(head(params, jnp.asarray(q)))
+
+    def lin(i, h):
+        return h @ sd[f"net.{i}.weight"].T + sd[f"net.{i}.bias"]
+
+    t = torch.from_numpy(q).numpy()  # plain numpy oracle
+    h = np.maximum(lin(0, t), 0.0)
+    h = np.maximum(lin(2, h), 0.0)
+    logits = lin(4, h)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    ref = e / e.sum(-1, keepdims=True)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_IMPROVED),
+                    reason="reference portfolio_improved.pt not present")
+def test_improved_head_checkpoint_parity():
+    """models/portfolio_improved.pt loads into ImprovedPortfolioOptimizer
+    (the reference CLI's own workflow, inference.py:15-17) and matches the
+    eval-mode torch forward (train_simple.py:50-59)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               ImprovedPortfolioOptimizer)
+    from vqvaehmm_tpu.utils import (improved_head_params_from_state_dict,
+                                    load_torch_file)
+
+    sd = load_torch_file(REF_IMPROVED)
+    params = improved_head_params_from_state_dict(sd)
+    K = len({k.split(".")[1] for k in sd})
+    hidden = sd["regime_nets.0.0.weight"].shape[0]
+    n_assets = sd["regime_nets.0.6.weight"].shape[0]
+    head = ImprovedPortfolioOptimizer(HeadConfig(K=K, n_assets=n_assets,
+                                                 hidden_dim=hidden))
+    rng = np.random.default_rng(4)
+    q = rng.dirichlet(np.ones(K), size=8).astype(np.float32)
+
+    with jax.default_matmul_precision("float32"):
+        ours = np.asarray(head(params, jnp.asarray(q)))
+
+    weights = np.zeros((len(q), n_assets), np.float32)
+    for r in range(K):
+        h = np.maximum(q @ sd[f"regime_nets.{r}.0.weight"].T
+                       + sd[f"regime_nets.{r}.0.bias"], 0.0)
+        h = np.maximum(h @ sd[f"regime_nets.{r}.3.weight"].T
+                       + sd[f"regime_nets.{r}.3.bias"], 0.0)
+        logits = h @ sd[f"regime_nets.{r}.6.weight"].T \
+            + sd[f"regime_nets.{r}.6.bias"]
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        weights += q[:, r:r + 1] * (e / e.sum(-1, keepdims=True))
+    np.testing.assert_allclose(ours, weights, atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_IMPROVED),
+                    reason="reference portfolio_improved.pt not present")
+def test_cli_runs_on_reference_artifacts(tmp_path, capsys):
+    """The reference user's switch-over path: our CLI consumes the
+    reference's OWN shipped checkpoints (vae_hmm.pt + portfolio_improved
+    .pt) directly and prints the allocation report."""
+    import json
+
+    from vqvaehmm_tpu.serve.cli import main as cli_main
+
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 64, "K": 3,
+                     "hidden_dim2": 32, "u_dim": 4},
+           "portfolio": {"n_assets": 10, "hidden_dim": 64}}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    x = np.random.default_rng(7).normal(size=(1, 5, 40)).astype(np.float32)
+    data_path = str(tmp_path / "x.npy")
+    np.save(data_path, x)
+
+    cli_main(["--config", str(cfg_path), "--checkpoint", REF_CKPT,
+              "--head-checkpoint", REF_IMPROVED, "--data", data_path])
+    out = capsys.readouterr().out
+    assert "Current regime:" in out and "Allocation:" in out
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PORTFOLIO),
+                    reason="reference portfolio.pt not present")
+def test_serving_loads_pt_head_checkpoint(tmp_path):
+    """head_checkpoint_path pointing at a reference .pt head builds the
+    matching family with the checkpoint's dims (not the config's)."""
+    import json
+
+    import jax
+
+    from vqvaehmm_tpu.data.checkpoint import save_params_npz
+    from vqvaehmm_tpu.models.portfolio import (ImprovedPortfolioOptimizer,
+                                               RegimePortfolioOptimizer)
+    from vqvaehmm_tpu.serve.app import InferenceModel
+    import vqvaehmm_tpu as vt
+
+    model = vt.make_model(5, 8, 3, 4, u_dim=4, trans_hidden=8)
+    save_params_npz(str(tmp_path / "m.npz"),
+                    model.init(jax.random.PRNGKey(0)))
+    for ckpt, family, hidden in [(REF_PORTFOLIO,
+                                  RegimePortfolioOptimizer, 64),
+                                 (REF_IMPROVED,
+                                  ImprovedPortfolioOptimizer, 128)]:
+        if not os.path.exists(ckpt):
+            continue
+        cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                         "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+               "checkpoint_path": str(tmp_path / "m.npz"),
+               "head_checkpoint_path": ckpt,
+               "portfolio": {"n_assets": 4, "hidden_dim": 8}}
+        p = tmp_path / f"cfg_{family.__name__}.json"
+        p.write_text(json.dumps(cfg))
+        m = InferenceModel(str(p))
+        head, head_params = m._get_head()
+        assert isinstance(head, family)
+        assert head.cfg.hidden_dim == hidden
+        assert head.cfg.n_assets == 10
+        out = m.predict([[0.1] * 30] * 5)
+        w = np.asarray(out["weights"], np.float64)
+        assert w.shape == (10,)
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-4)
+
+
+def test_head_state_dict_round_trips():
+    """Our heads export reference-loadable state_dicts that round-trip."""
+    import jax
+
+    from vqvaehmm_tpu.models.portfolio import (HeadConfig,
+                                               ImprovedPortfolioOptimizer,
+                                               RegimePortfolioOptimizer)
+    from vqvaehmm_tpu.utils import (head_params_from_state_dict,
+                                    improved_head_params_to_state_dict,
+                                    regime_head_params_to_state_dict)
+
+    cfg = HeadConfig(K=3, n_assets=5, hidden_dim=8)
+    for head, to_sd in [
+            (RegimePortfolioOptimizer(cfg), regime_head_params_to_state_dict),
+            (ImprovedPortfolioOptimizer(cfg),
+             improved_head_params_to_state_dict)]:
+        params = head.init(jax.random.PRNGKey(0))
+        back = head_params_from_state_dict(to_sd(params))
+        flat1 = jax.tree_util.tree_leaves_with_path(params)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(back))
+        assert len(flat1) == len(flat2)
+        for path, leaf in flat1:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(flat2[path]))
+
+
 def test_elbo_parity_on_reference_weights(loaded):
     import jax
     import jax.numpy as jnp

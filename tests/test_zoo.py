@@ -82,6 +82,25 @@ def test_bayesian_mc_sampling(q3):
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
 
 
+def test_improved_dropout_modes(q3):
+    # keyless call = reference eval mode (deterministic); key = training
+    # mode with Dropout(0.2) active (train_simple.py:42,45) — stochastic
+    # but still a valid simplex mixture.
+    m = ImprovedPortfolioOptimizer(CFG)
+    p = m.init(jax.random.PRNGKey(5))
+    w1 = m(p, q3)
+    w2 = m(p, q3)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    wa = m(p, q3, key=jax.random.PRNGKey(6))
+    wb = m(p, q3, key=jax.random.PRNGKey(7))
+    _check_weights(wa)
+    _check_weights(wb)
+    assert np.abs(np.asarray(wa) - np.asarray(wb)).max() > 1e-6
+    # same key reproduces
+    wc = m(p, q3, key=jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(wa), np.asarray(wc))
+
+
 def test_transformer_accepts_last_step_input(q3):
     # (B,K) arrival shape = length-1 sequence (reference unsqueezes:
     # portfolio_optimizer.py:23-35 feeds whatever the caller has).

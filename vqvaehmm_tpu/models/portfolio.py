@@ -245,8 +245,18 @@ class RegimeLSTMOptimizer:
 
 
 class ImprovedPortfolioOptimizer:
-    """Per-regime MLP bank, probability-weighted mixture of softmax weights
-    (reference: train_simple.py:31-60); the per-regime loop is a vmap."""
+    """Per-regime MLP bank — Linear(K,h) > ReLU > Dropout > Linear(h,h) >
+    ReLU > Dropout > Linear(h,A) per regime — probability-weighted mixture
+    of softmax weights (reference: train_simple.py:31-60); the per-regime
+    loop is a vmap.
+
+    Dropout (rate 0.2, train_simple.py:42,45) is active only when `key` is
+    passed (training); the default keyless call is deterministic, matching
+    the reference's `.eval()` inference mode (inference.py:17).  The param
+    layout loads the reference's shipped `models/portfolio_improved.pt`
+    via utils.torch_interop.improved_head_params_from_state_dict."""
+
+    dropout_rate = 0.2
 
     def __init__(self, cfg: HeadConfig):
         self.cfg = cfg
@@ -255,20 +265,34 @@ class ImprovedPortfolioOptimizer:
         c = self.cfg
 
         def one(k):
-            k1, k2 = jax.random.split(k)
+            k1, k2, k3 = jax.random.split(k, 3)
             return {"fc1": ops.init_linear(k1, c.K, c.hidden_dim),
-                    "fc2": ops.init_linear(k2, c.hidden_dim, c.n_assets)}
+                    "fc2": ops.init_linear(k2, c.hidden_dim, c.hidden_dim),
+                    "fc3": ops.init_linear(k3, c.hidden_dim, c.n_assets)}
 
         keys = jax.random.split(key, c.K)
         return jax.tree_util.tree_map(lambda *a: jnp.stack(a),
                                       *[one(k) for k in keys])
 
-    def __call__(self, params: Params, regime_probs: jnp.ndarray):
+    def __call__(self, params: Params, regime_probs: jnp.ndarray,
+                 *, key=None):
         q = _last_step(regime_probs)  # (B,K)
 
-        def expert(p):
-            h = jax.nn.relu(ops.linear(p["fc1"], q))
-            return psoftmax(ops.linear(p["fc2"], h), axis=-1)
+        def drop(h, k):
+            if k is None:
+                return h
+            keep = jax.random.bernoulli(k, 1.0 - self.dropout_rate, h.shape)
+            return jnp.where(keep, h / (1.0 - self.dropout_rate), 0.0)
 
-        w = jax.vmap(expert)(params)  # (K,B,A)
+        def expert(p, ks):
+            k1, k2 = (None, None) if ks is None else (ks[0], ks[1])
+            h = drop(jax.nn.relu(ops.linear(p["fc1"], q)), k1)
+            h = drop(jax.nn.relu(ops.linear(p["fc2"], h)), k2)
+            return psoftmax(ops.linear(p["fc3"], h), axis=-1)
+
+        if key is None:
+            w = jax.vmap(lambda p: expert(p, None))(params)  # (K,B,A)
+        else:
+            keys = jax.random.split(key, (self.cfg.K, 2))
+            w = jax.vmap(expert)(params, keys)
         return jnp.einsum("kba,bk->ba", w, q)

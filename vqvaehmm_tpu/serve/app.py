@@ -312,6 +312,38 @@ class InferenceModel:
                 K=self.cfg.model.K, n_assets=self.cfg.portfolio.n_assets,
                 hidden_dim=self.cfg.portfolio.hidden_dim))
             head_ckpt = self.cfg.head_checkpoint_path
+            if str(head_ckpt or "").endswith((".pt", ".pth")) \
+                    and os.path.exists(str(head_ckpt)):
+                # reference torch head checkpoints (models/portfolio.pt /
+                # portfolio_improved.pt): family from state_dict naming,
+                # dims from the weights (inference.py:15-17 workflow)
+                import numpy as np
+
+                from ..models.portfolio import ImprovedPortfolioOptimizer
+                from ..utils.torch_interop import (
+                    head_params_from_state_dict, load_torch_file)
+
+                head_params = head_params_from_state_dict(
+                    load_torch_file(str(head_ckpt)))
+                w1 = np.asarray(head_params["fc1"]["weight"])
+                if w1.ndim == 3:
+                    hc = HeadConfig(
+                        K=w1.shape[0], hidden_dim=w1.shape[1],
+                        n_assets=np.asarray(
+                            head_params["fc3"]["weight"]).shape[1])
+                    head = ImprovedPortfolioOptimizer(hc)
+                else:
+                    hc = HeadConfig(
+                        K=w1.shape[1], hidden_dim=w1.shape[0],
+                        n_assets=np.asarray(
+                            head_params["fc3"]["weight"]).shape[0])
+                    head = RegimePortfolioOptimizer(hc)
+                if hc.K != self.cfg.model.K:
+                    raise ValueError(
+                        f"head checkpoint {head_ckpt!r} has K={hc.K} but "
+                        f"the model serves K={self.cfg.model.K}")
+                self._head_state = (head, head_params)
+                return self._head_state
             # accept the path verbatim OR with the implicit .npz suffix —
             # the same rule as the main checkpoint above (configuring
             # "head.npz" must not probe "head.npz.npz", miss, and silently

@@ -152,13 +152,38 @@ def main(argv=None):
     validate_params_for(model, params,
                         what=f"checkpoint {args.checkpoint!r}")
 
-    head = RegimePortfolioOptimizer(HeadConfig(
-        K=cfg.model.K, n_assets=cfg.portfolio.n_assets,
-        hidden_dim=cfg.portfolio.hidden_dim))
-    if args.head_checkpoint:
-        head_params = load_params_npz(args.head_checkpoint)
+    if args.head_checkpoint and not args.head_checkpoint.endswith(".npz"):
+        # reference .pt head checkpoints (models/portfolio.pt /
+        # portfolio_improved.pt): detect the family from the state_dict
+        # naming and build the matching head with dims from the weights
+        from ..models.portfolio import ImprovedPortfolioOptimizer
+        from ..utils.torch_interop import (head_params_from_state_dict,
+                                           load_torch_file)
+
+        head_params = head_params_from_state_dict(
+            load_torch_file(args.head_checkpoint))
+        w1 = np.asarray(head_params["fc1"]["weight"])
+        if w1.ndim == 3:   # stacked regime bank -> Improved head
+            K, hidden = w1.shape[0], w1.shape[1]
+            n_assets = np.asarray(head_params["fc3"]["weight"]).shape[1]
+            head = ImprovedPortfolioOptimizer(HeadConfig(
+                K=K, n_assets=n_assets, hidden_dim=hidden))
+        else:
+            hidden, K = w1.shape
+            n_assets = np.asarray(head_params["fc3"]["weight"]).shape[0]
+            head = RegimePortfolioOptimizer(HeadConfig(
+                K=K, n_assets=n_assets, hidden_dim=hidden))
+        if K != cfg.model.K:
+            raise ValueError(f"head checkpoint K={K} != model K="
+                             f"{cfg.model.K}")
     else:
-        head_params = head.init(jax.random.PRNGKey(0))
+        head = RegimePortfolioOptimizer(HeadConfig(
+            K=cfg.model.K, n_assets=cfg.portfolio.n_assets,
+            hidden_dim=cfg.portfolio.hidden_dim))
+        if args.head_checkpoint:
+            head_params = load_params_npz(args.head_checkpoint)
+        else:
+            head_params = head.init(jax.random.PRNGKey(0))
 
     if args.data:
         x = np.load(args.data)

@@ -65,10 +65,18 @@ def make_infer_fn(config_path: str = "inference_config.json"):
     from .app import get_model
 
     m = get_model(config_path)
-    head = TransformerPortfolioOptimizer(HeadConfig(
-        K=m.cfg.model.K, n_assets=m.cfg.portfolio.n_assets,
-        hidden_dim=m.cfg.portfolio.hidden_dim))
-    head_params = head.init(jax.random.PRNGKey(0))
+    # head_checkpoint_path is honored here (the _get_head loader handles
+    # .npz AND the reference's .pt heads) — unlike the reference demo,
+    # which constructs a TransformerPortfolioOptimizer but loads
+    # portfolio_improved.pt's Improved state_dict into it (app.py:9-17):
+    # the load_state_dict fails and the try/except serves random init.
+    if m.cfg.head_checkpoint_path:
+        head, head_params = m._get_head()
+    else:
+        head = TransformerPortfolioOptimizer(HeadConfig(
+            K=m.cfg.model.K, n_assets=m.cfg.portfolio.n_assets,
+            hidden_dim=m.cfg.portfolio.hidden_dim))
+        head_params = head.init(jax.random.PRNGKey(0))
 
     def infer(text):
         def posterior_fn(x):

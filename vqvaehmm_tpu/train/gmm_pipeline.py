@@ -142,8 +142,14 @@ def load_improved_system(path: str) -> ImprovedSystem:
         K=h["K"], n_assets=h["n_assets"], hidden_dim=h["hidden_dim"]))
     # Rebuild the pytree structure from a fresh init, then graft the
     # saved leaves (flatten order is deterministic for a fixed structure).
-    treedef = jax.tree_util.tree_structure(
-        optimizer.init(jax.random.PRNGKey(0)))
+    template = optimizer.init(jax.random.PRNGKey(0))
+    treedef = jax.tree_util.tree_structure(template)
+    if len(leaves) != treedef.num_leaves:
+        raise ValueError(
+            f"archive {path!r} holds {len(leaves)} head arrays but the "
+            f"current ImprovedPortfolioOptimizer has {treedef.num_leaves} "
+            "(the head gained the reference's middle fc2 layer, "
+            "train_simple.py:43-44); re-train or re-save the system")
     params = jax.tree_util.tree_unflatten(treedef, leaves)
     return ImprovedSystem(detector, optimizer, params, history, chain)
 
@@ -153,7 +159,7 @@ def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
                           lr: float = 1e-3, lookback: int = 20,
                           diversification_weight: float = 0.1,
                           patience: int = 20, seed: int = 0,
-                          temporal: bool = False,
+                          temporal: bool = False, dropout: bool = False,
                           log_fn=print) -> ImprovedSystem:
     """End-to-end GMM stack (reference: train_simple.py:103-182).
 
@@ -161,6 +167,13 @@ def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
     features, then trains the per-regime MLP mixture on
     -Sharpe + diversification penalty (squared deviation from equal
     weight), with patience-based early stopping.
+
+    dropout=True trains with the head's Dropout(0.2) active (a fresh key
+    per step), as the reference's torch module does in train mode
+    (train_simple.py:42,45 — it never calls .eval() while training).
+    Default False: full-batch deterministic training, so the
+    early-stopping loss is noise-free (documented deviation; inference
+    is dropout-free in both cases, matching inference.py:17).
 
     temporal=True additionally fits regime DYNAMICS over the GMM's own
     emission densities (models/hmm.fit_transitions_em) and stores them
@@ -194,9 +207,9 @@ def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
         [aligned_returns[t + 1:t + 1 + horizon] for t in range(n)]))  # (N,H,A)
 
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, key):
         def loss_fn(p):
-            w = opt_model(p, q_all)                   # (N, A)
+            w = opt_model(p, q_all, key=key if dropout else None)  # (N, A)
             pr = (w[:, None, :] * fwd_rets).sum(-1)   # (N, H)
             mu = pr.mean(axis=1)
             sd = jnp.maximum(jnp.std(pr, axis=1, ddof=1), 1e-8)
@@ -214,8 +227,10 @@ def train_improved_system(returns: np.ndarray, n_regimes: int = 3,
     best = np.inf
     wait = 0
     best_params = params
+    drop_key = jax.random.PRNGKey(seed + 1)
     for ep in range(num_epochs):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(drop_key, ep))
         loss = float(loss)
         history.append(loss)
         if loss < best - 1e-5:

@@ -89,6 +89,90 @@ def vae_hmm_params_to_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
+# --- portfolio-head checkpoints ------------------------------------------
+# The reference also ships trained downstream heads: models/portfolio.pt
+# (RegimePortfolioOptimizer state_dict, nn.Sequential keys net.{0,2,4} —
+# VQ_VAE_HMM_fixed.py:182-196, saved by train.py:91-92) and
+# models/portfolio_improved.pt (ImprovedPortfolioOptimizer, per-regime
+# nn.Sequential keys regime_nets.{i}.{0,3,6} — train_simple.py:38-48,
+# loaded by inference.py:15-16).  Linear layout is torch-native here, so
+# these are renames + a stack over the regime axis for the vmapped bank.
+
+_REGIME_HEAD_LAYERS = {"0": "fc1", "2": "fc2", "4": "fc3"}
+_IMPROVED_LAYERS = {"0": "fc1", "3": "fc2", "6": "fc3"}
+
+
+def regime_head_params_from_state_dict(
+        numpy_sd: Dict[str, np.ndarray]) -> Dict:
+    """RegimePortfolioOptimizer pytree from a reference `net.{0,2,4}`
+    state_dict (models/portfolio.pt)."""
+    expected = {f"net.{i}.{p}" for i in _REGIME_HEAD_LAYERS
+                for p in ("weight", "bias")}
+    _check_keys(numpy_sd, expected)
+    return {fc: {p: jnp.asarray(numpy_sd[f"net.{i}.{p}"], jnp.float32)
+                 for p in ("weight", "bias")}
+            for i, fc in _REGIME_HEAD_LAYERS.items()}
+
+
+def regime_head_params_to_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of regime_head_params_from_state_dict (reference-loadable)."""
+    return {f"net.{i}.{p}": np.asarray(params[fc][p], np.float32)
+            for i, fc in _REGIME_HEAD_LAYERS.items()
+            for p in ("weight", "bias")}
+
+
+def improved_head_params_from_state_dict(
+        numpy_sd: Dict[str, np.ndarray]) -> Dict:
+    """ImprovedPortfolioOptimizer pytree from a reference
+    `regime_nets.{i}.{0,3,6}` state_dict (models/portfolio_improved.pt).
+    Per-regime nets are stacked on a leading K axis to match the vmapped
+    expert bank (models/portfolio.py ImprovedPortfolioOptimizer.init)."""
+    regimes = sorted({int(k.split(".")[1]) for k in numpy_sd
+                      if k.startswith("regime_nets.")})
+    if regimes != list(range(len(regimes))) or not regimes:
+        raise KeyError(f"malformed regime_nets indices: {regimes}")
+    expected = {f"regime_nets.{r}.{i}.{p}" for r in regimes
+                for i in _IMPROVED_LAYERS for p in ("weight", "bias")}
+    _check_keys(numpy_sd, expected)
+    return {fc: {p: jnp.asarray(np.stack(
+                    [numpy_sd[f"regime_nets.{r}.{i}.{p}"] for r in regimes]),
+                    jnp.float32)
+                 for p in ("weight", "bias")}
+            for i, fc in _IMPROVED_LAYERS.items()}
+
+
+def improved_head_params_to_state_dict(
+        params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of improved_head_params_from_state_dict: unstack the regime
+    axis back into reference `regime_nets.{i}` naming."""
+    K = int(np.asarray(params["fc1"]["weight"]).shape[0])
+    return {f"regime_nets.{r}.{i}.{p}":
+            np.asarray(params[fc][p][r], np.float32)
+            for r in range(K)
+            for i, fc in _IMPROVED_LAYERS.items()
+            for p in ("weight", "bias")}
+
+
+def head_params_from_state_dict(numpy_sd: Dict[str, np.ndarray]) -> Dict:
+    """Auto-detect the head family from state_dict naming: `regime_nets.*`
+    -> ImprovedPortfolioOptimizer, `net.*` -> RegimePortfolioOptimizer."""
+    if any(k.startswith("regime_nets.") for k in numpy_sd):
+        return improved_head_params_from_state_dict(numpy_sd)
+    if any(k.startswith("net.") for k in numpy_sd):
+        return regime_head_params_from_state_dict(numpy_sd)
+    raise KeyError("state_dict matches no known portfolio head family "
+                   f"(keys: {sorted(numpy_sd)[:6]}...)")
+
+
+def _check_keys(numpy_sd: Dict[str, np.ndarray], expected) -> None:
+    missing = sorted(expected - set(numpy_sd))
+    extra = sorted(set(numpy_sd) - expected)
+    if missing:
+        raise KeyError(f"state_dict missing expected keys: {missing}")
+    if extra:
+        raise KeyError(f"unrecognized state_dict keys: {extra}")
+
+
 def save_torch_file(params: Dict, path: str) -> None:
     """Write a VAEHMM param pytree as a reference-loadable torch .pt
     state_dict (lazy torch import) — the reverse of load_torch_file, so
