@@ -169,6 +169,59 @@ def test_gmm_pipeline(rng):
     assert bench["final_value"] > 0
 
 
+class _RefDetector:
+    """Stand-in for the reference's pickled SimpleRegimeDetector
+    (train_simple.py:10-28): a wrapper exposing .gmm (module-level so
+    pickle can resolve it)."""
+
+    def __init__(self, gmm):
+        self.n_regimes = gmm.n_components
+        self.gmm = gmm
+
+
+def test_gmm_from_sklearn_migration(rng, tmp_path):
+    """SimpleRegimeDetector.from_sklearn consumes a fitted sklearn
+    GaussianMixture — the estimator inside the reference's
+    regime_detector.pkl (train_simple.py:190-192) — with matching
+    responsibilities, through both the raw estimator and the
+    reference-shaped pickled wrapper."""
+    import pickle
+
+    sklearn_mix = pytest.importorskip("sklearn.mixture")
+
+    from vqvaehmm_tpu.models.gmm import SimpleRegimeDetector
+
+    # well-separated 2-component features
+    f = np.concatenate([rng.normal(-2, 0.5, size=(120, 4)),
+                        rng.normal(2, 0.5, size=(120, 4))]).astype(np.float32)
+    sk = sklearn_mix.GaussianMixture(n_components=2,
+                                     covariance_type="full",
+                                     random_state=42, n_init=3).fit(f)
+    det = SimpleRegimeDetector.from_sklearn(sk)
+    test_f = rng.normal(0, 2.5, size=(40, 4)).astype(np.float32)
+    np.testing.assert_allclose(det.predict_proba(test_f),
+                               sk.predict_proba(test_f), atol=1e-4)
+    np.testing.assert_array_equal(det.predict_regime(test_f),
+                                  sk.predict(test_f))
+
+    # the reference pickles a wrapper object exposing .gmm; emulate its
+    # regime_detector.pkl round-trip
+    p = tmp_path / "regime_detector.pkl"
+    p.write_bytes(pickle.dumps(_RefDetector(sk)))
+    det2 = SimpleRegimeDetector.from_sklearn(pickle.loads(p.read_bytes()))
+    np.testing.assert_allclose(det2.predict_proba(test_f),
+                               sk.predict_proba(test_f), atol=1e-4)
+
+    # unfitted estimator -> clear error; diag covariance -> clear error
+    with pytest.raises(ValueError, match="FITTED"):
+        SimpleRegimeDetector.from_sklearn(
+            sklearn_mix.GaussianMixture(n_components=2))
+    sk_diag = sklearn_mix.GaussianMixture(
+        n_components=2, covariance_type="diag", random_state=0).fit(f)
+    with pytest.raises(ValueError, match="full"):
+        SimpleRegimeDetector.from_sklearn(sk_diag)
+
+
 def test_gmm_dropout_training_mode(rng):
     """dropout=True trains with the head's Dropout(0.2) active (the
     reference torch module's train-mode behavior, train_simple.py:42,45):

@@ -180,6 +180,49 @@ class SimpleRegimeDetector:
         self.fitted = True
         return self
 
+    @classmethod
+    def from_sklearn(cls, sk_gmm, feature_mu=None,
+                     feature_sd=None) -> "SimpleRegimeDetector":
+        """Build a fitted detector from a fitted sklearn GaussianMixture —
+        the estimator inside the reference's `regime_detector.pkl`
+        (train_simple.py:14-15, saved :190-192, reloaded inference.py:11-13).
+        Accepts the sklearn estimator itself or any wrapper exposing
+        `.gmm` (the reference's own SimpleRegimeDetector), duck-typed —
+        sklearn is never imported here.
+
+        Only covariance_type='full' (the reference's setting) maps onto
+        GMMParams.  feature_mu/feature_sd: pass the z-scoring stats the
+        original features were normalized with, if any — the reference
+        normalizes inside ITS prepare_regime_features, so a migrating
+        caller keeps feeding features normalized the same way (or
+        provides the stats here and feeds raw features)."""
+        sk = getattr(sk_gmm, "gmm", sk_gmm)
+        for attr in ("weights_", "means_", "covariances_"):
+            if not hasattr(sk, attr):
+                raise ValueError(
+                    f"{type(sk).__name__} has no {attr}; expected a "
+                    "FITTED sklearn GaussianMixture (or a wrapper with "
+                    "a .gmm attribute holding one)")
+        covs = np.asarray(sk.covariances_, np.float32)
+        means = np.asarray(sk.means_, np.float32)
+        K = means.shape[0]
+        if covs.shape != (K, means.shape[1], means.shape[1]):
+            raise ValueError(
+                f"covariances_ shape {covs.shape} is not full-covariance "
+                f"(K, D, D); only covariance_type='full' (the reference's, "
+                "train_simple.py:14) is supported")
+        det = cls(n_regimes=K)
+        det.gmm.params = GMMParams(jnp.asarray(sk.weights_, jnp.float32),
+                                   jnp.asarray(means), jnp.asarray(covs))
+        det.gmm.log_likelihood_ = float(getattr(sk, "lower_bound_", np.nan))
+        if feature_mu is not None:
+            if feature_sd is None:
+                raise ValueError("feature_mu given without feature_sd")
+            det.feature_mu = np.asarray(feature_mu, np.float32)
+            det.feature_sd = np.asarray(feature_sd, np.float32)
+        det.fitted = True
+        return det
+
     def predict_regime(self, features) -> np.ndarray:
         self._require_fitted()
         return self.gmm.predict(self._norm(features))
