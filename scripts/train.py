@@ -70,14 +70,18 @@ def main():
     head = RegimePortfolioOptimizer(HeadConfig(K=3, n_assets=n_assets))
     head_params = head.init(jax.random.PRNGKey(1))
 
+    # full windows only: pointwise heads read t = T-1, so the head stage
+    # samples whole sequences (the reference trains its head on fixed
+    # seq_len windows too, training.py:133-148)
     n_batches, B = 8, 32
+    T = xs.shape[2]
     batches = []
     rng = np.random.default_rng(0)
     for _ in range(n_batches):
-        items = [dataset[i] for i in range(B)]
-        from vqvaehmm_tpu.data.dataset import collate_fn
-
-        batches.append(collate_fn(items, pad_to=dataset.max_len))
+        idx = rng.integers(0, len(xs), size=B)
+        batches.append((np.asarray(xs[idx], np.float32),
+                        np.asarray(us[idx], np.float32),
+                        np.full(B, T, np.int32)))
     if returns is not None and len(returns) > 30:
         r = returns.values.astype(np.float32)
         idx = rng.integers(0, len(r) - 21, size=(n_batches, B))
@@ -91,7 +95,13 @@ def main():
                                        lr=1e-3)
     save_params_npz(os.path.join(args.outdir, "portfolio.npz"),
                     result.params)
-    print(f"saved {args.outdir}/vae_hmm.npz and {args.outdir}/portfolio.npz")
+    # reference-loadable .pt twins (reference save_models, train.py:87-93)
+    from vqvaehmm_tpu.utils import save_head_torch_file, save_torch_file
+
+    save_torch_file(state.params, os.path.join(args.outdir, "vae_hmm.pt"))
+    save_head_torch_file(result.params,
+                         os.path.join(args.outdir, "portfolio.pt"))
+    print(f"saved {args.outdir}/{{vae_hmm,portfolio}}.{{npz,pt}}")
     print(f"final VAE loss {hist[-1]:.4f}, "
           f"final portfolio loss {result.history[-1]:.4f}")
 

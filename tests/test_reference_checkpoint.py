@@ -219,8 +219,10 @@ def test_serving_loads_pt_head_checkpoint(tmp_path):
         np.testing.assert_allclose(w.sum(), 1.0, atol=1e-4)
 
 
-def test_head_state_dict_round_trips():
-    """Our heads export reference-loadable state_dicts that round-trip."""
+def test_head_state_dict_round_trips(tmp_path):
+    """Our heads export reference-loadable state_dicts that round-trip,
+    in memory and through an actual .pt file (save_head_torch_file
+    dispatches the family from the params)."""
     import jax
 
     from vqvaehmm_tpu.models.portfolio import (HeadConfig,
@@ -228,7 +230,9 @@ def test_head_state_dict_round_trips():
                                                RegimePortfolioOptimizer)
     from vqvaehmm_tpu.utils import (head_params_from_state_dict,
                                     improved_head_params_to_state_dict,
-                                    regime_head_params_to_state_dict)
+                                    load_torch_file,
+                                    regime_head_params_to_state_dict,
+                                    save_head_torch_file)
 
     cfg = HeadConfig(K=3, n_assets=5, hidden_dim=8)
     for head, to_sd in [
@@ -236,13 +240,16 @@ def test_head_state_dict_round_trips():
             (ImprovedPortfolioOptimizer(cfg),
              improved_head_params_to_state_dict)]:
         params = head.init(jax.random.PRNGKey(0))
-        back = head_params_from_state_dict(to_sd(params))
-        flat1 = jax.tree_util.tree_leaves_with_path(params)
-        flat2 = dict(jax.tree_util.tree_leaves_with_path(back))
-        assert len(flat1) == len(flat2)
-        for path, leaf in flat1:
-            np.testing.assert_array_equal(np.asarray(leaf),
-                                          np.asarray(flat2[path]))
+        pt = str(tmp_path / f"{type(head).__name__}.pt")
+        save_head_torch_file(params, pt)
+        for back in (head_params_from_state_dict(to_sd(params)),
+                     head_params_from_state_dict(load_torch_file(pt))):
+            flat1 = jax.tree_util.tree_leaves_with_path(params)
+            flat2 = dict(jax.tree_util.tree_leaves_with_path(back))
+            assert len(flat1) == len(flat2)
+            for path, leaf in flat1:
+                np.testing.assert_array_equal(np.asarray(leaf),
+                                              np.asarray(flat2[path]))
 
 
 def test_elbo_parity_on_reference_weights(loaded):

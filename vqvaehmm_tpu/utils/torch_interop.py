@@ -179,8 +179,22 @@ def save_torch_file(params: Dict, path: str) -> None:
     models trained here drop into the reference's servers/scripts
     (torch.load + VAE_HMM.load_state_dict, reference
     inference_api/app.py:44-47) unchanged."""
+    _save_sd(vae_hmm_params_to_state_dict(params), path)
+
+
+def save_head_torch_file(params: Dict, path: str) -> None:
+    """Write a portfolio-head pytree as a reference-loadable .pt
+    state_dict, family detected from the params (a 3-D fc1 weight is the
+    stacked Improved bank) — the head counterpart of save_torch_file
+    (reference save targets: train.py:91-92, train_simple.py:194-195)."""
+    if np.asarray(params["fc1"]["weight"]).ndim == 3:
+        _save_sd(improved_head_params_to_state_dict(params), path)
+    else:
+        _save_sd(regime_head_params_to_state_dict(params), path)
+
+
+def _save_sd(sd: Dict[str, np.ndarray], path: str) -> None:
     import torch
 
-    sd = {k: torch.from_numpy(np.array(v, dtype=np.float32))
-          for k, v in vae_hmm_params_to_state_dict(params).items()}
-    torch.save(sd, path)
+    torch.save({k: torch.from_numpy(np.array(v, dtype=np.float32))
+                for k, v in sd.items()}, path)
