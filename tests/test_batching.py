@@ -216,7 +216,9 @@ def test_env_knob_batches_all_surfaces(tmp_path, monkeypatch):
     get_model.cache_clear()
     try:
         m = get_model(str(cfg_path))
-        assert isinstance(m, BatchingModel)
+        # get_model returns a ModelHandle proxy (hot-reload); is_batching
+        # delegates to the wrapped micro-batcher
+        assert m.is_batching and isinstance(m._inner, BatchingModel)
         x = np.random.default_rng(7).normal(size=(5, 13)).tolist()
         out = m.infer(x)
         assert np.array(out["regime_probs"]).shape == (3, 13)

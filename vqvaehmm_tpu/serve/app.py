@@ -16,8 +16,10 @@ equivalent returning portfolio weights when a head checkpoint is configured.
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
+import threading
 from functools import lru_cache
 from typing import List, Optional
 
@@ -41,6 +43,8 @@ BATCH_LADDER = (1, 2, 4, 8, 16, 32)
 
 class InferenceModel:
     """Lazy singleton wrapping a jitted VAEHMM (reference :24-48)."""
+
+    is_batching = False  # type check the surfaces use (see ModelHandle)
 
     def __init__(self, config_path: str = "inference_config.json"):
         import jax
@@ -375,14 +379,9 @@ class InferenceModel:
         return self._head_state
 
 
-@lru_cache(maxsize=1)
-def get_model(config_path: str = "inference_config.json"):
-    """Process-wide model singleton shared by all serving surfaces.
-
-    VQHMM_BATCH=1 wraps it in the micro-batcher (serve/batching.py) so
-    the FastAPI/ASGI/stdlib servers all coalesce concurrent /infer
-    requests — the env knob lets Docker/k8s turn it on without code
-    (VQHMM_MAX_BATCH, VQHMM_MAX_WAIT_MS, VQHMM_WARMUP_LENGTHS tune it)."""
+def _build_model(config_path: str):
+    """One fully-initialized serving model: InferenceModel, optionally
+    wrapped in the micro-batcher + warmed per the VQHMM_* env knobs."""
     model = InferenceModel(config_path)
     if os.environ.get("VQHMM_BATCH", "") not in ("", "0"):
         from .batching import BatchingModel
@@ -397,12 +396,87 @@ def get_model(config_path: str = "inference_config.json"):
     return model
 
 
+class ModelHandle:
+    """Stable per-config handle every serving surface holds; `reload()`
+    swaps in freshly-loaded weights with zero downtime.
+
+    Why a whole new inner model instead of assigning `self.params`: the
+    jitted closures capture params as TRACE CONSTANTS (they are not call
+    arguments — see InferenceModel._infer), so an in-place param swap
+    would keep serving the OLD weights out of the cached executables.
+    reload() therefore re-reads the config, builds and validates a
+    complete model (same checkpoint validation as startup; under
+    VQHMM_BATCH also a fresh warmed micro-batcher), then swaps the inner
+    reference atomically — in-flight requests finish on the old model,
+    every later request sees the new one, and a FAILED build leaves the
+    old model serving untouched.
+
+    Worker-local streaming sessions do not survive a reload (the swap is
+    a logical worker restart); clients using carry_state=true resume
+    seamlessly, exactly as across worker fan-out (docs/serving.md)."""
+
+    def __init__(self, config_path: str):
+        self._config_path = config_path
+        self._reload_lock = threading.Lock()
+        self._inner = _build_model(config_path)
+
+    def __getattr__(self, name):
+        # delegate everything (infer/predict/stream/cfg/params/close/...);
+        # lookup happens per call, so a swapped inner takes effect
+        # immediately for every caller holding this handle
+        if name == "_inner":  # partially-constructed handle (build raised)
+            raise AttributeError(name)
+        return getattr(self._inner, name)
+
+    def reload(self) -> dict:
+        """Build + validate a fresh model from the (re-read) config and
+        atomically swap it in; raises WITHOUT swapping if the build fails.
+        Concurrent reloads serialize."""
+        with self._reload_lock:
+            new = _build_model(self._config_path)
+            old, self._inner = self._inner, new
+        if getattr(old, "is_batching", False):
+            old.close()  # retire the old dispatcher thread + pool
+        return {"reloaded": True,
+                "checkpoint_loaded": bool(new.checkpoint_loaded),
+                "batching": bool(getattr(new, "is_batching", False))}
+
+
+def reload_gate(token: Optional[str]):
+    """Shared /admin/reload gate for all three surfaces: None if the
+    request may proceed, else an (http_status, payload) denial.  The
+    route only exists when VQHMM_ENABLE_RELOAD is set (a mutating admin
+    endpoint must be opt-in), and VQHMM_RELOAD_TOKEN additionally
+    requires a matching X-Reload-Token header."""
+    if os.environ.get("VQHMM_ENABLE_RELOAD", "") in ("", "0"):
+        return 404, {"detail": "not found"}
+    want = os.environ.get("VQHMM_RELOAD_TOKEN", "")
+    if want and not hmac.compare_digest(str(token or ""), want):
+        return 403, {"detail": "bad reload token"}
+    return None
+
+
+@lru_cache(maxsize=1)
+def get_model(config_path: str = "inference_config.json"):
+    """Process-wide model handle shared by all serving surfaces.
+
+    VQHMM_BATCH=1 wraps the model in the micro-batcher
+    (serve/batching.py) so the FastAPI/ASGI/stdlib servers all coalesce
+    concurrent /infer requests — the env knob lets Docker/k8s turn it on
+    without code (VQHMM_MAX_BATCH, VQHMM_MAX_WAIT_MS,
+    VQHMM_WARMUP_LENGTHS tune it).  The returned ModelHandle is a
+    transparent proxy; `handle.reload()` (POST /admin/reload when
+    VQHMM_ENABLE_RELOAD=1) hot-swaps new checkpoint weights with zero
+    downtime."""
+    return ModelHandle(config_path)
+
+
 def create_app(config_path: str = "inference_config.json"):
     """Build the FastAPI app (import-gated so the core library never
     requires fastapi)."""
     import time as _time
 
-    from fastapi import FastAPI, HTTPException, Response
+    from fastapi import FastAPI, HTTPException, Request, Response
     from pydantic import BaseModel
 
     from .metrics import CONTENT_TYPE as _METRICS_CT
@@ -462,6 +536,20 @@ def create_app(config_path: str = "inference_config.json"):
             raise HTTPException(status_code=400, detail=str(e))
         except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
+
+    @app.post("/admin/reload")
+    def admin_reload(request: Request):
+        # zero-downtime checkpoint hot-swap (ModelHandle.reload); opt-in
+        # via VQHMM_ENABLE_RELOAD (+ VQHMM_RELOAD_TOKEN) — reload_gate
+        denied = reload_gate(request.headers.get("x-reload-token"))
+        if denied:
+            raise HTTPException(status_code=denied[0],
+                                detail=denied[1]["detail"])
+        try:
+            return get_model(config_path).reload()
+        except Exception as e:  # failed build: old model keeps serving
+            raise HTTPException(status_code=500,
+                                detail=f"reload failed: {e}")
 
     class StreamRequest(BaseModel):
         session: str

@@ -30,7 +30,7 @@ import time
 # MAX_BODY is shared across all three surfaces: a hostile or buggy
 # client must not be able to balloon worker memory with an unbounded body
 from .app import MAX_BODY as _MAX_BODY
-from .app import get_model
+from .app import get_model, reload_gate
 from .metrics import CONTENT_TYPE as _METRICS_CT
 from .metrics import METRICS
 
@@ -109,6 +109,21 @@ def create_asgi_app(config_path: str = "inference_config.json"):
 
         if path == "/health" and method == "GET":
             await respond(200, {"status": "ok"})
+            return
+        if path == "/admin/reload" and method == "POST":
+            # checkpoint hot-swap; opt-in + token (app.reload_gate)
+            hdrs = {k.decode("latin-1").lower(): v.decode("latin-1")
+                    for k, v in scope.get("headers", [])}
+            denied = reload_gate(hdrs.get("x-reload-token"))
+            if denied:
+                await respond(denied[0], {"error": denied[1]["detail"]})
+                return
+            try:
+                await _read_body(receive)  # drain (no body expected)
+                out = get_model(config_path).reload()
+                await respond(200, out)
+            except Exception as e:  # old model keeps serving
+                await respond(500, {"error": f"reload failed: {e}"})
             return
         if path in ("/infer", "/predict", "/stream") and method == "POST":
             try:

@@ -67,6 +67,10 @@ class BatchingModel:
                   what is already queued — still coalesces bursts).
     """
 
+    # surfaces check this instead of isinstance so the check survives
+    # proxying through app.ModelHandle (which delegates the attribute)
+    is_batching = True
+
     def __init__(self, model: InferenceModel, max_batch: int = 16,
                  max_wait_ms: float = 2.0, pipeline_depth: int = 2):
         self._inner = model

@@ -15,7 +15,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from .app import MAX_BODY as _MAX_BODY  # shared across all 3 surfaces
-from .app import get_model
+from .app import get_model, reload_gate
 from .metrics import CONTENT_TYPE as _METRICS_CT
 from .metrics import METRICS
 
@@ -58,6 +58,20 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
 
         def do_POST(self):
             self._t0 = time.perf_counter()
+            if self.path == "/admin/reload":
+                # checkpoint hot-swap; opt-in + token (app.reload_gate).
+                # model here may be the ModelHandle or a local
+                # BatchingModel wrapping it — either way .reload()
+                # reaches the handle (BatchingModel delegates)
+                denied = reload_gate(self.headers.get("X-Reload-Token"))
+                if denied:
+                    self._send(*denied)
+                    return
+                try:
+                    self._send(200, model.reload())
+                except Exception as e:  # old model keeps serving
+                    self._send(500, {"detail": f"reload failed: {e}"})
+                return
             if self.path not in ("/infer", "/predict", "/stream"):
                 self._send(404, {"detail": "not found"})
                 return
@@ -126,10 +140,12 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
     model = get_model(config_path)
     from .batching import BatchingModel
 
-    if batch and not isinstance(model, BatchingModel):
+    # is_batching instead of isinstance: get_model returns a ModelHandle
+    # proxy (hot-reload support) that delegates the attribute
+    if batch and not getattr(model, "is_batching", False):
         model = BatchingModel(model, max_batch=max_batch,
                               max_wait_ms=max_wait_ms)
-    if warmup_lengths and isinstance(model, BatchingModel):
+    if warmup_lengths and getattr(model, "is_batching", False):
         # also covers the VQHMM_BATCH-wrapped case: the env default only
         # warms its own VQHMM_WARMUP_LENGTHS
         model.warmup(warmup_lengths)
@@ -142,7 +158,7 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
     try:
         httpd.serve_forever()
     finally:
-        if isinstance(model, BatchingModel):
+        if getattr(model, "is_batching", False):
             model.close()
     return None
 
