@@ -133,6 +133,90 @@ def test_carried_stream_state_survives_reload(handle):
                                       b["regime_probs"])
 
 
+def test_failed_reload_restores_metrics_gauges(handle, monkeypatch):
+    """A candidate model that fails AFTER construction (its __init__
+    re-binds the /metrics gauges) must not leave the gauges pointing at
+    the discarded candidate: the serving model re-binds them."""
+    from vqvaehmm_tpu.serve.metrics import METRICS
+
+    m, _ = handle
+    rng = np.random.default_rng(8)
+    m.stream("live", x_t=rng.normal(size=5).tolist(),
+             u_t=rng.normal(size=4).tolist())  # serving model: 1 session
+
+    # candidate InferenceModel builds fine, then the batcher warmup
+    # config fails -> reload raises after the gauges were re-bound
+    monkeypatch.setenv("VQHMM_BATCH", "1")
+    monkeypatch.setenv("VQHMM_WARMUP_LENGTHS", "oops")
+    with pytest.raises(ValueError):
+        m.reload()
+    assert "vqhmm_stream_sessions 1" in METRICS.render()
+
+
+def test_reload_drains_queued_requests(handle, monkeypatch):
+    """Requests already queued in the old micro-batcher when the swap
+    happens must complete on the old model, not fail with 500s
+    (BatchingModel.close(drain=True))."""
+    import threading
+
+    m, _ = handle
+    monkeypatch.setenv("VQHMM_BATCH", "1")
+    monkeypatch.setenv("VQHMM_WARMUP_LENGTHS", "")
+    monkeypatch.setenv("VQHMM_MAX_WAIT_MS", "150")  # linger: queue holds
+    m.reload()  # now batching, generous linger window
+    x = np.random.default_rng(9).normal(size=(5, 11)).tolist()
+    m.infer(x)  # compile outside the timed window
+
+    import time
+
+    results, errors = [], []
+    old = m._inner
+    base = old.requests
+
+    def worker():
+        try:
+            results.append(old.infer(x))  # pin the OLD batcher
+        except Exception as e:  # pragma: no cover - the failure mode
+            errors.append(e)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    # wait until the request is actually queued in the old dispatcher
+    for _ in range(1000):
+        with old._lock:
+            if old._queue or old.requests > base:
+                break
+        time.sleep(0.001)
+    m.reload()  # swaps + close(drain=True) on the old batcher
+    t.join(timeout=30)
+    try:
+        assert not errors, errors
+        assert results and np.array(
+            results[0]["regime_probs"]).shape == (3, 11)
+    finally:
+        m._inner.close()
+
+
+def test_configure_batching_survives_reload(handle):
+    """The --batch CLI path (configure_batching) must keep batching —
+    warmed — across reloads instead of downgrading to solo dispatch."""
+    m, _ = handle
+    m.configure_batching(max_batch=4, max_wait_ms=1.0,
+                         warmup_lengths=(32,))
+    assert m.is_batching
+    old = m._inner
+    info = m.reload()
+    try:
+        assert info["batching"] is True
+        assert m._inner is not old and m.is_batching
+        old._thread.join(timeout=5)
+        assert not old._thread.is_alive()  # old dispatcher retired
+        x = np.random.default_rng(10).normal(size=(5, 8)).tolist()
+        assert np.array(m.infer(x)["regime_probs"]).shape == (3, 8)
+    finally:
+        m._inner.close()
+
+
 def _post(url, payload=None, headers=None):
     req = urllib.request.Request(
         url, data=json.dumps(payload or {}).encode(),
@@ -202,13 +286,13 @@ def test_asgi_reload_route(tmp_path, monkeypatch):
     get_model.cache_clear()
     app = create_asgi_app(str(cfg_path))
 
-    def call(path, headers=()):
+    def call(path, headers=(), body=b"{}"):
         scope = {"type": "http", "method": "POST", "path": path,
                  "headers": list(headers)}
         sent = []
 
         async def receive():
-            return {"type": "http.request", "body": b"{}",
+            return {"type": "http.request", "body": body,
                     "more_body": False}
 
         async def send(msg):
@@ -226,5 +310,13 @@ def test_asgi_reload_route(tmp_path, monkeypatch):
         _write_ckpt(ckpt, seed=1)
         status, info = call("/admin/reload")
         assert status == 200 and info["reloaded"] is True
+
+        # an oversized body is the client's fault: 413, not a 500
+        # "reload failed" alert (same mapping as the other routes)
+        import vqvaehmm_tpu.serve.asgi as asgi_mod
+
+        monkeypatch.setattr(asgi_mod, "_MAX_BODY", 8)
+        status, body = call("/admin/reload", body=b"x" * 64)
+        assert status == 413, (status, body)
     finally:
         get_model.cache_clear()

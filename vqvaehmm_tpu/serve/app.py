@@ -128,18 +128,7 @@ class InferenceModel:
         from ..models.online import StreamManager
 
         self._streams = StreamManager(self.model, self.params)
-        from .metrics import METRICS
-
-        # live-value gauges, read at scrape time (GET /metrics); register
-        # replaces, so a reloaded model never leaves a stale closure
-        METRICS.register_gauge(
-            "vqhmm_stream_sessions", self._streams.n_sessions,
-            "Live streaming sessions in this worker process.")
-        METRICS.register_gauge(
-            "vqhmm_checkpoint_loaded",
-            lambda: 1.0 if self.checkpoint_loaded else 0.0,
-            "1 iff serving weights came from a checkpoint "
-            "(0 = random init).")
+        self.bind_metrics()
         self._smoothed = jax.jit(
             lambda x, u, lens: self.model.smoothed_posterior(
                 self.params, x, u, lens))
@@ -149,6 +138,22 @@ class InferenceModel:
         self._viterbi = jax.jit(
             lambda x, u, lens: self.model.viterbi_decode(
                 self.params, x, u, lens))
+
+    def bind_metrics(self) -> None:
+        """Point the /metrics live-value gauges at THIS model.  Register
+        replaces, so a reloaded model never leaves a stale closure; a
+        FAILED reload calls this on the still-serving model to undo the
+        half-built candidate's registration (ModelHandle.reload)."""
+        from .metrics import METRICS
+
+        METRICS.register_gauge(
+            "vqhmm_stream_sessions", self._streams.n_sessions,
+            "Live streaming sessions in this worker process.")
+        METRICS.register_gauge(
+            "vqhmm_checkpoint_loaded",
+            lambda: 1.0 if self.checkpoint_loaded else 0.0,
+            "1 iff serving weights came from a checkpoint "
+            "(0 = random init).")
 
     def _padded(self, x: List[List[float]]):
         arr = np.asarray(x, np.float32)
@@ -379,20 +384,31 @@ class InferenceModel:
         return self._head_state
 
 
-def _build_model(config_path: str):
+def _env_batch_opts():
+    """Micro-batching options from the VQHMM_* env knobs, or None."""
+    if os.environ.get("VQHMM_BATCH", "") in ("", "0"):
+        return None
+    lengths = os.environ.get("VQHMM_WARMUP_LENGTHS", "200")
+    return {"max_batch": int(os.environ.get("VQHMM_MAX_BATCH", "16")),
+            "max_wait_ms": float(os.environ.get("VQHMM_MAX_WAIT_MS", "2")),
+            "warmup_lengths": tuple(int(v) for v in lengths.split(","))
+            if lengths else ()}
+
+
+def _build_model(config_path: str, batch_opts: Optional[dict] = None):
     """One fully-initialized serving model: InferenceModel, optionally
-    wrapped in the micro-batcher + warmed per the VQHMM_* env knobs."""
+    wrapped in the micro-batcher + warmed.  batch_opts comes from
+    ModelHandle.configure_batching (the `--batch` CLI path) and falls
+    back to the VQHMM_* env knobs."""
     model = InferenceModel(config_path)
-    if os.environ.get("VQHMM_BATCH", "") not in ("", "0"):
+    opts = batch_opts if batch_opts is not None else _env_batch_opts()
+    if opts:
         from .batching import BatchingModel
 
-        model = BatchingModel(
-            model,
-            max_batch=int(os.environ.get("VQHMM_MAX_BATCH", "16")),
-            max_wait_ms=float(os.environ.get("VQHMM_MAX_WAIT_MS", "2")))
-        lengths = os.environ.get("VQHMM_WARMUP_LENGTHS", "200")
-        if lengths:
-            model.warmup([int(v) for v in lengths.split(",")])
+        model = BatchingModel(model, max_batch=opts["max_batch"],
+                              max_wait_ms=opts["max_wait_ms"])
+        if opts["warmup_lengths"]:
+            model.warmup(opts["warmup_lengths"])
     return model
 
 
@@ -418,6 +434,7 @@ class ModelHandle:
     def __init__(self, config_path: str):
         self._config_path = config_path
         self._reload_lock = threading.Lock()
+        self._batch_opts: Optional[dict] = None  # configure_batching
         self._inner = _build_model(config_path)
 
     def __getattr__(self, name):
@@ -428,15 +445,46 @@ class ModelHandle:
             raise AttributeError(name)
         return getattr(self._inner, name)
 
+    def configure_batching(self, max_batch: int = 16,
+                           max_wait_ms: float = 2.0,
+                           warmup_lengths=(200,)) -> None:
+        """Micro-batch this handle now AND on every future reload — the
+        programmatic twin of VQHMM_BATCH, used by httpd.serve(batch=True)
+        so a reload rebuilds (and re-warms) the batcher instead of
+        silently downgrading to solo dispatches."""
+        with self._reload_lock:
+            self._batch_opts = {"max_batch": max_batch,
+                                "max_wait_ms": max_wait_ms,
+                                "warmup_lengths": tuple(warmup_lengths
+                                                        or ())}
+            if not getattr(self._inner, "is_batching", False):
+                from .batching import BatchingModel
+
+                self._inner = BatchingModel(self._inner,
+                                            max_batch=max_batch,
+                                            max_wait_ms=max_wait_ms)
+            if self._batch_opts["warmup_lengths"]:
+                self._inner.warmup(self._batch_opts["warmup_lengths"])
+
     def reload(self) -> dict:
         """Build + validate a fresh model from the (re-read) config and
         atomically swap it in; raises WITHOUT swapping if the build fails.
         Concurrent reloads serialize."""
         with self._reload_lock:
-            new = _build_model(self._config_path)
+            try:
+                new = _build_model(self._config_path, self._batch_opts)
+            except Exception:
+                # a failed build may have re-bound the /metrics gauges to
+                # the discarded candidate (InferenceModel.bind_metrics
+                # runs during construction); restore them to the model
+                # that is still serving, and let the candidate collect
+                self._inner.bind_metrics()
+                raise
             old, self._inner = self._inner, new
         if getattr(old, "is_batching", False):
-            old.close()  # retire the old dispatcher thread + pool
+            # retire the old dispatcher AFTER letting its queued requests
+            # finish — in-flight work completes on the old model
+            old.close(drain=True)
         return {"reloaded": True,
                 "checkpoint_loaded": bool(new.checkpoint_loaded),
                 "batching": bool(getattr(new, "is_batching", False))}

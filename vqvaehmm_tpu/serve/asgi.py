@@ -23,6 +23,7 @@ Run: uvicorn 'vqvaehmm_tpu.serve.asgi:create_asgi_app()'
 
 from __future__ import annotations
 
+import asyncio
 import json
 import os
 import time
@@ -112,6 +113,11 @@ def create_asgi_app(config_path: str = "inference_config.json"):
             return
         if path == "/admin/reload" and method == "POST":
             # checkpoint hot-swap; opt-in + token (app.reload_gate)
+            try:
+                await _read_body(receive)  # drain (no body expected)
+            except _BodyTooLarge as e:  # a client error, not a failed
+                await respond(413, {"error": str(e)})  # reload
+                return
             hdrs = {k.decode("latin-1").lower(): v.decode("latin-1")
                     for k, v in scope.get("headers", [])}
             denied = reload_gate(hdrs.get("x-reload-token"))
@@ -119,8 +125,11 @@ def create_asgi_app(config_path: str = "inference_config.json"):
                 await respond(denied[0], {"error": denied[1]["detail"]})
                 return
             try:
-                await _read_body(receive)  # drain (no body expected)
-                out = get_model(config_path).reload()
+                # off the event loop: a rebuild compiles executables
+                # (minutes through a TPU compile relay) and must not
+                # freeze /health and the other routes meanwhile
+                out = await asyncio.to_thread(
+                    lambda: get_model(config_path).reload())
                 await respond(200, out)
             except Exception as e:  # old model keeps serving
                 await respond(500, {"error": f"reload failed: {e}"})

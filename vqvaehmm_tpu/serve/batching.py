@@ -175,7 +175,18 @@ class BatchingModel:
     def stream(self, *args, **kwargs):
         return self._inner.stream(*args, **kwargs)
 
-    def close(self):
+    def close(self, drain: bool = False, drain_timeout: float = 30.0):
+        """drain=True lets already-queued requests finish before the
+        dispatcher stops (used by hot-reload, which must not fail the
+        old model's in-flight work — app.ModelHandle.reload); requests
+        still queued past drain_timeout fail as on a plain close."""
+        if drain:
+            deadline = time.monotonic() + drain_timeout
+            while time.monotonic() < deadline:
+                with self._lock:
+                    if not self._queue:
+                        break
+                time.sleep(0.005)
         with self._lock:
             self._stop = True
         self._wakeup.set()

@@ -58,21 +58,8 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
 
         def do_POST(self):
             self._t0 = time.perf_counter()
-            if self.path == "/admin/reload":
-                # checkpoint hot-swap; opt-in + token (app.reload_gate).
-                # model here may be the ModelHandle or a local
-                # BatchingModel wrapping it — either way .reload()
-                # reaches the handle (BatchingModel delegates)
-                denied = reload_gate(self.headers.get("X-Reload-Token"))
-                if denied:
-                    self._send(*denied)
-                    return
-                try:
-                    self._send(200, model.reload())
-                except Exception as e:  # old model keeps serving
-                    self._send(500, {"detail": f"reload failed: {e}"})
-                return
-            if self.path not in ("/infer", "/predict", "/stream"):
+            if self.path not in ("/infer", "/predict", "/stream",
+                                 "/admin/reload"):
                 self._send(404, {"detail": "not found"})
                 return
             try:
@@ -86,7 +73,24 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
                     # this handler thread on an unbounded/stalled read
                     self._send(400, {"detail": "bad Content-Length"})
                     return
-                req = json.loads(self.rfile.read(length) or b"{}")
+                body = self.rfile.read(length)  # always drained: replying
+                # with bytes left in the receive queue risks a RST that
+                # discards the response before the client reads it
+                if self.path == "/admin/reload":
+                    # checkpoint hot-swap; opt-in + token (app.reload_gate)
+                    # — model.reload() reaches the ModelHandle whether
+                    # model IS the handle or a BatchingModel wrapping it
+                    denied = reload_gate(self.headers.get("X-Reload-Token"))
+                    if denied:
+                        self._send(*denied)
+                    else:
+                        try:
+                            self._send(200, model.reload())
+                        except Exception as e:  # old model keeps serving
+                            self._send(500,
+                                       {"detail": f"reload failed: {e}"})
+                    return
+                req = json.loads(body or b"{}")
                 if not isinstance(req, dict):
                     self._send(400, {"detail": "body must be a JSON "
                                                "object"})
@@ -138,16 +142,18 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
     reachable as `server.vqhmm_model` so callers can close() it (its
     dispatcher thread and pool would otherwise outlive shutdown())."""
     model = get_model(config_path)
-    from .batching import BatchingModel
-
     # is_batching instead of isinstance: get_model returns a ModelHandle
-    # proxy (hot-reload support) that delegates the attribute
+    # proxy (hot-reload support) that delegates the attribute.  batch=True
+    # configures batching ON the handle (not a local wrapper) so a
+    # /admin/reload rebuilds + re-warms the batcher instead of silently
+    # downgrading to solo dispatches
     if batch and not getattr(model, "is_batching", False):
-        model = BatchingModel(model, max_batch=max_batch,
-                              max_wait_ms=max_wait_ms)
-    if warmup_lengths and getattr(model, "is_batching", False):
-        # also covers the VQHMM_BATCH-wrapped case: the env default only
-        # warms its own VQHMM_WARMUP_LENGTHS
+        model.configure_batching(max_batch=max_batch,
+                                 max_wait_ms=max_wait_ms,
+                                 warmup_lengths=warmup_lengths)
+    elif warmup_lengths and getattr(model, "is_batching", False):
+        # the VQHMM_BATCH-wrapped case: the env default only warms its
+        # own VQHMM_WARMUP_LENGTHS
         model.warmup(warmup_lengths)
     httpd = ThreadingHTTPServer((host, port), _make_handler(model))
     httpd.vqhmm_model = model
