@@ -299,3 +299,71 @@ def test_infer_after_close_raises(model):
 
     with _pytest.raises(RuntimeError, match="shut down"):
         bm.infer([[0.0] * 32 for _ in range(model.cfg.model.input_dim)])
+
+
+def test_max_queue_sheds_load(model):
+    """Backpressure: requests beyond max_queue raise ServerBusy instead
+    of joining an unbounded backlog; the queue serving normally again
+    accepts new work."""
+    import threading
+
+    from vqvaehmm_tpu.serve.batching import ServerBusy
+
+    x = [[0.0] * 16 for _ in range(model.cfg.model.input_dim)]
+    # long linger so the first request is still queued when the second
+    # arrives (nothing dispatches inside the window)
+    bm = _batcher(model, max_batch=8, max_wait_ms=500.0, max_queue=1)
+    try:
+        bm.infer(x)  # compile + prove max_queue=1 admits solo requests
+        t = threading.Thread(target=bm.infer, args=(x,))
+        t.start()
+        for _ in range(1000):  # wait until it is actually queued
+            with bm._lock:
+                if bm._queue:
+                    break
+            import time
+
+            time.sleep(0.001)
+        with pytest.raises(ServerBusy, match="queue full"):
+            bm.infer(x)
+        t.join(timeout=30)
+        assert not t.is_alive()
+        bm.infer(x)  # drained queue admits requests again
+    finally:
+        bm.close()
+
+
+def test_max_queue_maps_to_503_over_http(tmp_path, monkeypatch):
+    """The stdlib server maps ServerBusy to 503 (max_queue=0 sheds every
+    request deterministically)."""
+    import socket
+    import urllib.error
+    import urllib.request
+
+    from vqvaehmm_tpu.serve.app import get_model
+    from vqvaehmm_tpu.serve.httpd import serve
+
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8}}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    get_model.cache_clear()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(str(cfg_path), host="127.0.0.1", port=port,
+                  background=True, batch=True, warmup_lengths=(),
+                  max_queue=0)
+    try:
+        x = [[0.0] * 16 for _ in range(5)]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer",
+            data=json.dumps({"x": x}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 503
+    finally:
+        httpd.shutdown()
+        httpd.vqhmm_model.close()
+        get_model.cache_clear()

@@ -389,8 +389,10 @@ def _env_batch_opts():
     if os.environ.get("VQHMM_BATCH", "") in ("", "0"):
         return None
     lengths = os.environ.get("VQHMM_WARMUP_LENGTHS", "200")
+    max_queue = os.environ.get("VQHMM_MAX_QUEUE", "")
     return {"max_batch": int(os.environ.get("VQHMM_MAX_BATCH", "16")),
             "max_wait_ms": float(os.environ.get("VQHMM_MAX_WAIT_MS", "2")),
+            "max_queue": int(max_queue) if max_queue else None,
             "warmup_lengths": tuple(int(v) for v in lengths.split(","))
             if lengths else ()}
 
@@ -406,7 +408,8 @@ def _build_model(config_path: str, batch_opts: Optional[dict] = None):
         from .batching import BatchingModel
 
         model = BatchingModel(model, max_batch=opts["max_batch"],
-                              max_wait_ms=opts["max_wait_ms"])
+                              max_wait_ms=opts["max_wait_ms"],
+                              max_queue=opts.get("max_queue"))
         if opts["warmup_lengths"]:
             model.warmup(opts["warmup_lengths"])
     return model
@@ -447,7 +450,8 @@ class ModelHandle:
 
     def configure_batching(self, max_batch: int = 16,
                            max_wait_ms: float = 2.0,
-                           warmup_lengths=(200,)) -> None:
+                           warmup_lengths=(200,),
+                           max_queue: Optional[int] = None) -> None:
         """Micro-batch this handle now AND on every future reload — the
         programmatic twin of VQHMM_BATCH, used by httpd.serve(batch=True)
         so a reload rebuilds (and re-warms) the batcher instead of
@@ -455,6 +459,7 @@ class ModelHandle:
         with self._reload_lock:
             self._batch_opts = {"max_batch": max_batch,
                                 "max_wait_ms": max_wait_ms,
+                                "max_queue": max_queue,
                                 "warmup_lengths": tuple(warmup_lengths
                                                         or ())}
             if not getattr(self._inner, "is_batching", False):
@@ -462,7 +467,8 @@ class ModelHandle:
 
                 self._inner = BatchingModel(self._inner,
                                             max_batch=max_batch,
-                                            max_wait_ms=max_wait_ms)
+                                            max_wait_ms=max_wait_ms,
+                                            max_queue=max_queue)
             if self._batch_opts["warmup_lengths"]:
                 self._inner.warmup(self._batch_opts["warmup_lengths"])
 
@@ -566,6 +572,8 @@ def create_app(config_path: str = "inference_config.json"):
     def health():
         return {"status": "ok"}
 
+    from .batching import ServerBusy
+
     @app.post("/infer")
     def infer(req: InferRequest):
         try:
@@ -573,6 +581,9 @@ def create_app(config_path: str = "inference_config.json"):
                                                 mode=req.mode)
         except ValueError as e:
             raise HTTPException(status_code=400, detail=str(e))
+        except ServerBusy as e:  # shed load; tell clients to back off
+            raise HTTPException(status_code=503, detail=str(e),
+                                headers={"Retry-After": "1"})
         except Exception as e:  # parity with reference's 500 (:74-75)
             raise HTTPException(status_code=500, detail=str(e))
 

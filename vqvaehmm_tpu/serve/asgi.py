@@ -32,6 +32,7 @@ import time
 # client must not be able to balloon worker memory with an unbounded body
 from .app import MAX_BODY as _MAX_BODY
 from .app import get_model, reload_gate
+from .batching import ServerBusy
 from .metrics import CONTENT_TYPE as _METRICS_CT
 from .metrics import METRICS
 
@@ -157,6 +158,8 @@ def create_asgi_app(config_path: str = "inference_config.json"):
                 await respond(200, out)
             except _BodyTooLarge as e:
                 await respond(413, {"error": str(e)})
+            except ServerBusy as e:  # shed load: queue at max_queue
+                await respond(503, {"error": str(e)})
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 # TypeError covers malformed payloads numpy rejects
                 # (e.g. x as a JSON object) — still the client's fault

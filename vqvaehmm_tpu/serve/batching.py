@@ -41,6 +41,13 @@ from .metrics import METRICS
 # batch size this dispatcher can produce
 
 
+class ServerBusy(RuntimeError):
+    """Raised by BatchingModel.infer when the request queue is at
+    max_queue: the server sheds load instead of growing an unbounded
+    backlog whose tail would time out anyway.  The HTTP surfaces map it
+    to 503 so clients/load-balancers back off and retry."""
+
+
 class _Pending:
     __slots__ = ("row", "bm", "T", "event", "result", "error")
 
@@ -65,6 +72,11 @@ class BatchingModel:
     max_wait_ms:  how long the dispatcher waits to fill a batch after the
                   first request arrives.  0 disables waiting (batches only
                   what is already queued — still coalesces bursts).
+    max_queue:    backpressure bound: requests arriving while max_queue
+                  items are already waiting raise ServerBusy (HTTP 503)
+                  instead of joining an unbounded backlog.  None
+                  (default) keeps the queue unbounded — the 60s client
+                  timeout is then the only shed mechanism.
     """
 
     # surfaces check this instead of isinstance so the check survives
@@ -72,10 +84,12 @@ class BatchingModel:
     is_batching = True
 
     def __init__(self, model: InferenceModel, max_batch: int = 16,
-                 max_wait_ms: float = 2.0, pipeline_depth: int = 2):
+                 max_wait_ms: float = 2.0, pipeline_depth: int = 2,
+                 max_queue: Optional[int] = None):
         self._inner = model
         self.max_batch = max(1, min(max_batch, _BATCH_LADDER[-1]))
         self.max_wait_s = max_wait_ms / 1e3
+        self.max_queue = max_queue
         self._queue: List[_Pending] = []
         self._lock = threading.Lock()
         self._wakeup = threading.Event()
@@ -146,6 +160,10 @@ class BatchingModel:
         with self._lock:
             if self._stop:
                 raise RuntimeError("batching dispatcher shut down")
+            if self.max_queue is not None \
+                    and len(self._queue) >= self.max_queue:
+                raise ServerBusy(
+                    f"request queue full ({self.max_queue}); retry")
             self._queue.append(item)
             self.requests += 1
         self._wakeup.set()

@@ -16,6 +16,7 @@ from typing import Optional
 
 from .app import MAX_BODY as _MAX_BODY  # shared across all 3 surfaces
 from .app import get_model, reload_gate
+from .batching import ServerBusy
 from .metrics import CONTENT_TYPE as _METRICS_CT
 from .metrics import METRICS
 
@@ -112,6 +113,8 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
                         mode=req.get("mode", "mean_field")))
                 else:
                     self._send(200, model.predict(req["x"]))
+            except ServerBusy as e:  # shed load: queue at max_queue
+                self._send(503, {"detail": str(e)})
             except (ValueError, TypeError) as e:
                 # TypeError covers malformed payloads (e.g. {"x": {...}})
                 # — a client error, mapped to 400 exactly as serve/asgi
@@ -129,7 +132,8 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
 def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
           port: int = 8000, background: bool = False, batch: bool = False,
           max_batch: int = 16, max_wait_ms: float = 2.0,
-          warmup_lengths=(200,)) -> Optional[ThreadingHTTPServer]:
+          warmup_lengths=(200,), max_queue: Optional[int] = None,
+          ) -> Optional[ThreadingHTTPServer]:
     """batch=True coalesces concurrent /infer requests into single device
     calls (serve/batching.py) — the TPU-native serving shape under load.
     warmup_lengths: sequence lengths whose executables are compiled
@@ -150,7 +154,8 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
     if batch and not getattr(model, "is_batching", False):
         model.configure_batching(max_batch=max_batch,
                                  max_wait_ms=max_wait_ms,
-                                 warmup_lengths=warmup_lengths)
+                                 warmup_lengths=warmup_lengths,
+                                 max_queue=max_queue)
     elif warmup_lengths and getattr(model, "is_batching", False):
         # the VQHMM_BATCH-wrapped case: the env default only warms its
         # own VQHMM_WARMUP_LENGTHS
@@ -180,6 +185,9 @@ if __name__ == "__main__":
                    help="micro-batch concurrent /infer requests")
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="shed load (503) beyond this many queued "
+                        "requests; default unbounded")
     a = p.parse_args()
     # the banner prints from serve() only after the model is loaded and
     # the port is bound — announcing "serving" before either is a lie
@@ -187,4 +195,4 @@ if __name__ == "__main__":
           + (f" (micro-batching <= {a.max_batch})" if a.batch else "")
           + " ...", flush=True)
     serve(a.config, a.host, a.port, batch=a.batch, max_batch=a.max_batch,
-          max_wait_ms=a.max_wait_ms)
+          max_wait_ms=a.max_wait_ms, max_queue=a.max_queue)
