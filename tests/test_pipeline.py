@@ -668,3 +668,56 @@ def test_gmm_feature_alignment_and_stat_persistence(rng, tmp_path):
 
     with pytest.raises(ValueError, match="not fitted"):
         SimpleRegimeDetector().predict_proba(new_feats)
+
+
+def test_sigterm_checkpoints_and_resumes(tiny_config):
+    """SIGTERM (preemptible-VM / k8s eviction) checkpoints at the next
+    epoch boundary and returns; a rerun auto-resumes and ends with the
+    same step count and final checkpoint as an uninterrupted run."""
+    import json as _json
+    import os as _os
+    import signal as _signal
+
+    import jax
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.data.checkpoint import load_metadata
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg_path, tmp = tiny_config
+    raw = _json.loads(open(cfg_path).read())
+    raw["training"]["epochs"] = 5
+    raw["training"]["checkpoint_dir"] = str(tmp / "ckpt_sig")
+    p = tmp / "cfg_sig.json"
+    p.write_text(_json.dumps(raw))
+    cfg = load_config(str(p))
+
+    calls = []
+
+    def preempt_at_2(msg):
+        calls.append(msg)
+        if msg.startswith("Epoch 2/"):
+            _os.kill(_os.getpid(), _signal.SIGTERM)  # handled, sets flag
+
+    state = TrainPipeline(cfg).train(log_fn=preempt_at_2)
+    periodic = str(tmp / "ckpt_sig" / "vae_hmm_periodic")
+    meta = load_metadata(periodic)
+    assert meta is not None and meta["epoch"] == 2 and meta["preempted"]
+    assert int(state.step) == 2 * (32 // 8)  # stopped at the boundary
+    assert any(m.startswith("SIGTERM") for m in calls)
+    # the handler was restored (the default action again)
+    assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
+
+    # rerun: auto-resume finishes the remaining epochs
+    state2 = TrainPipeline(cfg).train(log_fn=None)
+    assert int(state2.step) == 5 * (32 // 8)
+
+    # oracle: an uninterrupted run from scratch matches leaf-for-leaf
+    raw["training"]["checkpoint_dir"] = str(tmp / "ckpt_solo")
+    p2 = tmp / "cfg_solo.json"
+    p2.write_text(_json.dumps(raw))
+    solo = TrainPipeline(load_config(str(p2))).train(log_fn=None)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state2.params),
+            jax.tree_util.tree_leaves_with_path(solo.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -9,7 +9,9 @@ training_pipeline/train.py:134-137).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import signal
 import sys
 from typing import Optional, Tuple
 
@@ -43,6 +45,27 @@ def load_sequences(x_path: str, u_path: str
         raise ValueError(f"Unsupported data format for {p}")
 
     return load_one(x_path), load_one(u_path)
+
+
+@contextlib.contextmanager
+def _sigterm_flag():
+    """Yield a list that becomes truthy when SIGTERM arrives, restoring
+    the previous handler on exit.  SIGTERM is the preemption signal of
+    spot/preemptible TPU VMs and of k8s pod eviction — training must
+    checkpoint and exit cleanly, not die mid-epoch.  Outside the main
+    thread (a CPython signal restriction) the flag is inert and the
+    default SIGTERM behaviour stands."""
+    flag = []
+    try:
+        prev = signal.signal(signal.SIGTERM,
+                             lambda signum, frame: flag.append(True))
+    except ValueError:  # not the main thread
+        yield flag
+        return
+    try:
+        yield flag
+    finally:
+        signal.signal(signal.SIGTERM, prev)
 
 
 class TrainPipeline:
@@ -165,6 +188,19 @@ class TrainPipeline:
             epoch_step = make_epoch_step(model, tx, mesh=self.mesh,
                                          fused=fused)
 
+        if start_epoch > 0:
+            # fast-forward the stateful data stream: epochs
+            # [0, start_epoch) consumed dataset-rng draws, so a resumed
+            # run must replay them or its epochs see DIFFERENT samples
+            # than the uninterrupted run — resume is trajectory-exact,
+            # not merely distribution-exact (pinned by
+            # tests/test_pipeline.py::test_sigterm_checkpoints_and_resumes)
+            for _ in range(start_epoch):
+                if device_input:
+                    sampler.sample_indices_fast(t.batch_size, num_batches)
+                else:
+                    epoch_arrays(dataset, t.batch_size)
+
         # steps_per_call > 0 splits each epoch's scan into bounded jitted
         # calls (trajectory identical — the scan is sequential either
         # way).  Use when one whole-epoch dispatch would outlive an
@@ -184,7 +220,6 @@ class TrainPipeline:
                 loss_sum = ml * n if loss_sum is None else loss_sum + ml * n
                 n_sum += n
             return state, loss_sum / n_sum
-        import contextlib
 
         from ..utils.profiling import trace as _trace
 
@@ -195,43 +230,58 @@ class TrainPipeline:
                       if profile_dir else None)
 
         history = []
-        for ep in range(start_epoch, t.num_epochs):
-            beta = beta_schedule(ep, t.num_epochs, t.beta_warmup)
-            profiling = ep == profile_ep
-            with _trace(profile_dir) if profiling \
-                    else contextlib.nullcontext():
-                if device_input:
-                    si, st_, ln = sampler.sample_indices_fast(t.batch_size,
-                                                              num_batches)
-                    state, mean_loss = run_epoch(
-                        state, gstep,
-                        (jnp.asarray(si), jnp.asarray(st_),
-                         jnp.asarray(ln)),
-                        jnp.float32(beta), num_batches)
+        with _sigterm_flag() as preempted:
+            for ep in range(start_epoch, t.num_epochs):
+                beta = beta_schedule(ep, t.num_epochs, t.beta_warmup)
+                profiling = ep == profile_ep
+                with _trace(profile_dir) if profiling \
+                        else contextlib.nullcontext():
+                    if device_input:
+                        si, st_, ln = sampler.sample_indices_fast(
+                            t.batch_size, num_batches)
+                        state, mean_loss = run_epoch(
+                            state, gstep,
+                            (jnp.asarray(si), jnp.asarray(st_),
+                             jnp.asarray(ln)),
+                            jnp.float32(beta), num_batches)
+                    else:
+                        xs, us, lens = epoch_arrays(dataset, t.batch_size)
+                        state, mean_loss = run_epoch(
+                            state, epoch_step, (xs, us, lens),
+                            jnp.float32(beta), xs.shape[0])
+                    if profiling:
+                        # the epoch step is async; sync INSIDE the trace
+                        # so the device work lands in the captured window
+                        mean_loss.block_until_ready()
+                at_save = t.save_freq and (ep + 1) % t.save_freq == 0
+                if log_fn is not None or at_save:
+                    # the host sync is only needed for live logging and
+                    # checkpoint metadata; with log_fn=None epochs
+                    # pipeline (a per-epoch float() serializes dispatch,
+                    # ~2x wall through a high-latency tunnel — CLAUDE.md)
+                    loss = float(mean_loss)
+                    history.append(loss)
                 else:
-                    xs, us, lens = epoch_arrays(dataset, t.batch_size)
-                    state, mean_loss = run_epoch(
-                        state, epoch_step, (xs, us, lens),
-                        jnp.float32(beta), xs.shape[0])
-                if profiling:
-                    # the epoch step is async; sync INSIDE the trace so
-                    # the device work lands in the captured window
-                    mean_loss.block_until_ready()
-            at_save = t.save_freq and (ep + 1) % t.save_freq == 0
-            if log_fn is not None or at_save:
-                # the host sync is only needed for live logging and
-                # checkpoint metadata; with log_fn=None epochs pipeline
-                # (a per-epoch float() serializes dispatch, ~2x wall
-                # through a high-latency tunnel — CLAUDE.md)
-                loss = float(mean_loss)
-                history.append(loss)
-            else:
-                history.append(mean_loss)  # device scalar, no sync
-            if log_fn:
-                log_fn(f"Epoch {ep + 1}/{t.num_epochs}, Loss: {loss:.4f}")
-            if at_save:
-                save_checkpoint(periodic, state,
-                                metadata={"epoch": ep + 1, "loss": loss})
+                    history.append(mean_loss)  # device scalar, no sync
+                if log_fn:
+                    log_fn(f"Epoch {ep + 1}/{t.num_epochs}, "
+                           f"Loss: {loss:.4f}")
+                if at_save:
+                    save_checkpoint(periodic, state,
+                                    metadata={"epoch": ep + 1,
+                                              "loss": loss})
+                if preempted:
+                    # preemption-safe exit: checkpoint THIS epoch
+                    # boundary (the same resume point a periodic save
+                    # makes, so the resumed trajectory is identical) and
+                    # return before the process is killed
+                    save_checkpoint(periodic, state, metadata={
+                        "epoch": ep + 1, "loss": float(mean_loss),
+                        "preempted": True})
+                    if log_fn:
+                        log_fn(f"SIGTERM: checkpointed epoch {ep + 1}/"
+                               f"{t.num_epochs}; rerun to auto-resume")
+                    return state
 
         history = [float(l) for l in history]
         ckpt_path = os.path.join(t.checkpoint_dir, "vae_hmm_trained")
