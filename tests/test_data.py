@@ -346,3 +346,27 @@ def test_epoch_arrays_guards():
     bad = max(it[2] for it in items) - 1
     with pytest.raises(ValueError, match="truncate"):
         collate_fn(items, pad_to=bad)
+
+
+@pytest.mark.parametrize("use_native", [False, None])
+def test_epoch_skip_matches_epoch_arrays_stream(use_native):
+    """epoch_skip consumes EXACTLY the rng draws epoch_arrays makes: a
+    dataset skipped over epoch 0 produces epoch 1 identical to a dataset
+    that materialized epoch 0.  use_native=None exercises the native C
+    stream when the extension is built (its per-epoch draw is one seed
+    integer), False pins the numpy per-item stream."""
+    from vqvaehmm_tpu.data.dataset import epoch_arrays, epoch_skip
+
+    xs, us, _ = synthetic_sequences(4, 120, 5, 4, 3, seed=0)
+
+    def make():
+        return RandomChunkDataset(xs, us, min_len=16, max_len=48,
+                                  samples_per_epoch=32, seed=7)
+
+    ds_full, ds_skip = make(), make()
+    epoch_arrays(ds_full, 8, use_native=use_native)
+    epoch_skip(ds_skip, 8, use_native=use_native)
+    a = epoch_arrays(ds_full, 8, use_native=use_native)
+    b = epoch_arrays(ds_skip, 8, use_native=use_native)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -187,3 +187,27 @@ def epoch_arrays(dataset: RandomChunkDataset, batch_size: int,
         us.append(u)
         ls.append(l)
     return np.stack(xs), np.stack(us), np.stack(ls)
+
+
+def epoch_skip(dataset: RandomChunkDataset, batch_size: int,
+               num_batches: Optional[int] = None,
+               use_native: Optional[bool] = None) -> None:
+    """Consume exactly the rng draws one epoch_arrays call makes, without
+    assembling the arrays.
+
+    Used to fast-forward the stateful sample stream when training resumes
+    from epoch N (train/pipeline.py): replaying N epochs through
+    epoch_arrays would assemble and discard every padded batch, which at
+    recipe scale costs minutes of host time; this consumes the same
+    draws in microseconds.  Must stay in lockstep with epoch_arrays'
+    draw pattern (pinned by tests/test_data.py::test_epoch_skip_*)."""
+    if num_batches is None:
+        num_batches = len(dataset) // batch_size
+    if use_native is None:
+        use_native = _fastdata is not None
+    if use_native and _fastdata is not None:
+        dataset.rng.integers(0, 2 ** 63 - 1)  # the per-epoch C seed draw
+        return
+    for _ in range(num_batches):
+        for i in range(batch_size):
+            dataset[i]  # per-item draws; slicing cost only, no padding

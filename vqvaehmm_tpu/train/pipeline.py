@@ -195,11 +195,13 @@ class TrainPipeline:
             # than the uninterrupted run — resume is trajectory-exact,
             # not merely distribution-exact (pinned by
             # tests/test_pipeline.py::test_sigterm_checkpoints_and_resumes)
+            from ..data.dataset import epoch_skip
+
             for _ in range(start_epoch):
                 if device_input:
                     sampler.sample_indices_fast(t.batch_size, num_batches)
                 else:
-                    epoch_arrays(dataset, t.batch_size)
+                    epoch_skip(dataset, t.batch_size)
 
         # steps_per_call > 0 splits each epoch's scan into bounded jitted
         # calls (trajectory identical — the scan is sequential either
