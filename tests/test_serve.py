@@ -433,3 +433,53 @@ def test_httpd_client_errors_are_400(server):
     assert post_raw(b"5") == 400                      # non-dict body
     assert post_raw(json.dumps({"x": {"a": 1}}).encode()) == 400  # TypeError
     assert post_raw(b"{}", {"Content-Length": "-1"}) == 400
+
+
+def test_sigterm_graceful_shutdown(tmp_path):
+    """The foreground server (k8s MODE=serve) exits 0 on SIGTERM after
+    draining instead of dying mid-request (pod eviction contract)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8}}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    # stderr to a FILE, not a PIPE: the persistent-cache AOT warnings on
+    # this box exceed the 64 KB pipe buffer, and a full pipe blocks the
+    # server before it binds the port
+    err_path = tmp_path / "server.err"
+    with open(err_path, "wb") as err_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vqvaehmm_tpu.serve.httpd",
+             "--config", str(cfg_path), "--host", "127.0.0.1",
+             "--port", str(port)],
+            stdout=subprocess.DEVNULL, stderr=err_f,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+    try:
+        deadline = time.monotonic() + 120
+        up = False
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/health", timeout=1) as r:
+                    up = r.status == 200
+                    break
+            except Exception:
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.25)
+        assert up, (proc.poll(), err_path.read_bytes()[-500:])
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0, err_path.read_bytes()[-500:]
+        assert b"SIGTERM: draining" in err_path.read_bytes(), \
+            err_path.read_bytes()[-500:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()

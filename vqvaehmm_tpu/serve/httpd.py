@@ -166,11 +166,31 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
         return httpd
+    # graceful SIGTERM (k8s pod eviction sends it, then waits
+    # terminationGracePeriodSeconds): stop accepting, let in-flight
+    # handler threads finish (server_close joins them), drain the
+    # batcher, exit 0 — instead of the default action killing requests
+    # mid-write.  shutdown() must run off the serve_forever thread.
+    import signal as _signal
+    import sys as _sys
+
+    def _graceful(signum, frame):
+        print("SIGTERM: draining and shutting down", file=_sys.stderr,
+              flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        prev = _signal.signal(_signal.SIGTERM, _graceful)
+    except ValueError:  # not the main thread: default behaviour stands
+        prev = None
     try:
         httpd.serve_forever()
     finally:
+        if prev is not None:
+            _signal.signal(_signal.SIGTERM, prev)
+        httpd.server_close()  # joins in-flight handler threads
         if getattr(model, "is_batching", False):
-            model.close()
+            model.close(drain=True)
     return None
 
 
