@@ -134,8 +134,17 @@ def _train(outdir, quality):
             history.append(float(msg.rsplit(" ", 1)[-1]))
 
     t0 = time.time()
-    state = TrainPipeline(cfg).train(log_fn=log)
+    pipe = TrainPipeline(cfg)
+    state = pipe.train(log_fn=log)
     wall = time.time() - t0
+    if pipe.preempted:
+        # SIGTERM mid-run: the state is a checkpointed PARTIAL run —
+        # publishing vae_hmm.pt / history from it would pass off a
+        # half-trained model as the recipe artifact.  Exit tempfail;
+        # rerunning the stage auto-resumes.
+        print(f"train[{tag}]: preempted after {wall:.1f}s; "
+              "checkpoint saved, rerun this stage to resume")
+        sys.exit(75)
 
     ckdir = cfg.training.checkpoint_dir
     # reference-loadable torch state_dict export (models/vae_hmm.pt analog)

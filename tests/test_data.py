@@ -370,3 +370,17 @@ def test_epoch_skip_matches_epoch_arrays_stream(use_native):
     b = epoch_arrays(ds_skip, 8, use_native=use_native)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_epoch_skip_native_guard(monkeypatch):
+    """epoch_skip(use_native=True) without the extension must raise like
+    epoch_arrays does — a silent numpy fallback would consume a
+    different rng stream than the epochs it claims to replay."""
+    import vqvaehmm_tpu.data.dataset as dsmod
+
+    xs, us, _ = synthetic_sequences(2, 60, 5, 4, 3, seed=0)
+    ds = RandomChunkDataset(xs, us, min_len=16, max_len=32,
+                            samples_per_epoch=8, seed=0)
+    monkeypatch.setattr(dsmod, "_fastdata", None)
+    with pytest.raises(ImportError, match="native extension"):
+        dsmod.epoch_skip(ds, 4, use_native=True)

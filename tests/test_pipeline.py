@@ -699,7 +699,9 @@ def test_sigterm_checkpoints_and_resumes(tiny_config):
         if msg.startswith("Epoch 2/"):
             _os.kill(_os.getpid(), _signal.SIGTERM)  # handled, sets flag
 
-    state = TrainPipeline(cfg).train(log_fn=preempt_at_2)
+    pipe = TrainPipeline(cfg)
+    state = pipe.train(log_fn=preempt_at_2)
+    assert pipe.preempted  # callers must not publish this partial state
     periodic = str(tmp / "ckpt_sig" / "vae_hmm_periodic")
     meta = load_metadata(periodic)
     assert meta is not None and meta["epoch"] == 2 and meta["preempted"]
@@ -709,8 +711,10 @@ def test_sigterm_checkpoints_and_resumes(tiny_config):
     assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
 
     # rerun: auto-resume finishes the remaining epochs
-    state2 = TrainPipeline(cfg).train(log_fn=None)
+    pipe2 = TrainPipeline(cfg)
+    state2 = pipe2.train(log_fn=None)
     assert int(state2.step) == 5 * (32 // 8)
+    assert not pipe2.preempted  # completed run: flag clear
 
     # oracle: an uninterrupted run from scratch matches leaf-for-leaf
     raw["training"]["checkpoint_dir"] = str(tmp / "ckpt_solo")

@@ -320,3 +320,62 @@ def test_asgi_reload_route(tmp_path, monkeypatch):
         assert status == 413, (status, body)
     finally:
         get_model.cache_clear()
+
+
+def test_configure_batching_applies_to_live_and_rebuilds_closed(handle,
+                                                                monkeypatch):
+    """configure_batching must (a) apply new dispatch settings to an
+    already-live batcher (an env-batched handle given --batch flags must
+    not silently keep its old max_queue), and (b) rebuild a batcher a
+    previous server teardown close()d instead of wrapping or reusing the
+    dead dispatcher."""
+    m, _ = handle
+    m.configure_batching(max_batch=4, max_wait_ms=1.0, warmup_lengths=(),
+                         max_queue=None)
+    live = m._inner
+    m.configure_batching(max_batch=8, max_wait_ms=3.0, warmup_lengths=(),
+                         max_queue=5)
+    assert m._inner is live  # reconfigured in place, not rebuilt
+    assert live.max_batch == 8 and live.max_queue == 5
+    assert abs(live.max_wait_s - 0.003) < 1e-9
+
+    live.close()  # the documented server-teardown path
+    m.configure_batching(max_batch=2, max_wait_ms=1.0, warmup_lengths=())
+    assert m._inner is not live and m.is_batching and not m._inner.stopped
+    x = np.random.default_rng(11).normal(size=(5, 9)).tolist()
+    try:
+        assert np.array(m.infer(x)["regime_probs"]).shape == (3, 9)
+    finally:
+        m._inner.close()
+
+
+def test_503_carries_retry_after_on_stdlib(tmp_path):
+    """All surfaces shed load with the same backoff hint: the stdlib
+    503 carries Retry-After like the FastAPI twin."""
+    import socket as _socket
+
+    from vqvaehmm_tpu.serve.app import get_model
+    from vqvaehmm_tpu.serve.httpd import serve
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(CFG))
+    get_model.cache_clear()
+    with _socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(str(cfg_path), host="127.0.0.1", port=port,
+                  background=True, batch=True, warmup_lengths=(),
+                  max_queue=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer",
+            data=json.dumps({"x": [[0.0] * 8 for _ in range(5)]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 503
+        assert exc.value.headers.get("Retry-After") == "1"
+    finally:
+        httpd.shutdown()
+        httpd.vqhmm_model.close()
+        get_model.cache_clear()

@@ -203,9 +203,15 @@ def epoch_skip(dataset: RandomChunkDataset, batch_size: int,
     draw pattern (pinned by tests/test_data.py::test_epoch_skip_*)."""
     if num_batches is None:
         num_batches = len(dataset) // batch_size
+    if use_native and _fastdata is None:
+        # same guard as epoch_arrays: the native and numpy streams
+        # differ, so a silent fallback would change the trajectory
+        raise ImportError(
+            "use_native=True but the native extension is not built "
+            "(python setup.py build_ext --inplace)")
     if use_native is None:
         use_native = _fastdata is not None
-    if use_native and _fastdata is not None:
+    if use_native:
         dataset.rng.integers(0, 2 ** 63 - 1)  # the per-epoch C seed draw
         return
     for _ in range(num_batches):

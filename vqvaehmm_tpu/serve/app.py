@@ -456,19 +456,32 @@ class ModelHandle:
         programmatic twin of VQHMM_BATCH, used by httpd.serve(batch=True)
         so a reload rebuilds (and re-warms) the batcher instead of
         silently downgrading to solo dispatches."""
+        from .batching import BatchingModel
+
         with self._reload_lock:
             self._batch_opts = {"max_batch": max_batch,
                                 "max_wait_ms": max_wait_ms,
                                 "max_queue": max_queue,
                                 "warmup_lengths": tuple(warmup_lengths
                                                         or ())}
-            if not getattr(self._inner, "is_batching", False):
-                from .batching import BatchingModel
-
-                self._inner = BatchingModel(self._inner,
-                                            max_batch=max_batch,
-                                            max_wait_ms=max_wait_ms,
-                                            max_queue=max_queue)
+            inner = self._inner
+            if getattr(inner, "is_batching", False) and inner.stopped:
+                # a caller close()d the shared batcher (e.g. the
+                # documented server teardown); unwrap the dead dispatcher
+                # and rebuild rather than wrapping or reusing it
+                inner = inner._inner
+            if getattr(inner, "is_batching", False):
+                # live dispatcher: apply the new settings in place (an
+                # env-batched handle given --batch flags must not
+                # silently keep its old max_queue/max_wait)
+                inner.reconfigure(max_batch=max_batch,
+                                  max_wait_ms=max_wait_ms,
+                                  max_queue=max_queue)
+            else:
+                inner = BatchingModel(inner, max_batch=max_batch,
+                                      max_wait_ms=max_wait_ms,
+                                      max_queue=max_queue)
+            self._inner = inner
             if self._batch_opts["warmup_lengths"]:
                 self._inner.warmup(self._batch_opts["warmup_lengths"])
 

@@ -54,11 +54,14 @@ async def _read_body(receive) -> bytes:
 
 async def _respond(send, status: int, payload: dict) -> None:
     data = json.dumps(payload).encode()
+    headers = [(b"content-type", b"application/json"),
+               (b"content-length", str(len(data)).encode())]
+    if status == 503:  # shed load: same backoff hint as the FastAPI twin
+        headers.append((b"retry-after", b"1"))
     await send({
         "type": "http.response.start",
         "status": status,
-        "headers": [(b"content-type", b"application/json"),
-                    (b"content-length", str(len(data)).encode())],
+        "headers": headers,
     })
     await send({"type": "http.response.body", "body": data})
 
@@ -113,17 +116,20 @@ def create_asgi_app(config_path: str = "inference_config.json"):
             await respond(200, {"status": "ok"})
             return
         if path == "/admin/reload" and method == "POST":
-            # checkpoint hot-swap; opt-in + token (app.reload_gate)
-            try:
-                await _read_body(receive)  # drain (no body expected)
-            except _BodyTooLarge as e:  # a client error, not a failed
-                await respond(413, {"error": str(e)})  # reload
-                return
+            # checkpoint hot-swap; opt-in + token (app.reload_gate).
+            # Gate BEFORE reading the body: an unauthenticated client
+            # must not be able to make the worker buffer MAX_BODY —
+            # denial is a cheap header-only response
             hdrs = {k.decode("latin-1").lower(): v.decode("latin-1")
                     for k, v in scope.get("headers", [])}
             denied = reload_gate(hdrs.get("x-reload-token"))
             if denied:
                 await respond(denied[0], {"error": denied[1]["detail"]})
+                return
+            try:
+                await _read_body(receive)  # drain (no body expected)
+            except _BodyTooLarge as e:  # a client error, not a failed
+                await respond(413, {"error": str(e)})  # reload
                 return
             try:
                 # off the event loop: a rebuild compiles executables

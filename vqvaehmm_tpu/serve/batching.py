@@ -109,6 +109,26 @@ class BatchingModel:
                                         daemon=True)
         self._thread.start()
 
+    @property
+    def stopped(self) -> bool:
+        """True once close() ran: the dispatcher is gone and infer()
+        raises — callers holding the process-wide handle use this to
+        rebuild instead of wrapping a dead dispatcher
+        (app.ModelHandle.configure_batching)."""
+        with self._lock:
+            return self._stop
+
+    def reconfigure(self, max_batch: int = 16, max_wait_ms: float = 2.0,
+                    max_queue: Optional[int] = None) -> None:
+        """Apply new dispatch settings to the LIVE dispatcher.  All three
+        are plain attributes read per operation (max_batch in
+        _take_group/_run, max_wait_s in the linger loop, max_queue in
+        infer), so in-place assignment is safe and takes effect on the
+        next dispatch — no rebuild, queued requests unaffected."""
+        self.max_batch = max(1, min(max_batch, _BATCH_LADDER[-1]))
+        self.max_wait_s = max_wait_ms / 1e3
+        self.max_queue = max_queue
+
     def warmup(self, lengths=(200,), exact_modes: bool = True):
         """Compile the executable ladder up front (every batch-bucket x
         length-bucket pair that dispatches could hit) so no request pays a

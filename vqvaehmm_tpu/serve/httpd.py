@@ -38,6 +38,8 @@ def _make_handler(model):  # InferenceModel or BatchingModel (same surface)
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if code == 503:  # same backoff hint as the FastAPI twin
+                self.send_header("Retry-After", "1")
             self.end_headers()
             self.wfile.write(body)
 
@@ -142,16 +144,19 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
     already wrapped the model, its env-tuned max_batch/max_wait stand,
     but warmup_lengths given here are still warmed.
 
-    background=True returns the server; any BatchingModel it serves is
-    reachable as `server.vqhmm_model` so callers can close() it (its
-    dispatcher thread and pool would otherwise outlive shutdown())."""
+    background=True returns the server; the served model is reachable as
+    `server.vqhmm_model` so callers can close() its batcher (the
+    dispatcher thread and pool would otherwise outlive shutdown()).
+    NOTE: that model is the process-wide get_model handle — close() at
+    teardown retires batching for every surface in this process until
+    the next serve(batch=True) or /admin/reload rebuilds it."""
     model = get_model(config_path)
-    # is_batching instead of isinstance: get_model returns a ModelHandle
-    # proxy (hot-reload support) that delegates the attribute.  batch=True
-    # configures batching ON the handle (not a local wrapper) so a
-    # /admin/reload rebuilds + re-warms the batcher instead of silently
-    # downgrading to solo dispatches
-    if batch and not getattr(model, "is_batching", False):
+    # batch=True configures batching ON the handle (not a local wrapper)
+    # so a /admin/reload rebuilds + re-warms the batcher instead of
+    # silently downgrading to solo dispatches.  configure_batching also
+    # applies the flags to an already-(env-)batched handle and rebuilds
+    # one a previous server teardown close()d.
+    if batch:
         model.configure_batching(max_batch=max_batch,
                                  max_wait_ms=max_wait_ms,
                                  warmup_lengths=warmup_lengths,
@@ -179,6 +184,11 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
               flush=True)
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
+    # ThreadingHTTPServer defaults daemon_threads=True, under which
+    # server_close() joins NOTHING (socketserver._Threads.append skips
+    # daemon threads) — the interpreter would still kill handlers
+    # mid-write at exit.  Non-daemon handlers are actually joined.
+    httpd.daemon_threads = False
     try:
         prev = _signal.signal(_signal.SIGTERM, _graceful)
     except ValueError:  # not the main thread: default behaviour stands

@@ -75,6 +75,11 @@ class TrainPipeline:
     def __init__(self, cfg: Config, use_mesh: bool = False):
         self.cfg = cfg
         self.mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+        # True after train() returned early on SIGTERM: the returned
+        # state is the checkpointed partial run, NOT a finished model —
+        # callers must not publish artifacts from it (full_recipe checks
+        # this; the CLI exits 75/EX_TEMPFAIL)
+        self.preempted = False
 
     def build_model(self) -> VAEHMM:
         return VAEHMM(self.cfg.model)
@@ -114,6 +119,7 @@ class TrainPipeline:
         from ..data.dataset import epoch_arrays
 
         t = self.cfg.training
+        self.preempted = False  # a reused pipeline may resume to completion
         model = self.build_model()
         dataset = self.load_data()
         os.makedirs(t.checkpoint_dir, exist_ok=True)
@@ -276,7 +282,9 @@ class TrainPipeline:
                     # preemption-safe exit: checkpoint THIS epoch
                     # boundary (the same resume point a periodic save
                     # makes, so the resumed trajectory is identical) and
-                    # return before the process is killed
+                    # return before the process is killed.  The flag
+                    # tells callers the state is partial.
+                    self.preempted = True
                     save_checkpoint(periodic, state, metadata={
                         "epoch": ep + 1, "loss": float(mean_loss),
                         "preempted": True})
@@ -307,8 +315,12 @@ def main(argv: Optional[list] = None):
     cfg = load_config(argv[0])
     if len(argv) > 1:
         cfg = apply_overrides(cfg, argv[1:])
-    TrainPipeline(cfg).train()
-    return 0
+    pipe = TrainPipeline(cfg)
+    pipe.train()
+    # EX_TEMPFAIL: a preempted run is not a finished run — supervisors
+    # keying off the exit code must not treat it as success (rerunning
+    # auto-resumes)
+    return 75 if pipe.preempted else 0
 
 
 if __name__ == "__main__":
