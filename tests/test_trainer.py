@@ -4,6 +4,7 @@ data-parallel mesh path reproduces single-device results."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vqvaehmm_tpu import (RandomChunkDataset, TrainState, beta_schedule,
                           make_epoch_step, make_model, make_train_step,
@@ -461,3 +462,70 @@ def test_train_ensemble_device_data_path():
         device_data=True, log_fn=None)
     assert hist.shape == (2, 2) and np.isfinite(hist).all()
     assert 0 <= best < 2
+
+
+def test_make_lr_schedule_values():
+    """Schedule composition: the parity default is the plain float (so
+    optax.adam(lr) is bit-identical to the reference config); warmup
+    ramps 0 -> lr; cosine/linear decay to final_lr_frac * lr at the
+    horizon."""
+    from vqvaehmm_tpu.train.trainer import make_lr_schedule
+
+    assert make_lr_schedule(1e-3) == 1e-3  # plain float, not a callable
+
+    s = make_lr_schedule(1e-3, "cosine", warmup_steps=10,
+                         total_steps=110, final_lr_frac=0.1)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(110)), 1e-4, rtol=1e-5)
+    mid = float(s(60))
+    assert 1e-4 < mid < 1e-3  # strictly between peak and floor
+
+    lin = make_lr_schedule(1e-3, "linear", total_steps=100)
+    np.testing.assert_allclose(float(lin(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(lin(100)), 0.0, atol=1e-12)
+
+    with pytest.raises(ValueError, match="total_steps"):
+        make_lr_schedule(1e-3, "cosine")
+    with pytest.raises(ValueError, match="unknown"):
+        make_lr_schedule(1e-3, "polynomial")
+
+
+def test_lr_schedule_through_pipeline(tmp_path):
+    """The schedule knobs reach the optimizer through TrainPipeline: a
+    warmup run's first update is smaller than the constant-lr run's, and
+    the two trajectories diverge."""
+    import json
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.data.synthetic import synthetic_sequences
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    xs, us, _ = synthetic_sequences(4, 120, 5, 4, 3, seed=0)
+    np.save(tmp_path / "x.npy", xs)
+    np.save(tmp_path / "u.npy", us)
+    cfg = {"model": {"input_dim": 5, "hidden_dim": 8, "K": 3,
+                     "hidden_dim2": 4, "u_dim": 4, "trans_hidden": 8},
+           "data": {"x_sequences_path": str(tmp_path / "x.npy"),
+                    "u_sequences_path": str(tmp_path / "u.npy"),
+                    "min_len": 16, "max_len": 48,
+                    "samples_per_epoch": 16},
+           "training": {"epochs": 2, "lr": 1e-3, "batch_size": 8,
+                        "checkpoint_dir": str(tmp_path / "c1"),
+                        "seed": 1}}
+    p1 = tmp_path / "c1.json"
+    p1.write_text(json.dumps(cfg))
+    cfg["training"]["checkpoint_dir"] = str(tmp_path / "c2")
+    cfg["training"]["lr_schedule"] = "cosine"
+    cfg["training"]["warmup_steps"] = 3
+    cfg["training"]["final_lr_frac"] = 0.1
+    p2 = tmp_path / "c2.json"
+    p2.write_text(json.dumps(cfg))
+
+    s_const = TrainPipeline(load_config(str(p1))).train(log_fn=None)
+    s_sched = TrainPipeline(load_config(str(p2))).train(log_fn=None)
+    a = np.concatenate([np.ravel(v) for v in
+                        jax.tree_util.tree_leaves(s_const.params)])
+    b = np.concatenate([np.ravel(v) for v in
+                        jax.tree_util.tree_leaves(s_sched.params)])
+    assert np.abs(a - b).max() > 1e-6  # the schedule changed the run

@@ -79,6 +79,14 @@ class TrainConfig:
     # use when one dispatch must not outlive an external bound
     # (timeout-guarded on-chip stages, preemptible runs).
     steps_per_call: int = 0
+    # Learning-rate schedule (train/trainer.py::make_lr_schedule):
+    # "constant" (default, reference parity — fixed lr, train.py:28),
+    # "cosine" or "linear" decay to final_lr_frac*lr over the run, each
+    # with an optional linear warmup.  The schedule rides the optimizer
+    # step count in the checkpointed opt_state, so resume continues it.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    final_lr_frac: float = 0.0
     # Single-kernel Pallas loss+grads path (ops/pallas_train.py). Needs
     # T % 8 == 0 and a 128-divisible lane block; the pipeline falls back
     # to the XLA path automatically when the shapes don't qualify.

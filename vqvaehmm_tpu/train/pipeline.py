@@ -155,7 +155,13 @@ class TrainPipeline:
 
         periodic = os.path.join(t.checkpoint_dir, "vae_hmm_periodic")
 
-        tx = make_optimizer(t.learning_rate, t.gradient_clip)
+        nb_total = len(dataset) // t.batch_size
+        tx = make_optimizer(
+            t.learning_rate, t.gradient_clip,
+            schedule=getattr(t, "lr_schedule", "constant"),
+            warmup_steps=int(getattr(t, "warmup_steps", 0) or 0),
+            total_steps=t.num_epochs * max(nb_total, 1),
+            final_lr_frac=float(getattr(t, "final_lr_frac", 0.0) or 0.0))
         params = model.init(jax.random.PRNGKey(t.seed))
         state = TrainState(params, tx.init(params),
                            jnp.zeros((), jnp.int32))

@@ -38,11 +38,55 @@ def beta_schedule(epoch: int, num_epochs: int, warmup: bool = True) -> float:
     return min(1.0, 2.0 * (epoch + 1) / num_epochs)
 
 
-def make_optimizer(lr: float, gradient_clip: Optional[float] = None):
+def make_lr_schedule(lr: float, schedule: str = "constant",
+                     warmup_steps: int = 0,
+                     total_steps: Optional[int] = None,
+                     final_lr_frac: float = 0.0):
+    """Step-indexed learning-rate schedule, or the plain float for the
+    default.  The reference trains at a fixed lr (train.py:28); schedules
+    are a framework extension — "constant" with no warmup returns `lr`
+    itself so the parity path is bit-identical to a bare optax.adam(lr).
+
+    schedule:      "constant" | "cosine" | "linear" (decay after warmup)
+    warmup_steps:  linear 0 -> lr over this many optimizer steps
+    total_steps:   schedule horizon (required for cosine/linear decay)
+    final_lr_frac: decay floor as a fraction of lr
+    """
+    if schedule == "constant" and warmup_steps <= 0:
+        return lr
+    if schedule == "constant":
+        base = optax.constant_schedule(lr)
+    elif schedule in ("cosine", "linear"):
+        if not total_steps:
+            raise ValueError(f"schedule={schedule!r} needs total_steps")
+        decay = max(1, int(total_steps) - int(warmup_steps))
+        if schedule == "cosine":
+            base = optax.cosine_decay_schedule(lr, decay_steps=decay,
+                                               alpha=final_lr_frac)
+        else:
+            base = optax.linear_schedule(lr, lr * final_lr_frac, decay)
+    else:
+        raise ValueError(f"unknown lr schedule {schedule!r} "
+                         "(constant | cosine | linear)")
+    if warmup_steps > 0:
+        base = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps), base],
+            [warmup_steps])
+    return base
+
+
+def make_optimizer(lr: float, gradient_clip: Optional[float] = None,
+                   schedule: str = "constant", warmup_steps: int = 0,
+                   total_steps: Optional[int] = None,
+                   final_lr_frac: float = 0.0):
     """Adam matching torch defaults (betas 0.9/0.999, eps 1e-8); optional
     global-norm clip 1.0 as in the reference Trainer
-    (src/training/trainer.py:31)."""
-    tx = optax.adam(lr)
+    (src/training/trainer.py:31).  Defaults are the reference-parity
+    configuration; the schedule knobs layer warmup/decay on top (the
+    schedule rides the optimizer step count in opt_state, so
+    checkpoint/resume continues it exactly)."""
+    tx = optax.adam(make_lr_schedule(lr, schedule, warmup_steps,
+                                     total_steps, final_lr_frac))
     if gradient_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip), tx)
     return tx
