@@ -725,3 +725,67 @@ def test_sigterm_checkpoints_and_resumes(tiny_config):
             jax.tree_util.tree_leaves_with_path(state2.params),
             jax.tree_util.tree_leaves_with_path(solo.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_stopping(tiny_config):
+    """early_stop_patience halts when the loss stops improving by
+    min_delta; the final checkpoint records the truncated run. A huge
+    min_delta makes every epoch a non-improvement after the first (inf
+    baseline), so the run stops at epoch 1 + patience."""
+    import json as _json
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.data.checkpoint import load_metadata
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg_path, tmp = tiny_config
+    raw = _json.loads(open(cfg_path).read())
+    raw["training"].update(epochs=10, early_stop_patience=2,
+                           early_stop_min_delta=1e9,
+                           checkpoint_dir=str(tmp / "ckpt_es"))
+    p = tmp / "cfg_es.json"
+    p.write_text(_json.dumps(raw))
+
+    msgs = []
+    state = TrainPipeline(load_config(str(p))).train(log_fn=msgs.append)
+    nb = 32 // 8
+    assert int(state.step) == 3 * nb  # epochs 1 (best) + 2 patience
+    assert any(m.startswith("Early stop at epoch 3/10") for m in msgs)
+    meta = load_metadata(str(tmp / "ckpt_es" / "vae_hmm_trained"))
+    assert meta["early_stopped"] is True and meta["epochs"] == 3
+
+
+def test_early_stop_counters_survive_preemption(tiny_config):
+    """The best-loss/wait counters persist in the checkpoint metadata,
+    so a preempted-and-resumed run early-stops at the SAME epoch an
+    uninterrupted run would."""
+    import json as _json
+    import os as _os
+    import signal as _signal
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg_path, tmp = tiny_config
+    raw = _json.loads(open(cfg_path).read())
+    raw["training"].update(epochs=10, early_stop_patience=3,
+                           early_stop_min_delta=1e9,
+                           checkpoint_dir=str(tmp / "ckpt_esp"))
+    p = tmp / "cfg_esp.json"
+    p.write_text(_json.dumps(raw))
+    cfg = load_config(str(p))
+
+    def preempt_at_2(msg):
+        if msg.startswith("Epoch 2/"):
+            _os.kill(_os.getpid(), _signal.SIGTERM)
+
+    pipe = TrainPipeline(cfg)
+    pipe.train(log_fn=preempt_at_2)
+    assert pipe.preempted
+
+    msgs = []
+    state = TrainPipeline(cfg).train(log_fn=msgs.append)
+    nb = 32 // 8
+    # uninterrupted: best at ep1, wait hits 3 at ep4 -> stop there
+    assert int(state.step) == 4 * nb
+    assert any(m.startswith("Early stop at epoch 4/10") for m in msgs)

@@ -87,6 +87,16 @@ class TrainConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     final_lr_frac: float = 0.0
+    # Early stopping: stop when the epoch loss has not improved by more
+    # than early_stop_min_delta for early_stop_patience epochs.  0
+    # (default) = off, the reference-parity fixed-epoch run.  Enabling
+    # it forces a per-epoch host sync of the loss (the same cost live
+    # logging pays), so epochs no longer pipeline — worth it only when
+    # epochs are expensive relative to one dispatch round-trip.  The
+    # best-loss/wait counters persist in the periodic-checkpoint
+    # metadata, so a preempted-and-resumed run stops at the same epoch.
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
     # Single-kernel Pallas loss+grads path (ops/pallas_train.py). Needs
     # T % 8 == 0 and a 128-divisible lane block; the pipeline falls back
     # to the XLA path automatically when the shapes don't qualify.

@@ -166,10 +166,17 @@ class TrainPipeline:
         state = TrainState(params, tx.init(params),
                            jnp.zeros((), jnp.int32))
         start_epoch = 0
+        # early-stop trackers; persisted in the periodic metadata so a
+        # preempted-and-resumed run stops at the same epoch
+        patience = int(getattr(t, "early_stop_patience", 0) or 0)
+        min_delta = float(getattr(t, "early_stop_min_delta", 0.0) or 0.0)
+        best_loss, wait = float("inf"), 0
         meta = load_metadata(periodic) if resume else None
         if meta is not None and os.path.exists(periodic):
             state = load_checkpoint(periodic, state)
             start_epoch = int(meta.get("epoch", 0))
+            best_loss = float(meta.get("best_loss", best_loss))
+            wait = int(meta.get("wait", 0))
             if log_fn:
                 log_fn(f"Resumed from epoch {start_epoch} "
                        f"(step {int(state.step)})")
@@ -268,11 +275,12 @@ class TrainPipeline:
                         # so the device work lands in the captured window
                         mean_loss.block_until_ready()
                 at_save = t.save_freq and (ep + 1) % t.save_freq == 0
-                if log_fn is not None or at_save:
-                    # the host sync is only needed for live logging and
-                    # checkpoint metadata; with log_fn=None epochs
-                    # pipeline (a per-epoch float() serializes dispatch,
-                    # ~2x wall through a high-latency tunnel — CLAUDE.md)
+                if log_fn is not None or at_save or patience > 0:
+                    # the host sync is only needed for live logging,
+                    # checkpoint metadata, and early stopping; with none
+                    # of those, epochs pipeline (a per-epoch float()
+                    # serializes dispatch, ~2x wall through a
+                    # high-latency tunnel — CLAUDE.md)
                     loss = float(mean_loss)
                     history.append(loss)
                 else:
@@ -280,10 +288,17 @@ class TrainPipeline:
                 if log_fn:
                     log_fn(f"Epoch {ep + 1}/{t.num_epochs}, "
                            f"Loss: {loss:.4f}")
+                if patience > 0:
+                    if loss < best_loss - min_delta:
+                        best_loss, wait = loss, 0
+                    else:
+                        wait += 1
                 if at_save:
                     save_checkpoint(periodic, state,
                                     metadata={"epoch": ep + 1,
-                                              "loss": loss})
+                                              "loss": loss,
+                                              "best_loss": best_loss,
+                                              "wait": wait})
                 if preempted:
                     # preemption-safe exit: checkpoint THIS epoch
                     # boundary (the same resume point a periodic save
@@ -293,16 +308,27 @@ class TrainPipeline:
                     self.preempted = True
                     save_checkpoint(periodic, state, metadata={
                         "epoch": ep + 1, "loss": float(mean_loss),
+                        "best_loss": best_loss, "wait": wait,
                         "preempted": True})
                     if log_fn:
                         log_fn(f"SIGTERM: checkpointed epoch {ep + 1}/"
                                f"{t.num_epochs}; rerun to auto-resume")
                     return state
+                if patience > 0 and wait >= patience:
+                    if log_fn:
+                        log_fn(f"Early stop at epoch {ep + 1}/"
+                               f"{t.num_epochs}: no improvement > "
+                               f"{min_delta} for {patience} epochs "
+                               f"(best {best_loss:.4f})")
+                    break
 
         history = [float(l) for l in history]
+        epochs_run = start_epoch + len(history)
         ckpt_path = os.path.join(t.checkpoint_dir, "vae_hmm_trained")
         save_checkpoint(ckpt_path, state,
-                        metadata={"epochs": t.num_epochs,
+                        metadata={"epochs": epochs_run,
+                                  "early_stopped":
+                                      epochs_run < t.num_epochs,
                                   "final_loss": history[-1]
                                   if history else None})
         save_params_npz(os.path.join(t.checkpoint_dir,
