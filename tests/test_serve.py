@@ -483,3 +483,53 @@ def test_sigterm_graceful_shutdown(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_malformed_payload_fuzz_never_500(server):
+    """Client garbage maps to 4xx, never a 5xx: shape/type errors,
+    non-JSON, wrong containers, NaN-bearing and deeply-wrong payloads.
+    The reference 500s on most of these (inference_api/app.py:74-75)."""
+    import random
+
+    rng = random.Random(0)
+    C = 5
+    good_row = [0.0] * 12
+
+    def rand_payload(i):
+        choices = [
+            b"not json at all{",
+            b"[1, 2, 3]",                       # JSON but not an object
+            json.dumps({"y": [[1.0]]}).encode(),  # missing x
+            json.dumps({"x": None}).encode(),
+            json.dumps({"x": "string"}).encode(),
+            json.dumps({"x": {"a": 1}}).encode(),
+            json.dumps({"x": [good_row] * (C - 1)}).encode(),  # wrong C
+            json.dumps({"x": [good_row[:i % 7 + 1]] * C
+                            + [good_row]}).encode(),  # ragged rows
+            json.dumps({"x": [["nan"] * 8] * C}).encode(),
+            json.dumps({"x": [[True] * 8] * C,
+                        "mode": "viterbi"}).encode(),  # mode without u
+            json.dumps({"x": [good_row] * C, "u": [[0.0] * 5] * 4,
+                        "mode": "smoothed"}).encode(),  # u/T mismatch
+            json.dumps({"x": [good_row] * C,
+                        "mode": "unknown_mode", "u": [[0.0] * 12] * 4
+                        }).encode(),
+            json.dumps({"x": [[1e308] * 8] * C}).encode(),  # overflow ok
+        ]
+        return choices[i % len(choices)]
+
+    for path in ("/infer", "/predict", "/stream"):
+        for i in range(26):
+            body = rand_payload(rng.randrange(13))
+            req = urllib.request.Request(
+                server + path, data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    status = resp.status
+            except urllib.error.HTTPError as e:
+                status = e.code
+                e.read()
+            # 200 is allowed (some payloads are semantically valid, e.g.
+            # the overflow row still infers); 5xx never is
+            assert status < 500, (path, status, body[:80])

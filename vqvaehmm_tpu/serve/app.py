@@ -36,6 +36,27 @@ def declared_body_too_large(content_length) -> bool:
     """True iff a Content-Length header declares a body beyond MAX_BODY."""
     return bool(content_length) and str(content_length).isdigit() \
         and int(content_length) > MAX_BODY
+
+
+def _require_finite_input(arr: np.ndarray, name: str) -> None:
+    """NaN/Inf inputs are a client error (400), rejected BEFORE any
+    compute — a non-finite frame would otherwise poison streaming filter
+    state and propagate NaNs through every output."""
+    if not np.isfinite(arr).all():
+        raise ValueError(f"{name} contains non-finite values")
+
+
+def require_finite_output(*arrays) -> None:
+    """Finite-but-absurd input magnitudes (e.g. 1e308) overflow the
+    forward to inf/NaN.  That is the CLIENT's input, not a server fault:
+    raise ValueError (-> 400 on every surface) instead of emitting
+    invalid `Infinity` JSON or a misleading 500.  Checked per request so
+    one poisoned row never fails its batch-mates (serve/batching._run)."""
+    for a in arrays:
+        if not np.isfinite(a).all():
+            raise ValueError(
+                "model produced non-finite outputs for this input "
+                "(input magnitude out of range?)")
 # batch-dimension ladder shared with serve/batching.py: every
 # dispatch pads B up to one of these rungs
 BATCH_LADDER = (1, 2, 4, 8, 16, 32)
@@ -156,11 +177,13 @@ class InferenceModel:
             "(0 = random init).")
 
     def _padded(self, x: List[List[float]]):
-        arr = np.asarray(x, np.float32)
+        with np.errstate(over="ignore"):  # f32-overflow inputs are a
+            arr = np.asarray(x, np.float32)  # handled 400, not log noise
         if arr.ndim != 2 or arr.shape[0] != self.cfg.model.input_dim:
             raise ValueError(
                 f"x must be [C={self.cfg.model.input_dim}][T] floats, got "
                 f"shape {arr.shape}")
+        _require_finite_input(arr, "x")
         C, T = arr.shape
         pad_to = next((b for b in DEFAULT_BUCKETS if b >= T), T)
         # Pad the batch dimension up to the fused kernel's lane multiple
@@ -221,10 +244,14 @@ class InferenceModel:
         mu, logvar, q = self._infer(
             jnp.asarray(padded), T,
             self._bucket_use_pallas(padded.shape[2]))
+        mu_r, lv_r, q_r = (np.asarray(mu)[0, :, :T],
+                           np.asarray(logvar)[0, :, :T],
+                           np.asarray(q)[0, :, :T])
+        require_finite_output(mu_r, lv_r, q_r)
         out = {
-            "mu": np.asarray(mu)[0, :, :T].tolist(),
-            "logvar": np.asarray(logvar)[0, :, :T].tolist(),
-            "regime_probs": np.asarray(q)[0, :, :T].tolist(),
+            "mu": mu_r.tolist(),
+            "logvar": lv_r.tolist(),
+            "regime_probs": q_r.tolist(),
         }
         if mode != "mean_field":
             if u is None:
@@ -237,6 +264,7 @@ class InferenceModel:
                     f"{u_arr.shape}")
             if u_arr.shape[1] != T:
                 raise ValueError("u and x time lengths must match")
+            _require_finite_input(u_arr, "u")
             up = np.zeros((1, u_arr.shape[0], padded.shape[2]), np.float32)
             up[0, :, :T] = u_arr
             lengths = jnp.asarray(np.array([T], np.int32))
@@ -254,7 +282,9 @@ class InferenceModel:
                 return out
             else:
                 raise ValueError(f"unknown mode {mode!r}")
-            out["regime_probs"] = np.asarray(g)[0, :, :T].tolist()
+            g_r = np.asarray(g)[0, :, :T]
+            require_finite_output(g_r)
+            out["regime_probs"] = g_r.tolist()
             out["mode"] = mode
         return out
 
@@ -271,8 +301,10 @@ class InferenceModel:
                               self._bucket_use_pallas(padded.shape[2]))
         head, head_params = self._get_head()
         weights = head(head_params, jnp.asarray(np.asarray(q)[:, :, :T]))
-        return {"weights": np.asarray(weights)[0].tolist(),
-                "regime_probs": np.asarray(q)[0, :, T - 1].tolist()}
+        w_r = np.asarray(weights)[0]
+        q_r = np.asarray(q)[0, :, T - 1]
+        require_finite_output(w_r, q_r)
+        return {"weights": w_r.tolist(), "regime_probs": q_r.tolist()}
 
     def stream(self, session: str, x_t=None, u_t=None,
                finish: bool = False, state=None, carry_state: bool = False):
@@ -301,6 +333,10 @@ class InferenceModel:
             if u_arr is None or u_arr.shape != (self.cfg.model.u_dim or 0,):
                 raise ValueError(
                     f"u_t must be [U={self.cfg.model.u_dim}] floats")
+            # rejected BEFORE the filter update: one non-finite frame
+            # would poison the session's alpha recursion forever
+            _require_finite_input(x_arr, "x_t")
+            _require_finite_input(u_arr, "u_t")
         else:
             x_arr = u_arr = None
         if state is not None and not isinstance(state, dict):

@@ -325,8 +325,19 @@ class BatchingModel:
             # actual coalesced size (not pad_b): the /metrics histogram
             # answers "how full are my batches" (serve/metrics.py)
             METRICS.observe_batch(B)
+            from .app import require_finite_output
+
             for i, it in enumerate(group):
                 T = it.T
+                try:
+                    # per ROW: one request's overflow-magnitude input
+                    # must 400 that request alone, not its batch-mates
+                    require_finite_output(mu[i, :, :T], logvar[i, :, :T],
+                                          q[i, :, :T])
+                except ValueError as e:
+                    it.error = e
+                    it.event.set()
+                    continue
                 it.result = {
                     "mu": mu[i, :, :T].tolist(),
                     "logvar": logvar[i, :, :T].tolist(),
