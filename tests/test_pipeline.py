@@ -789,3 +789,36 @@ def test_early_stop_counters_survive_preemption(tiny_config):
     # uninterrupted: best at ep1, wait hits 3 at ep4 -> stop there
     assert int(state.step) == 4 * nb
     assert any(m.startswith("Early stop at epoch 4/10") for m in msgs)
+
+
+def test_val_split_early_stopping(tiny_config):
+    """data.val_fraction holds out the last sequences, logs a per-epoch
+    validation ELBO, and early stopping tracks the val metric."""
+    import json as _json
+
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg_path, tmp = tiny_config
+    raw = _json.loads(open(cfg_path).read())
+    raw["data"]["val_fraction"] = 0.25          # 4 sequences -> 1 held out
+    raw["training"].update(epochs=8, early_stop_patience=2,
+                           early_stop_min_delta=1e9,
+                           checkpoint_dir=str(tmp / "ckpt_val"))
+    p = tmp / "cfg_val.json"
+    p.write_text(_json.dumps(raw))
+
+    pipe = TrainPipeline(load_config(str(p)))
+    ds = pipe.load_data()
+    assert len(ds.x_seqs) == 3                   # train split excludes val
+    xv, uv, lv = pipe._val_arrays
+    assert xv.shape[0] == 1 and uv.shape[0] == 1
+    assert xv.shape[2] == min(120, 48) and (lv == xv.shape[2]).all()
+
+    msgs = []
+    pipe2 = TrainPipeline(load_config(str(p)))
+    state = pipe2.train(log_fn=msgs.append)
+    vlogs = [m for m in msgs if m.strip().startswith("ValLoss")]
+    assert len(vlogs) == 3                       # one per epoch run
+    assert int(state.step) == 3 * (32 // 8)      # stop: 1 best + 2 wait
+    assert any(m.startswith("Early stop at epoch 3/8") for m in msgs)

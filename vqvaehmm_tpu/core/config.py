@@ -58,6 +58,12 @@ class DataConfig:
     samples_per_epoch: int = 1000  # reference __len__ hardcodes 1000 (:17-18)
     x_sequences_path: str = "data/x_sequences.npy"
     u_sequences_path: str = "data/u_sequences.npy"
+    # Hold out the LAST fraction of sequences as a validation set
+    # (deterministic split; never sampled by training).  The pipeline
+    # then logs a per-epoch validation ELBO (beta=1, full windows) and
+    # early stopping — when enabled — tracks it instead of the training
+    # loss.  0.0 (default) = reference parity, no split.
+    val_fraction: float = 0.0
 
 
 @dataclass(frozen=True)

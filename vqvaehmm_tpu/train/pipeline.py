@@ -98,6 +98,20 @@ class TrainPipeline:
                 input_dim=self.cfg.model.input_dim,
                 u_dim=self.cfg.model.u_dim or 1, K=self.cfg.model.K,
                 seed=self.cfg.training.seed)
+        self._val_arrays = None
+        frac = float(getattr(d, "val_fraction", 0.0) or 0.0)
+        if frac > 0.0:
+            # deterministic split: the LAST k sequences are validation —
+            # identical on every (re)run of the same config, so resume
+            # tracks the same metric over the same windows
+            if len(xs) < 2:
+                raise ValueError("val_fraction needs >= 2 sequences")
+            k = min(max(int(round(len(xs) * frac)), 1), len(xs) - 1)
+            T = min(xs.shape[2], d.max_len)
+            self._val_arrays = (np.asarray(xs[-k:, :, :T], np.float32),
+                                np.asarray(us[-k:, :, :T], np.float32),
+                                np.full((k,), T, np.int32))
+            xs, us = xs[:-k], us[:-k]
         return RandomChunkDataset(xs, us, min_len=d.min_len,
                                   max_len=d.max_len,
                                   samples_per_epoch=d.samples_per_epoch,
@@ -170,6 +184,14 @@ class TrainPipeline:
         # preempted-and-resumed run stops at the same epoch
         patience = int(getattr(t, "early_stop_patience", 0) or 0)
         min_delta = float(getattr(t, "early_stop_min_delta", 0.0) or 0.0)
+        # data.val_fraction: per-epoch validation ELBO (beta=1, whole
+        # held-out windows, one jitted call); when early stopping is on,
+        # patience tracks THIS instead of the training loss
+        val_loss_fn = None
+        if getattr(self, "_val_arrays", None) is not None:
+            xv, uv, lv = (jnp.asarray(a) for a in self._val_arrays)
+            val_loss_fn = jax.jit(
+                lambda p: model.compute_loss(p, xv, uv, lv, 1.0))
         best_loss, wait = float("inf"), 0
         meta = load_metadata(periodic) if resume else None
         if meta is not None and os.path.exists(periodic):
@@ -288,9 +310,16 @@ class TrainPipeline:
                 if log_fn:
                     log_fn(f"Epoch {ep + 1}/{t.num_epochs}, "
                            f"Loss: {loss:.4f}")
+                vloss = None
+                if val_loss_fn is not None and (patience > 0
+                                                or log_fn is not None):
+                    vloss = float(val_loss_fn(state.params))
+                    if log_fn:
+                        log_fn(f"  ValLoss: {vloss:.4f}")
                 if patience > 0:
-                    if loss < best_loss - min_delta:
-                        best_loss, wait = loss, 0
+                    metric = vloss if vloss is not None else loss
+                    if metric < best_loss - min_delta:
+                        best_loss, wait = metric, 0
                     else:
                         wait += 1
                 if at_save:
