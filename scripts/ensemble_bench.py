@@ -6,6 +6,15 @@ rate.  On TPU the member axis batches the model's small matmuls onto
 the MXU, so extra seeds should ride pipeline slack: the interesting
 number is epoch_time(N) / epoch_time(1).
 
+Methodology: matched-call subtraction with TRUE host-fetch syncs —
+per-step cost = (t(2R steps) - t(R steps)) / R over per-point medians,
+synced by fetching the per-member losses to host (np.asarray).  Through
+the axon relay `block_until_ready()` returns before the remote
+computation finishes (an earlier version of this script used it and
+measured dispatch overhead, reporting an impossible 18M seqs/s); only a
+host fetch is a real barrier here (CLAUDE.md measurement trap; same
+recipe as utils/benchmarking.py and bench.py's epoch timing).
+
 Run on TPU: python scripts/ensemble_bench.py
 (CPU runs work but just show ~Nx scaling — no MXU to fill.)
 """
@@ -24,7 +33,8 @@ os.environ.setdefault(
 import numpy as np
 
 B, C, T, K, U = 64, 5, 200, 3, 4
-STEPS = 400  # batches per epoch call (enough to saturate dispatch)
+STEPS = 400  # R: batches per epoch call at the measured point
+TRIALS = 5
 
 
 def main():
@@ -45,40 +55,56 @@ def main():
     x = rng.normal(size=(B, C, T)).astype(np.float32)
     u = rng.normal(size=(B, U, T)).astype(np.float32)
     ln = rng.integers(T // 2, T + 1, size=B).astype(np.int32)
-    tile = jax.jit(lambda a: jnp.broadcast_to(
-        a[None], (STEPS,) + a.shape) + jnp.zeros((), a.dtype))
-    xs, us_, lns = tile(jnp.asarray(x)), tile(jnp.asarray(u)), \
-        tile(jnp.asarray(ln))
+
+    def tiled(steps):
+        tile = jax.jit(lambda a: jnp.broadcast_to(
+            a[None], (steps,) + a.shape) + jnp.zeros((), a.dtype))
+        return (tile(jnp.asarray(x)), tile(jnp.asarray(u)),
+                tile(jnp.asarray(ln)))
+
+    data1, data2 = tiled(STEPS), tiled(2 * STEPS)
 
     results = {}
-    base = None
-    for n in (1, 2, 4, 8):
-        states = init_ensemble_state(model, tx, range(n))
-        step = make_ensemble_epoch_step(model, tx, donate=False)
-        _, losses = step(states, xs, us_, lns, jnp.float32(1.0))
-        losses.block_until_ready()  # compile
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            _, losses = step(states, xs, us_, lns, jnp.float32(1.0))
-            losses.block_until_ready()
-            times.append(time.perf_counter() - t0)
-        ts = sorted(times)
-        med, lo, hi = ts[2], ts[0], ts[-1]
-        if base is None:
-            base = med
-        results[f"n={n}"] = {
-            # median over 5 windows WITH [min, max] spread — published
-            # claims must sit inside the recorded spread (CLAUDE.md)
-            "epoch_s": round(med, 4),
-            "epoch_s_spread": [round(lo, 4), round(hi, 4)],
-            "vs_n1": round(med / base, 3),
-            "seqs_per_sec_total": round(n * STEPS * B / med),
-        }
-        print(f"n={n}: {med:.4f}s [{lo:.4f}, {hi:.4f}] "
-              f"({med / base:.2f}x n=1), "
-              f"{n * STEPS * B / med:,.0f} member-seqs/s",
-              file=sys.stderr)
+    for fused in (False, True):
+        mode = "fused" if fused else "vmap_xla"
+        base = None
+        for n in (1, 2, 4, 8):
+            states = init_ensemble_state(model, tx, range(n))
+            step = make_ensemble_epoch_step(model, tx, donate=False,
+                                            fused=fused)
+
+            def timed(data):
+                """Median wall time of TRIALS calls, each synced by a
+                host fetch of the (N,) per-member losses (a real barrier
+                through the relay, unlike block_until_ready)."""
+                xs, us_, lns = data
+                np.asarray(step(states, xs, us_, lns,
+                                jnp.float32(1.0))[1])
+                ts = []
+                for _ in range(TRIALS):
+                    t0 = time.perf_counter()
+                    _, losses = step(states, xs, us_, lns,
+                                     jnp.float32(1.0))
+                    np.asarray(losses)
+                    ts.append(time.perf_counter() - t0)
+                return float(np.median(ts)), ts
+
+            t1, _ = timed(data1)
+            t2, _ = timed(data2)
+            step_us = (t2 - t1) / STEPS * 1e6
+            if base is None:
+                base = step_us
+            results[f"{mode} n={n}"] = {
+                "us_per_step_marginal": round(step_us, 1),
+                "t_R_s": round(t1, 4), "t_2R_s": round(t2, 4),
+                "vs_n1": round(step_us / base, 3),
+                "seqs_per_sec_total": round(n * B / (step_us * 1e-6)),
+            }
+            print(f"{mode} n={n}: {step_us:.1f} us/step marginal "
+                  f"(t(R)={t1:.3f}s t(2R)={t2:.3f}s R={STEPS}) "
+                  f"({step_us / base:.2f}x n=1), "
+                  f"{n * B / (step_us * 1e-6):,.0f} member-seqs/s",
+                  file=sys.stderr)
     print(json.dumps({"backend": jax.default_backend(),
                       "B": B, "T": T, "steps": STEPS,
                       "results": results}))

@@ -53,6 +53,11 @@ def main():
                          "windows (artifacts/data) instead of synthetic "
                          "sequences; accuracy is held-out Viterbi decode "
                          "vs the fixture's ground-truth regimes")
+    ap.add_argument("--fused", action="store_true",
+                    help="run each member through the fused Pallas "
+                         "loss+grads kernel (lax.map over members — the "
+                         "faster on-chip configuration; BENCH_NOTES "
+                         "'Ensemble member-axis marginal')")
     args = ap.parse_args()
 
     from vqvaehmm_tpu import RandomChunkDataset, make_model
@@ -81,7 +86,7 @@ def main():
     t0 = time.perf_counter()
     states, hist, best = train_ensemble(
         model, ds, seeds=range(args.seeds), num_epochs=args.epochs,
-        batch_size=32, log_fn=None)
+        batch_size=32, fused=args.fused, log_fn=None)
     wall = time.perf_counter() - t0
 
     finals = hist[:, -1]

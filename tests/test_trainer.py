@@ -405,6 +405,43 @@ def test_train_ensemble_members_match_solo_runs():
                                        rtol=0, atol=1e-6)
 
 
+def test_ensemble_fused_step_matches_solo_fused():
+    """fused=True ensemble (lax.map over members, each running the
+    Pallas loss+grads kernel) must reproduce each member's solo fused
+    epoch — the on-chip-preferred configuration (vmapping the XLA
+    update over members measured SUPER-linear, BENCH_NOTES "Ensemble
+    member-axis marginal")."""
+    from vqvaehmm_tpu.train.ensemble import (ensemble_member,
+                                             init_ensemble_state,
+                                             make_ensemble_epoch_step)
+    from vqvaehmm_tpu.train.trainer import (make_epoch_step,
+                                            make_optimizer)
+
+    model = make_model(5, 12, 3, 6, u_dim=4, trans_hidden=12)
+    tx = make_optimizer(1e-3)
+    rng = np.random.default_rng(0)
+    nb, B, T = 2, 16, 16  # T % 8 == 0 and a lane-legal block exist
+    xs = rng.normal(size=(nb, B, 5, T)).astype(np.float32)
+    us = rng.normal(size=(nb, B, 4, T)).astype(np.float32)
+    lens = rng.integers(8, T + 1, size=(nb, B)).astype(np.int32)
+
+    states = init_ensemble_state(model, tx, [0, 1])
+    step = make_ensemble_epoch_step(model, tx, donate=False, fused=True)
+    out, losses = step(states, xs, us, lens, jnp.float32(0.7))
+
+    solo = make_epoch_step(model, tx, donate=False, fused=True)
+    for i in range(2):
+        st, loss = solo(ensemble_member(states, i), xs, us, lens,
+                        jnp.float32(0.7))
+        np.testing.assert_allclose(np.asarray(losses[i]),
+                                   np.asarray(loss), rtol=0, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(
+                            ensemble_member(out, i).params),
+                        jax.tree_util.tree_leaves(st.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-6)
+
+
 def test_ensemble_mesh_sharded_matches_single_device():
     """Ensemble parallelism: sharding the member axis over an 8-device
     mesh must reproduce the single-device vmapped trajectories exactly

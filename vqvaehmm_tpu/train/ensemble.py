@@ -39,29 +39,45 @@ def init_ensemble_state(model: VAEHMM, tx, seeds: Sequence[int]
 
 
 def make_ensemble_epoch_step(model: VAEHMM, tx, donate: bool = True,
-                             mesh=None, axis: str = "data"):
-    """Epoch update vmapped over the member axis of a stacked
-    TrainState.  The epoch data (xs, us, lens) is SHARED across members
-    (in_axes=None via closure); each member advances its own Adam
-    trajectory.  Returns step(states, xs, us, lens, beta) ->
+                             mesh=None, axis: str = "data",
+                             fused: bool = False):
+    """Epoch update over the member axis of a stacked TrainState.  The
+    epoch data (xs, us, lens) is SHARED across members (in_axes=None via
+    closure); each member advances its own Adam trajectory.  Returns
+    step(states, xs, us, lens, beta) ->
     (states, per-member mean loss (N,)).
 
+    fused=False (default) vmaps the XLA update over members.  Measured
+    on-chip this scales SUPER-linearly (n=8 costs ~12.6x n=1 at the
+    benchmark shape — the batched convs XLA builds for the member axis
+    are less efficient than the solo lowering, BENCH_NOTES "Ensemble
+    member-axis marginal").  fused=True instead lax.map's the members,
+    each running the single-kernel Pallas loss+grads path
+    (ops/pallas_train.py) — sequential over members but each at the
+    fused step's rate, which is the faster configuration wherever the
+    kernel is supported (ops.pallas_train.train_step_supported).
+
     mesh: shard the MEMBER axis over `axis` — ensemble parallelism via
-    shard_map: each chip runs the vmapped scan over its LOCAL members
-    against the replicated epoch data, with zero collectives (letting
-    jit partition the vmap instead would turn the batched convs into
+    shard_map: each chip runs the scan over its LOCAL members against
+    the replicated epoch data, with zero collectives (letting jit
+    partition the vmap instead would turn the batched convs into
     grouped convs and demand feature dims divisible by the axis size).
     len(seeds) must be divisible by the axis size."""
 
     def epoch(states: TrainState, xs, us, lens, beta):
         def body(st, batch):
             x, u, l = batch
-            return _sgd_update(model, tx, st, x, u, l, beta)
+            return _sgd_update(model, tx, st, x, u, l, beta, fused=fused)
 
         def one_member(st):
             return jax.lax.scan(body, st, (xs, us, lens))
 
-        states, losses = jax.vmap(one_member)(states)  # losses (N, nb)
+        if fused:
+            # the Pallas kernel takes ONE param set per call: run the
+            # members sequentially (lax.map), each via the fused step
+            states, losses = jax.lax.map(one_member, states)
+        else:
+            states, losses = jax.vmap(one_member)(states)  # (N, nb)
         return states, losses.mean(axis=1)
 
     dn = (0,) if donate else ()
@@ -91,6 +107,7 @@ def train_ensemble(model: VAEHMM, dataset: RandomChunkDataset,
                    gradient_clip: Optional[float] = None,
                    beta_warmup: bool = True,
                    device_data: Optional[bool] = None,
+                   fused: bool = False,
                    log_fn=print) -> Tuple[TrainState, np.ndarray, int]:
     """Train len(seeds) independent models in one vmapped loop over
     shared epoch data (same schedule as train_model — reference
@@ -102,13 +119,18 @@ def train_ensemble(model: VAEHMM, dataset: RandomChunkDataset,
     an on-chip step); False forces host epoch_arrays (the sample stream
     that matches train_model(device_data=False) for a given seed).
 
+    fused mirrors train_model's flag: each member's update runs the
+    single-kernel Pallas loss+grads path (members lax.map'd — measured
+    ~2.4x the vmapped-XLA ensemble's total throughput on-chip at n=8,
+    BENCH_NOTES "Ensemble member-axis marginal").
+
     Returns (stacked TrainState, per-member loss history (N, epochs),
     index of the member with the best final loss).  Pull the winner out
     with `ensemble_member(states, best)`.
     """
     tx = make_optimizer(lr, gradient_clip)
     states = init_ensemble_state(model, tx, seeds)
-    step = make_ensemble_epoch_step(model, tx)
+    step = make_ensemble_epoch_step(model, tx, fused=fused)
     if device_data is None:
         device_data = jax.default_backend() == "tpu"
     sampler = None

@@ -147,11 +147,23 @@ class TrainPipeline:
             seeds = list(t.ensemble_seeds)
             device_data = (getattr(t, "input_pipeline", "host")
                            == "device") or None
+            fused = getattr(t, "fused", False)
+            if fused:
+                from ..ops.pallas_train import train_step_supported
+
+                # members see the FULL batch each (the member axis is
+                # not a data shard), so gate at (batch_size, max_len)
+                if not train_step_supported(self.cfg.model, t.batch_size,
+                                            self.cfg.data.max_len):
+                    fused = False
+                    if log_fn:
+                        log_fn("fused step unsupported at the ensemble "
+                               "shapes; using the XLA path")
             states, hist, best = train_ensemble(
                 model, dataset, seeds, num_epochs=t.num_epochs,
                 lr=t.learning_rate, batch_size=t.batch_size,
                 gradient_clip=t.gradient_clip,
-                device_data=device_data, log_fn=log_fn)
+                device_data=device_data, fused=fused, log_fn=log_fn)
             state = ensemble_member(states, best)
             ckpt_path = os.path.join(t.checkpoint_dir, "vae_hmm_trained")
             save_checkpoint(ckpt_path, state, metadata={
