@@ -84,3 +84,19 @@ def test_input_pipeline_validated():
     assert TrainConfig(input_pipeline="device").input_pipeline == "device"
     with pytest.raises(ValueError, match="input_pipeline"):
         TrainConfig(input_pipeline="Device")
+
+
+def test_auto_defaults_and_fused_validated():
+    """The zero-knob defaults are 'auto' for both the input pipeline and
+    the fused step (round-3 VERDICT item 1: the measured-fast path must
+    be the default on TPU, not an opt-in), and a typo'd fused raises."""
+    import pytest
+
+    from vqvaehmm_tpu.core.config import TrainConfig
+
+    cfg = TrainConfig()
+    assert cfg.input_pipeline == "auto"
+    assert cfg.fused == "auto"
+    assert TrainConfig(fused=True).fused is True
+    with pytest.raises(ValueError, match="fused"):
+        TrainConfig(fused="yes")

@@ -822,3 +822,61 @@ def test_val_split_early_stopping(tiny_config):
     assert len(vlogs) == 3                       # one per epoch run
     assert int(state.step) == 3 * (32 // 8)      # stop: 1 best + 2 wait
     assert any(m.startswith("Early stop at epoch 3/8") for m in msgs)
+
+
+def test_resolve_input_pipeline_auto():
+    """'auto' (the config default, round-3 VERDICT item 1) selects the
+    measured-fast path per backend: device on TPU, host elsewhere;
+    explicit values pass through; typos raise."""
+    from vqvaehmm_tpu.train.trainer import resolve_input_pipeline
+
+    assert resolve_input_pipeline("auto", backend="tpu") == "device"
+    assert resolve_input_pipeline("auto", backend="cpu") == "host"
+    assert resolve_input_pipeline("host", backend="tpu") == "host"
+    assert resolve_input_pipeline("device", backend="cpu") == "device"
+    # conftest pins the test backend to CPU
+    assert resolve_input_pipeline("auto") == "host"
+    with pytest.raises(ValueError, match="input_pipeline"):
+        resolve_input_pipeline("Device")
+
+
+def test_resolve_fused_auto():
+    """'auto' takes the fused Pallas step exactly when the backend is
+    TPU AND the shapes pass the kernel gate; forcing an unsupported
+    shape logs and falls back instead of crashing at trace time."""
+    from vqvaehmm_tpu.core.config import ModelConfig
+    from vqvaehmm_tpu.train.trainer import resolve_fused
+
+    cfg = ModelConfig()
+    # the benchmark shape qualifies: TPU-only under auto
+    assert resolve_fused("auto", cfg, 64, 200, backend="tpu") is True
+    assert resolve_fused("auto", cfg, 64, 200, backend="cpu") is False
+    assert resolve_fused(False, cfg, 64, 200, backend="tpu") is False
+    # T % 8 != 0 cannot run the kernel
+    msgs = []
+    assert resolve_fused(True, cfg, 64, 201, log_fn=msgs.append) is False
+    assert any("unsupported" in m for m in msgs)
+    assert resolve_fused("auto", cfg, 64, 201, backend="tpu") is False
+    with pytest.raises(ValueError, match="fused"):
+        resolve_fused("yes", cfg, 64, 200)
+
+
+def test_pipeline_default_is_host_on_cpu(tiny_config, monkeypatch):
+    """A default config (input_pipeline/fused 'auto') on the CPU backend
+    must take the host/XLA parity path — the device sampler is never
+    constructed."""
+    import vqvaehmm_tpu.data.device_sampler as ds_mod
+    from vqvaehmm_tpu.core.config import load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg_path, _ = tiny_config
+    cfg = load_config(cfg_path)
+    assert cfg.training.input_pipeline == "auto"
+    assert cfg.training.fused == "auto"
+
+    def boom(*a, **k):
+        raise AssertionError("device sampler must not be used on CPU auto")
+
+    monkeypatch.setattr(ds_mod.DeviceEpochSampler, "__init__", boom)
+    state = TrainPipeline(cfg).train(log_fn=None, resume=False)
+    assert int(state.step) == 2 * (32 // 8)

@@ -129,7 +129,8 @@ class TrainPipeline:
 
         from ..data.checkpoint import load_checkpoint, load_metadata
         from .trainer import (TrainState, beta_schedule, make_epoch_step,
-                              make_optimizer)
+                              make_optimizer, resolve_fused,
+                              resolve_input_pipeline)
         from ..data.dataset import epoch_arrays
 
         t = self.cfg.training
@@ -145,20 +146,15 @@ class TrainPipeline:
             from .ensemble import ensemble_member, train_ensemble
 
             seeds = list(t.ensemble_seeds)
-            device_data = (getattr(t, "input_pipeline", "host")
-                           == "device") or None
-            fused = getattr(t, "fused", False)
-            if fused:
-                from ..ops.pallas_train import train_step_supported
-
-                # members see the FULL batch each (the member axis is
-                # not a data shard), so gate at (batch_size, max_len)
-                if not train_step_supported(self.cfg.model, t.batch_size,
-                                            self.cfg.data.max_len):
-                    fused = False
-                    if log_fn:
-                        log_fn("fused step unsupported at the ensemble "
-                               "shapes; using the XLA path")
+            device_data = resolve_input_pipeline(
+                getattr(t, "input_pipeline", "auto")) == "device"
+            # members see the FULL batch each (the member axis is not a
+            # data shard), so gate at (batch_size, max_len);
+            # train_ensemble re-gates too, but resolving here keeps the
+            # pipeline's log message and selection in one place
+            fused = resolve_fused(getattr(t, "fused", "auto"),
+                                  self.cfg.model, t.batch_size,
+                                  self.cfg.data.max_len, log_fn=log_fn)
             states, hist, best = train_ensemble(
                 model, dataset, seeds, num_epochs=t.num_epochs,
                 lr=t.learning_rate, batch_size=t.batch_size,
@@ -215,21 +211,17 @@ class TrainPipeline:
                 log_fn(f"Resumed from epoch {start_epoch} "
                        f"(step {int(state.step)})")
 
-        fused = getattr(t, "fused", False)
-        if fused:
-            from ..ops.pallas_train import train_step_supported
-
-            T_ = self.cfg.data.max_len
-            # under a mesh the kernel runs per shard on the LOCAL batch
-            n_shards = self.mesh.devices.size if self.mesh is not None else 1
-            B_local = t.batch_size // max(n_shards, 1)
-            if B_local == 0 or not train_step_supported(
-                    self.cfg.model, B_local, T_):
-                fused = False
-                if log_fn:
-                    log_fn(f"fused step unsupported at T={T_}, "
-                           f"per-shard B={B_local}; using the XLA path")
-        device_input = getattr(t, "input_pipeline", "host") == "device"
+        # under a mesh the kernel runs per shard on the LOCAL batch
+        n_shards = self.mesh.devices.size if self.mesh is not None else 1
+        fused = resolve_fused(getattr(t, "fused", "auto"), self.cfg.model,
+                              t.batch_size // max(n_shards, 1),
+                              self.cfg.data.max_len, log_fn=log_fn)
+        device_input = resolve_input_pipeline(
+            getattr(t, "input_pipeline", "auto")) == "device"
+        if log_fn and (fused or device_input):
+            log_fn(f"input_pipeline={'device' if device_input else 'host'}"
+                   f" fused={fused} "
+                   f"(backend={jax.default_backend()})")
         if device_input:
             from ..data.device_sampler import DeviceEpochSampler
 

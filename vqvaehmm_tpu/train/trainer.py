@@ -31,6 +31,56 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # global step counter
 
 
+def resolve_input_pipeline(value: str = "auto",
+                           backend: Optional[str] = None) -> str:
+    """Resolve the input-pipeline selection to 'host' or 'device'.
+
+    'auto' (the config default) picks the measured-fast path for the
+    backend: 'device' on TPU (the pool lives in HBM, the host ships only
+    index triples and the gather runs inside the training scan — the
+    host path feeds the fused step at ~1% of its rate on a 1-core host,
+    BENCH_NOTES.md "Pallas gather"), 'host' elsewhere (the parity
+    sample stream, and CPU training is host-bound anyway).  Explicit
+    'host'/'device' pass through unchanged.
+    """
+    if value in ("host", "device"):
+        return value
+    if value not in ("auto", None):
+        raise ValueError(f"unknown input_pipeline {value!r}; "
+                         "expected 'auto', 'host' or 'device'")
+    backend = backend or jax.default_backend()
+    return "device" if backend == "tpu" else "host"
+
+
+def resolve_fused(value, model_cfg, batch_size: int, max_len: int,
+                  backend: Optional[str] = None, log_fn=print) -> bool:
+    """Resolve the fused-train-step selection to a concrete bool.
+
+    value: False -> XLA path; True -> Pallas path where
+    train_step_supported, with a logged XLA fallback otherwise (forcing
+    an unsupported shape must not crash a production run at trace time);
+    'auto'/None -> Pallas exactly when the backend is TPU AND the shapes
+    qualify (the kernel's gate bounds backend, dtype, lane tiling and
+    VMEM — ops/pallas_train.py).
+    """
+    if value is False:
+        return False
+    if value not in (True, "auto", None):
+        raise ValueError(f"unknown fused {value!r}; "
+                         "expected true, false or 'auto'")
+    from ..ops.pallas_train import train_step_supported
+
+    supported = (batch_size > 0
+                 and train_step_supported(model_cfg, batch_size, max_len))
+    if value is True:
+        if not supported and log_fn:
+            log_fn(f"fused step unsupported at T={max_len}, "
+                   f"B={batch_size}; using the XLA path")
+        return supported
+    backend = backend or jax.default_backend()
+    return backend == "tpu" and supported
+
+
 def beta_schedule(epoch: int, num_epochs: int, warmup: bool = True) -> float:
     """KL annealing beta = min(1, 2(ep+1)/E)  (reference :151)."""
     if not warmup:
@@ -282,14 +332,16 @@ def train_model(model: VAEHMM, dataset: RandomChunkDataset,
                 beta_warmup: bool = True,
                 mesh: Optional[Mesh] = None,
                 state: Optional[TrainState] = None,
-                fused: bool = False,
+                fused: Optional[bool] = None,
                 device_data: Optional[bool] = None,
                 log_fn=print) -> Tuple[TrainState, list]:
     """End-to-end training loop with the reference's schedule
     (reference: VQ_VAE_HMM_fixed.py:145-162), epoch-fused on device.
 
-    fused=True uses the single-kernel Pallas loss+grads path
-    (single-device; see ops/pallas_train.py).
+    fused=True uses the single-kernel Pallas loss+grads path (see
+    ops/pallas_train.py); None (default) = auto — the fused path exactly
+    when the backend is TPU and the shapes pass the kernel's gate, so a
+    zero-knob call trains at the measured-fast configuration.
 
     device_data: None = auto (on TPU, feed via the device-side input
     pipeline — host ships only index triples per epoch, the gather runs
@@ -306,6 +358,10 @@ def train_model(model: VAEHMM, dataset: RandomChunkDataset,
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     if device_data is None:
         device_data = jax.default_backend() == "tpu"
+    n_shards = mesh.devices.size if mesh is not None else 1
+    fused = resolve_fused("auto" if fused is None else fused, model.cfg,
+                          batch_size // max(n_shards, 1), dataset.max_len,
+                          log_fn=log_fn)
 
     history = []
     if device_data:
