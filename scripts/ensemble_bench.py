@@ -89,18 +89,29 @@ def main():
                     ts.append(time.perf_counter() - t0)
                 return float(np.median(ts)), ts
 
-            t1, _ = timed(data1)
-            t2, _ = timed(data2)
+            t1, ts1 = timed(data1)
+            t2, ts2 = timed(data2)
             step_us = (t2 - t1) / STEPS * 1e6
+            # [min, max] spread of the marginal across per-trial
+            # pairings (sorted t(R) x sorted t(2R) extremes) — the
+            # invariant is that published claims sit inside a RECORDED
+            # spread (round-3 advisor finding: the point medians alone
+            # regressed that)
+            lo_us = max((min(ts2) - max(ts1)) / STEPS * 1e6, 0.0)
+            hi_us = (max(ts2) - min(ts1)) / STEPS * 1e6
             if base is None:
                 base = step_us
             results[f"{mode} n={n}"] = {
                 "us_per_step_marginal": round(step_us, 1),
+                "us_per_step_spread": [round(lo_us, 1), round(hi_us, 1)],
                 "t_R_s": round(t1, 4), "t_2R_s": round(t2, 4),
+                "t_R_trials_s": [round(t, 4) for t in ts1],
+                "t_2R_trials_s": [round(t, 4) for t in ts2],
                 "vs_n1": round(step_us / base, 3),
                 "seqs_per_sec_total": round(n * B / (step_us * 1e-6)),
             }
             print(f"{mode} n={n}: {step_us:.1f} us/step marginal "
+                  f"[{lo_us:.1f}, {hi_us:.1f}] "
                   f"(t(R)={t1:.3f}s t(2R)={t2:.3f}s R={STEPS}) "
                   f"({step_us / base:.2f}x n=1), "
                   f"{n * B / (step_us * 1e-6):,.0f} member-seqs/s",

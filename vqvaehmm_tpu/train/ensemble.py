@@ -24,7 +24,7 @@ import numpy as np
 from ..data.dataset import RandomChunkDataset, epoch_arrays
 from ..models.vae_hmm import VAEHMM
 from .trainer import (TrainState, _sgd_update, beta_schedule,
-                      make_optimizer)
+                      make_optimizer, resolve_fused)
 
 
 def init_ensemble_state(model: VAEHMM, tx, seeds: Sequence[int]
@@ -128,6 +128,12 @@ def train_ensemble(model: VAEHMM, dataset: RandomChunkDataset,
     index of the member with the best final loss).  Pull the winner out
     with `ensemble_member(states, best)`.
     """
+    # gate like train_model: forcing the kernel at unsupported shapes
+    # must log and fall back to XLA, not die in a trace-time ValueError
+    # (members see the FULL batch each — the member axis is not a data
+    # shard — so the gate is at (batch_size, max_len))
+    fused = resolve_fused(fused, model.cfg, batch_size, dataset.max_len,
+                          log_fn=log_fn)
     tx = make_optimizer(lr, gradient_clip)
     states = init_ensemble_state(model, tx, seeds)
     step = make_ensemble_epoch_step(model, tx, fused=fused)
