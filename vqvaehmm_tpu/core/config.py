@@ -31,6 +31,13 @@ class ModelConfig:
     hidden_dim2: int = 32
     u_dim: Optional[int] = 4
     trans_hidden: int = 128
+    # Model family: "vae" (the reference's shipped soft-codebook VAE-HMM)
+    # or "vqvae" (the true-VQ stack the reference only sketched,
+    # pseudocode.txt:1-32 — models/vqvae_hmm.py + a categorical-emission
+    # HMM over code indices).  The vqvae family reads its extra
+    # hyperparameters from the `vq` config section; K here is the REGIME
+    # count for both families.
+    family: str = "vae"
     # --- TPU-native extensions (not in reference) ---
     # Compute dtype for the fast path; parity path always runs f32/highest.
     compute_dtype: str = "float32"
@@ -39,10 +46,28 @@ class ModelConfig:
     # Conv lowering: "conv" (lax.conv) | "matmul" (shifted MXU matmuls;
     # usually faster for this model's tiny channel counts).
     conv_impl: str = "conv"
-    # NOTE: the true-VQ stack (pseudocode.txt capability upgrade) is its
-    # own model with its own config — models/vqvae_hmm.VQVAEConfig
-    # (latent_dim/num_codes live there); VAEHMM itself is always the
-    # reference's soft mean-field lookup.
+    def __post_init__(self):
+        if self.family not in ("vae", "vqvae"):
+            raise ValueError(f"unknown model family {self.family!r}; "
+                             "expected 'vae' or 'vqvae'")
+
+
+@dataclass(frozen=True)
+class VQConfig:
+    """Hyperparameters of the true-VQ family (model.family: vqvae).
+
+    Implements the reference's design sketch (pseudocode.txt:1-32) as a
+    first-class pipeline family: encoder -> per-timestep vector
+    quantization against a codebook of `num_codes` `latent_dim`-d codes
+    -> decoder, plus a `model.K`-state categorical-emission HMM over the
+    discrete code sequence fit by Baum-Welch EM after training."""
+
+    num_codes: int = 8
+    latent_dim: int = 16
+    commitment_beta: float = 0.25
+    # Baum-Welch over code indices (models/hmm.fit_categorical_em)
+    hmm_iters: int = 50
+    hmm_restarts: int = 4
 
 
 @dataclass(frozen=True)
@@ -174,6 +199,7 @@ class Config:
     training: TrainConfig = field(default_factory=TrainConfig)
     portfolio: PortfolioConfig = field(default_factory=PortfolioConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    vq: VQConfig = field(default_factory=VQConfig)
     checkpoint_path: str = "checkpoints/vae_hmm_trained"
     head_checkpoint_path: Optional[str] = None
 
@@ -188,6 +214,7 @@ _SECTION_TYPES = {
     "training": TrainConfig,
     "portfolio": PortfolioConfig,
     "mesh": MeshConfig,
+    "vq": VQConfig,
 }
 
 # Reference configs use a few alternative key spellings; accept them all.

@@ -348,76 +348,83 @@ class InferenceModel:
 
     def _get_head(self):
         if not hasattr(self, "_head_state"):
-            import jax
-
-            from ..models.portfolio import (HeadConfig,
-                                            RegimePortfolioOptimizer)
-
-            head = RegimePortfolioOptimizer(HeadConfig(
-                K=self.cfg.model.K, n_assets=self.cfg.portfolio.n_assets,
-                hidden_dim=self.cfg.portfolio.hidden_dim))
-            head_ckpt = self.cfg.head_checkpoint_path
-            if str(head_ckpt or "").endswith((".pt", ".pth")) \
-                    and os.path.exists(str(head_ckpt)):
-                # reference torch head checkpoints (models/portfolio.pt /
-                # portfolio_improved.pt): family from state_dict naming,
-                # dims from the weights (inference.py:15-17 workflow)
-                import numpy as np
-
-                from ..models.portfolio import ImprovedPortfolioOptimizer
-                from ..utils.torch_interop import (
-                    head_params_from_state_dict, load_torch_file)
-
-                head_params = head_params_from_state_dict(
-                    load_torch_file(str(head_ckpt)))
-                w1 = np.asarray(head_params["fc1"]["weight"])
-                if w1.ndim == 3:
-                    hc = HeadConfig(
-                        K=w1.shape[0], hidden_dim=w1.shape[1],
-                        n_assets=np.asarray(
-                            head_params["fc3"]["weight"]).shape[1])
-                    head = ImprovedPortfolioOptimizer(hc)
-                else:
-                    hc = HeadConfig(
-                        K=w1.shape[1], hidden_dim=w1.shape[0],
-                        n_assets=np.asarray(
-                            head_params["fc3"]["weight"]).shape[0])
-                    head = RegimePortfolioOptimizer(hc)
-                if hc.K != self.cfg.model.K:
-                    raise ValueError(
-                        f"head checkpoint {head_ckpt!r} has K={hc.K} but "
-                        f"the model serves K={self.cfg.model.K}")
-                self._head_state = (head, head_params)
-                return self._head_state
-            # accept the path verbatim OR with the implicit .npz suffix —
-            # the same rule as the main checkpoint above (configuring
-            # "head.npz" must not probe "head.npz.npz", miss, and silently
-            # serve a random-init head)
-            npz = str(head_ckpt) if str(head_ckpt or "").endswith(".npz") \
-                else str(head_ckpt or "") + ".npz"
-            if head_ckpt and os.path.exists(npz):
-                from ..data.checkpoint import (load_params_npz,
-                                               validate_params_for)
-
-                head_params = load_params_npz(npz)
-                validate_params_for(head, head_params,
-                                    what=f"head checkpoint {head_ckpt!r}")
-            else:
-                head_params = head.init(jax.random.PRNGKey(0))
-                if head_ckpt:
-                    import sys
-
-                    print(f"WARNING: head_checkpoint_path {head_ckpt!r} is "
-                          "configured but no checkpoint was found; /predict "
-                          "serves a random-init head", file=sys.stderr,
-                          flush=True)
             # SINGLE atomic assignment: the threaded servers can race
             # two first /predict calls, and a two-field lazy init let a
             # reader observe _head without _head_params (the same hazard
             # the eager _streams comment documents); the worst case now
             # is both threads building an identical tuple, last wins
-            self._head_state = (head, head_params)
+            self._head_state = load_portfolio_head(self.cfg)
         return self._head_state
+
+
+def load_portfolio_head(cfg):
+    """(head, head_params) from the config: the configured portfolio
+    head with its checkpoint loaded — reference .pt head checkpoints
+    (family from state_dict naming, dims from the weights) or the
+    framework's .npz; random-init (with a stderr warning if a path was
+    configured) otherwise.  Shared by the VAE and VQ serving families."""
+    import jax
+
+    from ..models.portfolio import HeadConfig, RegimePortfolioOptimizer
+
+    head = RegimePortfolioOptimizer(HeadConfig(
+        K=cfg.model.K, n_assets=cfg.portfolio.n_assets,
+        hidden_dim=cfg.portfolio.hidden_dim))
+    head_ckpt = cfg.head_checkpoint_path
+    if str(head_ckpt or "").endswith((".pt", ".pth")) \
+            and os.path.exists(str(head_ckpt)):
+        # reference torch head checkpoints (models/portfolio.pt /
+        # portfolio_improved.pt): family from state_dict naming,
+        # dims from the weights (inference.py:15-17 workflow)
+        import numpy as np
+
+        from ..models.portfolio import ImprovedPortfolioOptimizer
+        from ..utils.torch_interop import (
+            head_params_from_state_dict, load_torch_file)
+
+        head_params = head_params_from_state_dict(
+            load_torch_file(str(head_ckpt)))
+        w1 = np.asarray(head_params["fc1"]["weight"])
+        if w1.ndim == 3:
+            hc = HeadConfig(
+                K=w1.shape[0], hidden_dim=w1.shape[1],
+                n_assets=np.asarray(
+                    head_params["fc3"]["weight"]).shape[1])
+            head = ImprovedPortfolioOptimizer(hc)
+        else:
+            hc = HeadConfig(
+                K=w1.shape[1], hidden_dim=w1.shape[0],
+                n_assets=np.asarray(
+                    head_params["fc3"]["weight"]).shape[0])
+            head = RegimePortfolioOptimizer(hc)
+        if hc.K != cfg.model.K:
+            raise ValueError(
+                f"head checkpoint {head_ckpt!r} has K={hc.K} but "
+                f"the model serves K={cfg.model.K}")
+        return head, head_params
+    # accept the path verbatim OR with the implicit .npz suffix —
+    # the same rule as the main checkpoint above (configuring
+    # "head.npz" must not probe "head.npz.npz", miss, and silently
+    # serve a random-init head)
+    npz = str(head_ckpt) if str(head_ckpt or "").endswith(".npz") \
+        else str(head_ckpt or "") + ".npz"
+    if head_ckpt and os.path.exists(npz):
+        from ..data.checkpoint import (load_params_npz,
+                                       validate_params_for)
+
+        head_params = load_params_npz(npz)
+        validate_params_for(head, head_params,
+                            what=f"head checkpoint {head_ckpt!r}")
+    else:
+        head_params = head.init(jax.random.PRNGKey(0))
+        if head_ckpt:
+            import sys
+
+            print(f"WARNING: head_checkpoint_path {head_ckpt!r} is "
+                  "configured but no checkpoint was found; /predict "
+                  "serves a random-init head", file=sys.stderr,
+                  flush=True)
+    return head, head_params
 
 
 def _env_batch_opts():
@@ -438,8 +445,22 @@ def _build_model(config_path: str, batch_opts: Optional[dict] = None):
     wrapped in the micro-batcher + warmed.  batch_opts comes from
     ModelHandle.configure_batching (the `--batch` CLI path) and falls
     back to the VQHMM_* env knobs."""
-    model = InferenceModel(config_path)
+    from ..core.config import load_config
+
     opts = batch_opts if batch_opts is not None else _env_batch_opts()
+    if load_config(config_path).model.family == "vqvae":
+        # the true-VQ family: codes + regime posteriors (serve/vq.py);
+        # same /infer//predict routes on all three surfaces
+        from .vq import VQInferenceModel
+
+        if opts:
+            import sys
+
+            print("WARNING: micro-batching is a vae-family feature; "
+                  "serving the vqvae family solo", file=sys.stderr,
+                  flush=True)
+        return VQInferenceModel(config_path)
+    model = InferenceModel(config_path)
     if opts:
         from .batching import BatchingModel
 
@@ -494,6 +515,13 @@ class ModelHandle:
         silently downgrading to solo dispatches."""
         from .batching import BatchingModel
 
+        if getattr(self._inner.cfg.model, "family", "vae") == "vqvae":
+            import sys
+
+            print("WARNING: micro-batching is a vae-family feature; "
+                  "--batch ignored for the vqvae family", file=sys.stderr,
+                  flush=True)
+            return
         with self._reload_lock:
             self._batch_opts = {"max_batch": max_batch,
                                 "max_wait_ms": max_wait_ms,

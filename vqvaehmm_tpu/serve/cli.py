@@ -108,13 +108,59 @@ def main(argv=None):
     parser.add_argument("--config", default="configs/config.yaml")
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--head-checkpoint", default=None)
-    parser.add_argument("--stack", choices=("vae", "gmm"), default="vae",
+    parser.add_argument("--stack", choices=("vae", "gmm", "vq"),
+                        default="vae",
                         help="vae: VAE-HMM + portfolio head; gmm: persisted "
-                             "ImprovedSystem archive (checkpoint = its .npz)")
+                             "ImprovedSystem archive (checkpoint = its "
+                             ".npz); vq: persisted VQStack archive "
+                             "(train/vq_pipeline.py, checkpoint = its "
+                             "vq_stack.npz)")
     parser.add_argument("--data", default=None,
-                        help="vae: .npy (1,C,T) features; gmm: .npy (T,A) "
-                             "returns; synthetic if unset")
+                        help="vae/vq: .npy (1,C,T) features; gmm: .npy "
+                             "(T,A) returns; synthetic if unset")
     args = parser.parse_args(argv)
+
+    if args.stack == "vq":
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.config import load_config
+        from ..models.portfolio import HeadConfig, RegimePortfolioOptimizer
+        from ..train.vq_pipeline import VQStack
+
+        stack = VQStack.load(args.checkpoint)
+        cfg = load_config(args.config)
+        if args.data:
+            x = np.load(args.data)
+            if x.ndim == 2:
+                x = x[None]
+        else:
+            from ..data.synthetic import synthetic_sequences
+
+            xs, _, _ = synthetic_sequences(
+                1, 100, stack.model.cfg.input_dim, cfg.model.u_dim or 1,
+                stack.hmm.K)
+            x = xs
+        from ..data.checkpoint import load_params_npz
+
+        head = RegimePortfolioOptimizer(HeadConfig(
+            K=stack.hmm.K, n_assets=cfg.portfolio.n_assets,
+            hidden_dim=cfg.portfolio.hidden_dim))
+        head_params = (load_params_npz(args.head_checkpoint)
+                       if args.head_checkpoint
+                       else head.init(jax.random.PRNGKey(0)))
+        T = x.shape[2]
+        lens = jnp.full((x.shape[0],), T, jnp.int32)
+        codes = np.asarray(stack.codes(jnp.asarray(x)))[0]
+        print(f"Codes (last 10): {codes[-10:].tolist()}  "
+              f"({len(np.unique(codes))}/{stack.model.cfg.num_codes} "
+              "codebook entries used)")
+        # report() wants a (1, K, T) posterior fn over x
+        return report(
+            lambda a: jnp.transpose(stack.regime_marginals(
+                a, jnp.full((a.shape[0],), a.shape[2], jnp.int32)),
+                (0, 2, 1)),
+            lambda q: head(head_params, q), x)
 
     if args.stack == "gmm":
         from ..train.gmm_pipeline import load_improved_system

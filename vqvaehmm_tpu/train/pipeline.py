@@ -127,6 +127,15 @@ class TrainPipeline:
         """
         import jax.numpy as jnp
 
+        if getattr(self.cfg.model, "family", "vae") == "vqvae":
+            # the true-VQ family (reference pseudocode.txt:1-32) has its
+            # own trainer + archive format; the knobs it honours are
+            # documented on train_vq_stack
+            from .vq_pipeline import train_vq_pipeline
+
+            self.preempted = False
+            return train_vq_pipeline(self, log_fn=log_fn)
+
         from ..data.checkpoint import load_checkpoint, load_metadata
         from .trainer import (TrainState, beta_schedule, make_epoch_step,
                               make_optimizer, resolve_fused,

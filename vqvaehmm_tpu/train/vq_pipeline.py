@@ -1,0 +1,275 @@
+"""First-class pipeline for the true-VQ family (model.family: vqvae).
+
+The reference repo is *named* VQ-VAE-HMM but ships only a mean-field VAE;
+actual vector quantization exists there as a design sketch
+(reference: pseudocode.txt:1-32).  models/vqvae_hmm.py implements the
+sketch; this module gives it the same production plumbing the VAE family
+has: config-driven training through TrainPipeline, a single portable
+checkpoint archive (VQ params + the fitted code-HMM in one .npz, the
+same pattern as train/gmm_pipeline.py), and the inference surface the
+serving stack binds to (codes + regime posteriors).
+
+Train -> archive -> serve:
+
+    python -m vqvaehmm_tpu.train.pipeline cfg.json model.family=vqvae
+    # -> <checkpoint_dir>/vq_stack.npz
+    python -m vqvaehmm_tpu.serve.cli --stack vq --checkpoint .../vq_stack.npz
+    # HTTP: checkpoint_path -> the archive; /infer returns codes +
+    # regime_probs on all three surfaces (serve/vq.py)
+
+The regime HMM has `model.K` states (the same regime count as the VAE
+family) with categorical emissions over `vq.num_codes` code symbols,
+fit by multi-restart Baum-Welch after VQ training
+(models/hmm.fit_categorical_em — the sketch's `hmm.train_em(all_code_
+indices)`, pseudocode.txt:26-27).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..data.dataset import RandomChunkDataset
+from ..models.hmm import CategoricalEmission, HiddenMarkovModel
+from ..models.vqvae_hmm import VQVAEConfig, VQVAEHMM
+from .trainer import (TrainState, _apply_grads, make_optimizer,
+                      resolve_input_pipeline)
+
+
+def make_vq_model(cfg: Config) -> VQVAEHMM:
+    """VQVAEHMM from the unified config: encoder/decoder widths from the
+    `model` section, VQ hyperparameters from the `vq` section."""
+    m, v = cfg.model, cfg.vq
+    return VQVAEHMM(VQVAEConfig(
+        input_dim=m.input_dim, hidden_dim=m.hidden_dim,
+        hidden_dim2=m.hidden_dim2, num_codes=v.num_codes,
+        latent_dim=v.latent_dim, commitment_beta=v.commitment_beta))
+
+
+def panel_windows(x_seqs, max_len: int,
+                  min_len: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic full-coverage windows of a sequence pool: each
+    source sequence split into consecutive max_len windows (tail kept
+    when >= min_len), zero-padded to max_len.  Returns
+    (x:(N,C,max_len) f32, lengths:(N,) i32) — the panel the code-HMM is
+    fit on (training batches are random chunks; the HMM fit wants every
+    timestep exactly once)."""
+    C = x_seqs[0].shape[0]
+    xs, lens = [], []
+    for s in x_seqs:
+        s = np.asarray(s, np.float32)
+        for start in range(0, s.shape[1], max_len):
+            w = s[:, start:start + max_len]
+            if w.shape[1] < min_len and start > 0:
+                break
+            pad = np.zeros((C, max_len), np.float32)
+            pad[:, :w.shape[1]] = w
+            xs.append(pad)
+            lens.append(w.shape[1])
+    return np.stack(xs), np.asarray(lens, np.int32)
+
+
+def make_vq_epoch_step(model: VQVAEHMM, tx, donate: bool = True):
+    """Whole-epoch VQ update: lax.scan over a stacked epoch of batches,
+    one dispatch + one host sync per epoch (the same execution model as
+    the VAE family's make_epoch_step)."""
+
+    def epoch(state: TrainState, xs, lens):
+        def body(st, batch):
+            x, l = batch
+
+            def loss_fn(p):
+                return model.compute_loss(p, x, l).total
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return _apply_grads(tx, st, grads), loss
+
+        state, losses = jax.lax.scan(body, state, (xs, lens))
+        return state, losses.mean()
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+class VQStack(NamedTuple):
+    """Trained VQ-VAE + fitted code-HMM, the unit the pipeline
+    checkpoints and serving loads (one .npz archive, no pickle — the
+    same portability contract as train/gmm_pipeline.ImprovedSystem)."""
+
+    model: VQVAEHMM
+    params: Dict
+    hmm: HiddenMarkovModel
+    history: list
+
+    # -- inference ----------------------------------------------------
+
+    def codes(self, x) -> jnp.ndarray:
+        """(B, T) discrete code indices (nearest-code lookup)."""
+        return self.model.codes(self.params, jnp.asarray(x))
+
+    def _log_obs(self, codes) -> jnp.ndarray:
+        return self.hmm.emission.log_prob(jnp.asarray(codes))
+
+    def regime_marginals(self, x, lengths=None,
+                         mode: str = "smoothed") -> jnp.ndarray:
+        """(B, T, K) exact regime posteriors over the code sequence:
+        'smoothed' (all-data) or 'filtered' (causal)."""
+        from ..ops import hmm as hmm_ops
+
+        if mode not in ("smoothed", "filtered"):
+            raise ValueError(f"unknown mode {mode!r}")
+        log_obs = self._log_obs(self.codes(x))
+        fn = (hmm_ops.posterior_marginals if mode == "smoothed"
+              else hmm_ops.filtered_marginals)
+        return fn(self.hmm.log_pi, self.hmm.log_A, log_obs, lengths)
+
+    def viterbi(self, x, lengths=None) -> jnp.ndarray:
+        """(B, T) MAP regime path over the code sequence."""
+        return self.hmm.posterior_mode(self.codes(x), lengths)
+
+    # -- persistence ----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        cfg = self.model.cfg
+        leaves, _ = jax.tree_util.tree_flatten(self.params)
+        arrays = {f"vq_{i}": np.asarray(a) for i, a in enumerate(leaves)}
+        meta = {
+            "family": "vqvae",
+            "model": {"input_dim": cfg.input_dim,
+                      "hidden_dim": cfg.hidden_dim,
+                      "hidden_dim2": cfg.hidden_dim2,
+                      "num_codes": cfg.num_codes,
+                      "latent_dim": cfg.latent_dim,
+                      "commitment_beta": cfg.commitment_beta},
+            "K": int(self.hmm.K),
+        }
+        np.savez(path,
+                 meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+                 hmm_log_pi=np.asarray(self.hmm.log_pi),
+                 hmm_log_A=np.asarray(self.hmm.log_A),
+                 hmm_log_B=np.asarray(self.hmm.emission.logits),
+                 history=np.asarray(self.history, np.float64),
+                 **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "VQStack":
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            if meta.get("family") != "vqvae":
+                raise ValueError(f"{path!r} is not a vq_stack archive")
+            m = meta["model"]
+            model = VQVAEHMM(VQVAEConfig(
+                input_dim=m["input_dim"], hidden_dim=m["hidden_dim"],
+                hidden_dim2=m["hidden_dim2"], num_codes=m["num_codes"],
+                latent_dim=m["latent_dim"],
+                commitment_beta=m["commitment_beta"]))
+            n = sum(1 for k in z.files if k.startswith("vq_"))
+            leaves = [jnp.asarray(z[f"vq_{i}"]) for i in range(n)]
+            log_pi = jnp.asarray(z["hmm_log_pi"])
+            log_A = jnp.asarray(z["hmm_log_A"])
+            log_B = jnp.asarray(z["hmm_log_B"])
+            history = z["history"].tolist()
+        template = model.init(jax.random.PRNGKey(0))
+        treedef = jax.tree_util.tree_structure(template)
+        if len(leaves) != treedef.num_leaves:
+            raise ValueError(
+                f"archive {path!r} holds {len(leaves)} arrays but the "
+                f"current VQVAEHMM has {treedef.num_leaves}")
+        for a, b in zip(leaves, jax.tree_util.tree_leaves(template)):
+            if a.shape != b.shape:
+                raise ValueError(
+                    f"archive {path!r} leaf shape {a.shape} != model "
+                    f"shape {b.shape} — config/archive mismatch")
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        hmm = HiddenMarkovModel(jnp.exp(log_pi), jnp.exp(log_A),
+                                CategoricalEmission(log_B))
+        # overwrite the probs->log roundtrip with the saved logs so a
+        # save/load cycle is bit-exact
+        hmm.log_pi, hmm.log_A = log_pi, log_A
+        return cls(model, params, hmm, history)
+
+
+def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
+                   log_fn=print) -> Tuple[VQStack, TrainState]:
+    """Config-driven VQ training + code-HMM fit.
+
+    Training knobs honoured from cfg.training: num_epochs,
+    learning_rate, batch_size, gradient_clip, seed, input_pipeline
+    ('auto' -> device epoch assembly on TPU, data/device_sampler.py).
+    The HMM is fit afterwards on deterministic full-coverage windows of
+    the source pool (panel_windows) with cfg.model.K regime states over
+    cfg.vq.num_codes code symbols."""
+    t, v = cfg.training, cfg.vq
+    model = make_vq_model(cfg)
+    tx = make_optimizer(t.learning_rate, t.gradient_clip)
+    params = model.init(jax.random.PRNGKey(t.seed))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    epoch_step = make_vq_epoch_step(model, tx)
+
+    device_input = resolve_input_pipeline(
+        getattr(t, "input_pipeline", "auto")) == "device"
+    sampler = None
+    if device_input:
+        from ..data.device_sampler import DeviceEpochSampler
+
+        sampler = DeviceEpochSampler(dataset)
+    num_batches = len(dataset) // t.batch_size
+
+    history = []
+    for ep in range(t.num_epochs):
+        if sampler is not None:
+            # on-device epoch assembly: the host ships index triples,
+            # the gather runs on-chip (the VQ loss needs x only; the
+            # sampler's u gather is the cost of sharing one code path)
+            xs, _, lens = sampler.epoch(t.batch_size, num_batches,
+                                        exact_stream=False)
+        else:
+            from ..data.dataset import epoch_arrays
+
+            xs, _, lens = epoch_arrays(dataset, t.batch_size)
+        state, mean_loss = epoch_step(state, xs, lens)
+        if log_fn is not None:
+            loss = float(mean_loss)
+            history.append(loss)
+            log_fn(f"Epoch {ep + 1}/{t.num_epochs}, Loss: {loss:.4f}")
+        else:
+            history.append(mean_loss)  # device scalar: epochs pipeline
+    history = [float(l) for l in history]
+
+    # Baum-Welch over the code indices of the full pool
+    # (pseudocode.txt:26-27), K regimes x num_codes symbols
+    from ..models.hmm import fit_categorical_em
+
+    xw, lw = panel_windows(dataset.x_seqs, dataset.max_len)
+    codes = model.codes(state.params, jnp.asarray(xw))
+    em = fit_categorical_em(codes, K=cfg.model.K, V=v.num_codes,
+                            n_iters=v.hmm_iters, seed=t.seed,
+                            lengths=jnp.asarray(lw),
+                            n_init=v.hmm_restarts)
+    if log_fn:
+        log_fn(f"code-HMM EM: final loglik "
+               f"{float(np.asarray(em.log_likelihoods)[-1]):.2f} "
+               f"({v.hmm_restarts} restarts, {v.hmm_iters} iters)")
+    stack = VQStack(model, state.params, em.model, history)
+    return stack, state
+
+
+def train_vq_pipeline(pipeline, log_fn=print) -> TrainState:
+    """TrainPipeline's vqvae branch: train, fit the HMM, write the
+    archive to <checkpoint_dir>/vq_stack.npz.  Returns the final
+    TrainState (params are the VQ params) so the pipeline's return
+    contract holds for both families."""
+    cfg = pipeline.cfg
+    dataset = pipeline.load_data()
+    os.makedirs(cfg.training.checkpoint_dir, exist_ok=True)
+    stack, state = train_vq_stack(cfg, dataset, log_fn=log_fn)
+    path = os.path.join(cfg.training.checkpoint_dir, "vq_stack.npz")
+    stack.save(path)
+    if log_fn:
+        log_fn(f"Saved VQ stack to {path}")
+    return state
