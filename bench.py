@@ -449,12 +449,13 @@ def bench_torch_cpu() -> float:
         opt.step()
         return float(loss)
 
-    step()  # warmup
-    # best of 3 windows: the 1-core host's transient load has been seen
-    # to swing a single window by ~4x, which would swing vs_baseline too
+    for _ in range(3):
+        step()  # warmup (first step pays lazy init; two more to settle)
+    # best of 7 windows within one process: the 1-core host's transient
+    # load has been seen to swing a single window by ~4x
     iters = 10
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         for _ in range(iters):
             step()
@@ -463,6 +464,39 @@ def bench_torch_cpu() -> float:
     log(f"torch-cpu: best {iters}-step window {best_dt:.3f}s "
         f"-> {sps:.1f} seqs/s")
     return sps
+
+
+def measure_torch_anchor():
+    """Stabilized torch-CPU anchor: the MEDIAN of 5 process-fresh runs,
+    each reporting its best-of-7 10-step window (bench_torch_cpu).
+
+    A single in-process measurement swung vs_baseline 664x <-> 898x
+    between rounds (~40% anchor variance — allocator state, transient
+    host load).  Fresh processes decorrelate allocator/cache state; the
+    median rejects loaded runs.  Methodology pinned per round-3 VERDICT
+    item 7; two consecutive bench runs must agree on the anchor within
+    ~10% (measured 2026-08-19: consecutive medians within ~5%)."""
+    import subprocess
+
+    rates = []
+    me = os.path.abspath(__file__)
+    for i in range(5):
+        try:
+            out = subprocess.run(
+                [sys.executable, me, "--torch-anchor"],
+                capture_output=True, text=True, timeout=600)
+            line = out.stdout.strip().splitlines()[-1]
+            rates.append(float(json.loads(line)["torch_sps"]))
+        except Exception as e:  # noqa: BLE001 — anchor, not a dependency
+            log(f"torch anchor subprocess {i} failed: {e!r}")
+    if not rates:
+        log("all anchor subprocesses failed; measuring in-process")
+        return bench_torch_cpu()
+    rates.sort()
+    med = rates[len(rates) // 2]
+    log(f"torch-cpu anchor: median of {len(rates)} process-fresh runs "
+        f"{[round(r, 1) for r in rates]} -> {med:.1f} seqs/s")
+    return med
 
 
 def _require_backend(timeout_s: float = None):
@@ -502,6 +536,11 @@ def _require_backend(timeout_s: float = None):
 
 
 def main():
+    if "--torch-anchor" in sys.argv:
+        # subprocess mode (measure_torch_anchor): torch only, no jax —
+        # prints one JSON line and exits
+        print(json.dumps({"torch_sps": bench_torch_cpu()}))
+        return
     _require_backend()
     jax_sps, jax_lo, jax_hi = bench_jax()
     try:
@@ -525,7 +564,7 @@ def main():
         log(f"pipeline-default bench failed: {e}")
         pipe_sps = None
     try:
-        torch_sps = bench_torch_cpu()
+        torch_sps = measure_torch_anchor()
     except Exception as e:  # torch baseline is an anchor, not a dependency
         log(f"torch baseline failed: {e}")
         torch_sps = None
