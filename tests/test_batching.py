@@ -367,3 +367,39 @@ def test_max_queue_maps_to_503_over_http(tmp_path, monkeypatch):
         httpd.shutdown()
         httpd.vqhmm_model.close()
         get_model.cache_clear()
+
+
+def test_high_rtt_startup_warning(model, monkeypatch, capsys):
+    """With the warn threshold forced to 0 ms any real dispatch RTT
+    trips the co-location warning (round-3 VERDICT item 8: batching
+    behind a high-RTT device link measured ~3x slower than per-request
+    dispatch — say so at startup, not in production graphs)."""
+    monkeypatch.setenv("VQHMM_RTT_WARN_MS", "0")
+    b = _batcher(model, max_batch=4, max_wait_ms=1.0)
+    try:
+        err = capsys.readouterr().err
+        assert "does not look co-located" in err
+    finally:
+        b.close()
+    # at the default 5 ms threshold a local CPU dispatch must NOT warn
+    monkeypatch.delenv("VQHMM_RTT_WARN_MS")
+    b2 = _batcher(model, max_batch=4, max_wait_ms=1.0)
+    try:
+        assert "co-located" not in capsys.readouterr().err
+    finally:
+        b2.close()
+
+
+def test_pipeline_depth_plumbed(model, monkeypatch):
+    """--pipeline-depth / VQHMM_PIPELINE_DEPTH reach the dispatcher's
+    pool (surfaced as a tunable, round-3 VERDICT item 8)."""
+    b = _batcher(model, max_batch=4, max_wait_ms=1.0, pipeline_depth=3)
+    try:
+        assert b._pool._max_workers == 3
+    finally:
+        b.close()
+    from vqvaehmm_tpu.serve.app import _env_batch_opts
+
+    monkeypatch.setenv("VQHMM_BATCH", "1")
+    monkeypatch.setenv("VQHMM_PIPELINE_DEPTH", "4")
+    assert _env_batch_opts()["pipeline_depth"] == 4

@@ -436,6 +436,8 @@ def _env_batch_opts():
     return {"max_batch": int(os.environ.get("VQHMM_MAX_BATCH", "16")),
             "max_wait_ms": float(os.environ.get("VQHMM_MAX_WAIT_MS", "2")),
             "max_queue": int(max_queue) if max_queue else None,
+            "pipeline_depth": int(os.environ.get("VQHMM_PIPELINE_DEPTH",
+                                                 "2")),
             "warmup_lengths": tuple(int(v) for v in lengths.split(","))
             if lengths else ()}
 
@@ -466,7 +468,8 @@ def _build_model(config_path: str, batch_opts: Optional[dict] = None):
 
         model = BatchingModel(model, max_batch=opts["max_batch"],
                               max_wait_ms=opts["max_wait_ms"],
-                              max_queue=opts.get("max_queue"))
+                              max_queue=opts.get("max_queue"),
+                              pipeline_depth=opts.get("pipeline_depth", 2))
         if opts["warmup_lengths"]:
             model.warmup(opts["warmup_lengths"])
     return model
@@ -508,7 +511,8 @@ class ModelHandle:
     def configure_batching(self, max_batch: int = 16,
                            max_wait_ms: float = 2.0,
                            warmup_lengths=(200,),
-                           max_queue: Optional[int] = None) -> None:
+                           max_queue: Optional[int] = None,
+                           pipeline_depth: int = 2) -> None:
         """Micro-batch this handle now AND on every future reload — the
         programmatic twin of VQHMM_BATCH, used by httpd.serve(batch=True)
         so a reload rebuilds (and re-warms) the batcher instead of
@@ -526,6 +530,7 @@ class ModelHandle:
             self._batch_opts = {"max_batch": max_batch,
                                 "max_wait_ms": max_wait_ms,
                                 "max_queue": max_queue,
+                                "pipeline_depth": pipeline_depth,
                                 "warmup_lengths": tuple(warmup_lengths
                                                         or ())}
             inner = self._inner
@@ -542,9 +547,13 @@ class ModelHandle:
                                   max_wait_ms=max_wait_ms,
                                   max_queue=max_queue)
             else:
+                # pipeline_depth applies at build time (the dispatch
+                # pool's size); reconfigure() of a LIVE dispatcher keeps
+                # its pool — reload()/rebuild picks the new depth up
                 inner = BatchingModel(inner, max_batch=max_batch,
                                       max_wait_ms=max_wait_ms,
-                                      max_queue=max_queue)
+                                      max_queue=max_queue,
+                                      pipeline_depth=pipeline_depth)
             self._inner = inner
             if self._batch_opts["warmup_lengths"]:
                 self._inner.warmup(self._batch_opts["warmup_lengths"])

@@ -27,11 +27,18 @@ rates.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import List, Optional
 
 import numpy as np
+
+
+def _time_once(f, x) -> float:
+    t0 = time.perf_counter()
+    np.asarray(f(x))  # host fetch = real round-trip barrier
+    return time.perf_counter() - t0
 
 from .app import BATCH_LADDER as _BATCH_LADDER, InferenceModel
 from .metrics import METRICS
@@ -108,6 +115,41 @@ class BatchingModel:
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
+        self._warn_if_high_rtt()
+
+    def _warn_if_high_rtt(self) -> None:
+        """One startup probe of the host<->device dispatch round-trip.
+
+        Micro-batching's win assumes the server is CO-LOCATED with the
+        chip: measured through a ~26 ms-RTT device tunnel, per-request
+        dispatch served ~3x MORE HTTP throughput than batching at ladder
+        caps (BENCH_NOTES "Serving micro-batching" — the linger window
+        and the RTT serialize).  If one trivial dispatch round-trips
+        slower than VQHMM_RTT_WARN_MS (default 5 ms), say so loudly at
+        startup instead of letting the operator discover the regression
+        in production graphs."""
+        try:
+            import jax
+
+            jnp = self._inner._jnp
+            f = jax.jit(lambda a: a + 1)
+            x = jnp.zeros((), jnp.float32)
+            np.asarray(f(x))  # compile outside the timed probes
+            rtt = min(_time_once(f, x) for _ in range(3))
+        except Exception:  # a failed probe must never sink serving
+            return
+        warn_ms = float(os.environ.get("VQHMM_RTT_WARN_MS", "5"))
+        if rtt * 1e3 > warn_ms:
+            import sys
+
+            print(f"WARNING: device dispatch RTT ~{rtt * 1e3:.1f} ms "
+                  f"(> {warn_ms:.0f} ms): this server does not look "
+                  "co-located with its accelerator. Micro-batching "
+                  "SERIALIZES on that RTT and measured ~3x SLOWER than "
+                  "per-request dispatch through a high-RTT link "
+                  "(docs/serving.md 'Where to run the batcher') — "
+                  "consider serving without --batch here.",
+                  file=sys.stderr, flush=True)
 
     @property
     def stopped(self) -> bool:

@@ -135,6 +135,7 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
           port: int = 8000, background: bool = False, batch: bool = False,
           max_batch: int = 16, max_wait_ms: float = 2.0,
           warmup_lengths=(200,), max_queue: Optional[int] = None,
+          pipeline_depth: int = 2,
           ) -> Optional[ThreadingHTTPServer]:
     """batch=True coalesces concurrent /infer requests into single device
     calls (serve/batching.py) — the TPU-native serving shape under load.
@@ -160,7 +161,8 @@ def serve(config_path: str = "inference_config.json", host: str = "0.0.0.0",
         model.configure_batching(max_batch=max_batch,
                                  max_wait_ms=max_wait_ms,
                                  warmup_lengths=warmup_lengths,
-                                 max_queue=max_queue)
+                                 max_queue=max_queue,
+                                 pipeline_depth=pipeline_depth)
     elif warmup_lengths and getattr(model, "is_batching", False):
         # the VQHMM_BATCH-wrapped case: the env default only warms its
         # own VQHMM_WARMUP_LENGTHS
@@ -218,6 +220,9 @@ if __name__ == "__main__":
     p.add_argument("--max-queue", type=int, default=None,
                    help="shed load (503) beyond this many queued "
                         "requests; default unbounded")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="batched device calls kept in flight (dispatch "
+                        "i+1 overlaps dispatch i's compute); default 2")
     a = p.parse_args()
     # the banner prints from serve() only after the model is loaded and
     # the port is bound — announcing "serving" before either is a lie
@@ -225,4 +230,5 @@ if __name__ == "__main__":
           + (f" (micro-batching <= {a.max_batch})" if a.batch else "")
           + " ...", flush=True)
     serve(a.config, a.host, a.port, batch=a.batch, max_batch=a.max_batch,
-          max_wait_ms=a.max_wait_ms, max_queue=a.max_queue)
+          max_wait_ms=a.max_wait_ms, max_queue=a.max_queue,
+          pipeline_depth=a.pipeline_depth)
