@@ -130,11 +130,19 @@ def main():
         switch_rate(truth[cut:]), 4)
 
     # --- VAE-HMM window-level numbers for context (committed artifact) ---
-    qf = os.path.join(os.path.dirname(FIXTURE), "..", "..", "artifacts",
-                      "quality_fixture.json")
+    art = os.path.join(os.path.dirname(FIXTURE), "..", "..", "artifacts")
+    qf = os.path.join(art, "quality_fixture.json")
     if os.path.exists(qf):
         vae = json.load(open(qf))
         out["vae_hmm_windows"] = vae
+
+    # --- true-VQ family window-level numbers (full_recipe.py stage vq) ---
+    vqf = os.path.join(art, "vq_quality_fixture.json")
+    if os.path.exists(vqf):
+        vq = json.load(open(vqf))
+        out["vqvae_hmm_windows"] = {
+            k: v for k, v in vq.items()
+            if k.startswith(("regime_acc", "switch_rate", "codebook"))}
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/fixture_model_compare.json", "w") as f:

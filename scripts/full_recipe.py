@@ -248,6 +248,94 @@ def stage_quality(outdir):
     print("quality:", json.dumps(out))
 
 
+def stage_vq(outdir):
+    """True-VQ family on the SAME fixture windows as the quality stage:
+    train through TrainPipeline's vqvae branch (model.family=vqvae),
+    decode regimes from the categorical-emission code-HMM, and score vs
+    the fixture's per-day ground truth — the quality row for the stack
+    the reference only sketched (pseudocode.txt:1-32; round-3 VERDICT
+    item 3)."""
+    import jax.numpy as jnp
+
+    from vqvaehmm_tpu.core.config import (Config, DataConfig, ModelConfig,
+                                          TrainConfig, VQConfig)
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+    from vqvaehmm_tpu.train.vq_pipeline import VQStack
+
+    d = os.path.join(outdir, "data")
+    cfg = Config(
+        model=ModelConfig(input_dim=5, hidden_dim=64, K=3, hidden_dim2=32,
+                          u_dim=4, trans_hidden=128, family="vqvae"),
+        vq=VQConfig(num_codes=8, latent_dim=16),
+        data=DataConfig(min_len=20, max_len=200,
+                        x_sequences_path=os.path.join(d, "x_sequences.npy"),
+                        u_sequences_path=os.path.join(d, "u_sequences.npy")),
+        # VQHMM_VQ_EPOCHS: smoke/CI override (the 40-epoch artifact run
+        # is minutes on CPU; a 4-epoch pass validates the stage wiring)
+        training=TrainConfig(batch_size=64,
+                             num_epochs=int(os.environ.get(
+                                 "VQHMM_VQ_EPOCHS", "40")),
+                             learning_rate=3e-3, seed=42,
+                             checkpoint_dir=os.path.join(outdir,
+                                                         "checkpoints_vq"),
+                             save_freq=0),
+    )
+    _write_config(cfg, os.path.join(outdir, "config_vq.json"))
+    history = []
+
+    def log(msg):
+        print(msg)
+        if msg.startswith("Epoch"):
+            history.append(float(msg.rsplit(" ", 1)[-1]))
+
+    t0 = time.time()
+    TrainPipeline(cfg).train(log_fn=log)
+    wall = time.time() - t0
+
+    stack = VQStack.load(os.path.join(outdir, "checkpoints_vq",
+                                      "vq_stack.npz"))
+    x = jnp.asarray(_np(os.path.join(d, "x_sequences.npy")))
+    z = _np(os.path.join(d, "z_windows.npy"))
+    lens = jnp.full((x.shape[0],), x.shape[2], jnp.int32)
+
+    codes = np.asarray(stack.codes(x))
+    usage = np.bincount(codes.reshape(-1),
+                        minlength=cfg.vq.num_codes) / codes.size
+    gamma = np.asarray(stack.regime_marginals(x, lens))  # (N, T, K)
+    vit = np.asarray(stack.viterbi(x, lens))
+
+    zf = z.reshape(-1)
+    out = {"wall_seconds": round(wall, 1),
+           "epochs": cfg.training.num_epochs,
+           "final_vq_loss": round(history[-1], 4) if history else None,
+           "codebook_usage": [round(float(v), 3) for v in usage]}
+    for name, pred in [("smoothed_argmax",
+                        gamma.argmax(-1).reshape(-1)),
+                       ("viterbi", vit.reshape(-1))]:
+        acc, _ = _best_perm_acc(pred, zf)
+        out["regime_acc_" + name] = round(acc, 4)
+    for name, pred in [("smoothed_argmax", gamma.argmax(-1)),
+                       ("viterbi", vit)]:
+        out["switch_rate_" + name] = round(
+            float((np.diff(pred, axis=1) != 0).mean()), 4)
+    out["switch_rate_ground_truth"] = round(
+        float((np.diff(z, axis=1) != 0).mean()), 4)
+
+    with open(os.path.join(outdir, "vq_quality_fixture.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    # merge into the cross-model comparison artifact when it exists
+    cmp_path = os.path.join(outdir, "fixture_model_compare.json")
+    if os.path.exists(cmp_path):
+        with open(cmp_path) as f:
+            cmp_out = json.load(f)
+        cmp_out["vqvae_hmm_windows"] = {
+            k: v for k, v in out.items()
+            if k.startswith(("regime_acc", "switch_rate", "codebook"))}
+        with open(cmp_path, "w") as f:
+            json.dump(cmp_out, f, indent=2)
+    print("vq quality:", json.dumps(out))
+
+
 def stage_eval(outdir):
     from vqvaehmm_tpu.eval.evaluate import evaluate
 
@@ -658,7 +746,7 @@ def stage_report(outdir):
     print(f"wrote {os.path.join(outdir, 'RECIPE_REPORT.md')}")
 
 
-STAGES = ["data", "train", "quality", "eval", "head", "backtest",
+STAGES = ["data", "train", "quality", "vq", "eval", "head", "backtest",
           "walkforward", "montecarlo", "report"]
 
 
