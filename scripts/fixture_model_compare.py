@@ -47,6 +47,23 @@ def best_perm_accuracy(pred, true, K):
     return best
 
 
+def best_perm_balanced(pred, true, K):
+    """Balanced accuracy (mean per-class recall) under the raw-accuracy-
+    maximizing permutation.  The fixture is ~90/8/2 imbalanced, so raw
+    accuracy alone scores a constant calm-regime predictor at ~0.9;
+    balanced accuracy scores it at 1/3 and exposes rare-regime
+    blindness (see BENCH_NOTES 'Class imbalance and balanced accuracy')."""
+    best, best_perm = 0.0, None
+    for perm in itertools.permutations(range(K)):
+        acc = float((np.asarray(perm)[pred] == true).mean())
+        if acc > best or best_perm is None:
+            best, best_perm = acc, perm
+    p = np.asarray(best_perm)[pred]
+    recalls = [float((p[true == k] == k).mean())
+               for k in range(K) if (true == k).any()]
+    return float(np.mean(recalls))
+
+
 def switch_rate(states):
     return float((np.diff(np.asarray(states)) != 0).mean())
 
@@ -67,6 +84,8 @@ def main():
     assert len(feats) == len(truth)
 
     out = {"days": len(truth), "K": K,
+           "majority_share": round(float(np.bincount(truth).max()
+                                         / truth.size), 4),
            "switch_rate_ground_truth": round(switch_rate(truth), 4)}
 
     # --- the reference's "improved" stack: static GMM over features ---
@@ -74,6 +93,7 @@ def main():
     det.fit(feats)
     gmm_pred = np.asarray(det.predict_regime(feats))
     out["regime_acc_gmm"] = round(best_perm_accuracy(gmm_pred, truth, K), 4)
+    out["regime_bal_acc_gmm"] = round(best_perm_balanced(gmm_pred, truth, K), 4)
     out["switch_rate_gmm"] = round(switch_rate(gmm_pred), 4)
 
     # --- the SAME GMM emissions + learned dynamics: an HMM whose
@@ -91,6 +111,8 @@ def main():
         hmm_ops.viterbi(log_pi, log_A, log_obs).states)[0]
     out["regime_acc_gmm_plus_chain_viterbi"] = round(
         best_perm_accuracy(chain_pred, truth, K), 4)
+    out["regime_bal_acc_gmm_plus_chain_viterbi"] = round(
+        best_perm_balanced(chain_pred, truth, K), 4)
     out["switch_rate_gmm_plus_chain_viterbi"] = round(
         switch_rate(chain_pred), 4)
 
@@ -102,6 +124,8 @@ def main():
     hmm_pred = np.asarray(em.model.posterior_mode(z))[0]
     out["regime_acc_gaussian_hmm_viterbi"] = round(
         best_perm_accuracy(hmm_pred, truth, K), 4)
+    out["regime_bal_acc_gaussian_hmm_viterbi"] = round(
+        best_perm_balanced(hmm_pred, truth, K), 4)
     out["switch_rate_gaussian_hmm_viterbi"] = round(switch_rate(hmm_pred), 4)
 
     # --- held-out split: fit GMM (+ chain) on the first 80% of days,
@@ -113,6 +137,8 @@ def main():
     pred_h = np.asarray(det_h.predict_regime(feats[cut:]))
     out["heldout_regime_acc_gmm"] = round(
         best_perm_accuracy(pred_h, truth[cut:], K), 4)
+    out["heldout_regime_bal_acc_gmm"] = round(
+        best_perm_balanced(pred_h, truth[cut:], K), 4)
     out["heldout_switch_rate_gmm"] = round(switch_rate(pred_h), 4)
 
     lo_train = np.asarray(_log_prob_components(
@@ -124,6 +150,8 @@ def main():
         hmm_ops.viterbi(log_pi_h, log_A_h, jnp.asarray(lo_test)).states)[0]
     out["heldout_regime_acc_gmm_plus_chain"] = round(
         best_perm_accuracy(chain_h, truth[cut:], K), 4)
+    out["heldout_regime_bal_acc_gmm_plus_chain"] = round(
+        best_perm_balanced(chain_h, truth[cut:], K), 4)
     out["heldout_switch_rate_gmm_plus_chain"] = round(
         switch_rate(chain_h), 4)
     out["heldout_switch_rate_ground_truth"] = round(
@@ -142,7 +170,7 @@ def main():
         vq = json.load(open(vqf))
         out["vqvae_hmm_windows"] = {
             k: v for k, v in vq.items()
-            if k.startswith(("regime_acc", "switch_rate", "codebook"))}
+            if k.startswith(("regime_", "switch_rate", "codebook"))}
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/fixture_model_compare.json", "w") as f:

@@ -211,6 +211,18 @@ def _best_perm_acc(pred, true, K=3):
     return best, best_perm
 
 
+def _balanced_acc(pred, true, perm, K=3):
+    """Mean per-class recall under the given label permutation.  The
+    fixture panel is 90/8/2 imbalanced, so raw accuracy is dominated by
+    the calm regime (a constant predictor scores 0.898); balanced
+    accuracy scores that constant at 1/3 and exposes rare-regime
+    blindness."""
+    p = np.asarray(perm)[pred]
+    recalls = [float((p[true == k] == k).mean())
+               for k in range(K) if (true == k).any()]
+    return float(np.mean(recalls))
+
+
 def stage_quality(outdir):
     """Converged-config run + regime recovery vs the fixture's ground truth
     for all three decode modes (VERDICT round-2 item 7)."""
@@ -228,12 +240,15 @@ def stage_quality(outdir):
     vit = np.asarray(model.viterbi_decode(params, x, u))
 
     zf = z.reshape(-1)
-    out = {}
+    out = {"majority_share": round(float(np.bincount(zf).max() / zf.size),
+                                   4)}
     for name, pred in [("meanfield_argmax", q.argmax(1).reshape(-1)),
                        ("smoothed_argmax", gamma.argmax(1).reshape(-1)),
                        ("viterbi", vit.reshape(-1))]:
         acc, perm = _best_perm_acc(pred, zf)
         out["regime_acc_" + name] = round(acc, 4)
+        out["regime_bal_acc_" + name] = round(
+            _balanced_acc(pred, zf, perm), 4)
     # regime stability: fraction of t with label change (lower = more stable)
     for name, pred in [("meanfield_argmax", q.argmax(1)),
                        ("smoothed_argmax", gamma.argmax(1)),
@@ -259,8 +274,10 @@ def stage_quality(outdir):
         pout = {}
         for name, pred in [("smoothed_argmax", pgamma.argmax(1)),
                            ("viterbi", pvit)]:
-            acc, _ = _best_perm_acc(pred.reshape(-1), zf)
+            acc, perm = _best_perm_acc(pred.reshape(-1), zf)
             pout["regime_acc_" + name] = round(acc, 4)
+            pout["regime_bal_acc_" + name] = round(
+                _balanced_acc(pred.reshape(-1), zf, perm), 4)
             pout["switch_rate_" + name] = round(
                 float((np.diff(pred, axis=1) != 0).mean()), 4)
         with open(os.path.join(outdir,
@@ -333,8 +350,10 @@ def stage_vq(outdir):
     for name, pred in [("smoothed_argmax",
                         gamma.argmax(-1).reshape(-1)),
                        ("viterbi", vit.reshape(-1))]:
-        acc, _ = _best_perm_acc(pred, zf)
+        acc, perm = _best_perm_acc(pred, zf)
         out["regime_acc_" + name] = round(acc, 4)
+        out["regime_bal_acc_" + name] = round(
+            _balanced_acc(pred, zf, perm), 4)
     for name, pred in [("smoothed_argmax", gamma.argmax(-1)),
                        ("viterbi", vit)]:
         out["switch_rate_" + name] = round(
@@ -351,7 +370,7 @@ def stage_vq(outdir):
             cmp_out = json.load(f)
         cmp_out["vqvae_hmm_windows"] = {
             k: v for k, v in out.items()
-            if k.startswith(("regime_acc", "switch_rate", "codebook"))}
+            if k.startswith(("regime_", "switch_rate", "codebook"))}
         with open(cmp_path, "w") as f:
             json.dump(cmp_out, f, indent=2)
     print("vq quality:", json.dumps(out))
@@ -758,15 +777,25 @@ def stage_report(outdir):
         "",
         "## 4. Regime recovery vs fixture ground truth",
         "",
-        "| decode mode | accuracy (best perm) | switch rate |",
-        "|---|---|---|",
+        "The fixture panel is imbalanced "
+        f"(majority regime = {q.get('majority_share', '?')} of days), so "
+        "raw accuracy is dominated by the calm regime; balanced accuracy "
+        "(mean per-class recall) scores a constant predictor at 1/3.",
+        "",
+        "| decode mode | accuracy (best perm) | balanced acc | "
+        "switch rate |",
+        "|---|---|---|---|",
+        f"| constant (majority) | {q.get('majority_share', '?')} "
+        "| 0.3333 | 0.0 |",
     ]
     for mode in ("meanfield_argmax", "smoothed_argmax", "viterbi"):
         lines.append(
             f"| {mode} | {q.get('regime_acc_' + mode, '?')} | "
+            f"{q.get('regime_bal_acc_' + mode, '?')} | "
             f"{q.get('switch_rate_' + mode, '?')} |")
     lines += [
-        f"| ground truth | 1.0 | {q.get('switch_rate_ground_truth', '?')} |",
+        "| ground truth | 1.0 | 1.0 | "
+        f"{q.get('switch_rate_ground_truth', '?')} |",
         "",
         "## 4b. True-VQ family on the same windows (model.family=vqvae)",
         "",
@@ -775,11 +804,14 @@ def stage_report(outdir):
         f"({vq.get('epochs', '?')} epochs, wall "
         f"{vq.get('wall_seconds', '?')}s):",
         "",
-        "| decode mode | accuracy (best perm) | switch rate |",
-        "|---|---|---|",
+        "| decode mode | accuracy (best perm) | balanced acc | "
+        "switch rate |",
+        "|---|---|---|---|",
         f"| smoothed_argmax | {vq.get('regime_acc_smoothed_argmax', '?')} "
+        f"| {vq.get('regime_bal_acc_smoothed_argmax', '?')} "
         f"| {vq.get('switch_rate_smoothed_argmax', '?')} |",
         f"| viterbi | {vq.get('regime_acc_viterbi', '?')} "
+        f"| {vq.get('regime_bal_acc_viterbi', '?')} "
         f"| {vq.get('switch_rate_viterbi', '?')} |",
         "",
         f"Codebook usage: {vq.get('codebook_usage', '?')} "

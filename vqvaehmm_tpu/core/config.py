@@ -68,6 +68,23 @@ class VQConfig:
     # Baum-Welch over code indices (models/hmm.fit_categorical_em)
     hmm_iters: int = 50
     hmm_restarts: int = 4
+    # Half the EM restarts start from a sticky (diag-heavy) transition
+    # matrix: per-timestep code symbols switch fast, and near-uniform
+    # inits reliably land EM in fast-switching local optima that decode
+    # regimes at chance (measured on the market fixture).
+    hmm_sticky: Optional[float] = 0.97
+    # Codebook health (standard VQ-VAE practice; without these the
+    # fixture run collapsed to ONE used code out of 8 — gradient VQ only
+    # updates assigned codes, so codes that start far from the data
+    # manifold never move):
+    #   data_init: initialize the codebook from encoder latents of the
+    #   first training batch instead of random normals
+    #   dead_code_reinit: after each epoch, restart codes whose usage
+    #   fell below dead_code_min_usage (fraction of a uniform share)
+    #   to random valid encoder latents
+    data_init: bool = True
+    dead_code_reinit: bool = True
+    dead_code_min_usage: float = 0.1
 
 
 @dataclass(frozen=True)

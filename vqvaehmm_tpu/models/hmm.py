@@ -168,7 +168,8 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
                        n_iters: int = 50, seed: int = 0,
                        lengths: Optional[jnp.ndarray] = None,
                        pseudocount: float = 1e-3,
-                       n_init: int = 4) -> EMResult:
+                       n_init: int = 4,
+                       sticky: Optional[float] = None) -> EMResult:
     """Baum-Welch EM for an HMM with categorical emissions over code indices.
 
     This is `hmm.train_em(all_code_indices)` from the reference design
@@ -179,6 +180,14 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
     EM is multimodal; `n_init` random restarts run *in parallel* via vmap
     (one batched program, not n sequential fits) and the best final
     log-likelihood wins.
+
+    sticky: when set (e.g. 0.95), every SECOND restart initializes the
+    transition matrix at sticky*I + (1-sticky)/K instead of a Dirichlet
+    draw, biasing those chains toward the slow-switching mode — for
+    regime discovery over fast per-timestep symbols the likelihood
+    surface has fast-switching local optima that near-uniform inits
+    fall into (observed on the market fixture's VQ codes).  The best
+    final log-likelihood still wins across ALL restarts.
     """
     codes = jnp.asarray(codes, jnp.int32)
     B, T = codes.shape
@@ -187,10 +196,17 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
         else jnp.ones((B, T), bool)
     onehot = jax.nn.one_hot(codes, V) * valid[..., None]  # (B,T,V)
 
-    def init_one(key):
+    def init_one(key, use_sticky):
         k1, k2, k3 = jax.random.split(key, 3)
+        A_rand = jax.random.dirichlet(k2, jnp.full(K, 2.0), shape=(K,))
+        if sticky is not None:
+            A_sticky = (sticky * jnp.eye(K)
+                        + (1.0 - sticky) / K * jnp.ones((K, K)))
+            A0 = jnp.where(use_sticky, A_sticky, A_rand)
+        else:
+            A0 = A_rand
         return (plog(jax.random.dirichlet(k1, jnp.ones(K))),
-                plog(jax.random.dirichlet(k2, jnp.full(K, 2.0), shape=(K,))),
+                plog(A0),
                 plog(jax.random.dirichlet(k3, jnp.ones(V), shape=(K,))))
 
     def em_step(carry, _):
@@ -210,11 +226,13 @@ def fit_categorical_em(codes: jnp.ndarray, K: int, V: int,
                plog(B_new / B_new.sum(-1, keepdims=True)))
         return new, sm.log_likelihood.sum()
 
-    def run_one(key):
-        return jax.lax.scan(em_step, init_one(key), None, length=n_iters)
+    def run_one(key, use_sticky):
+        return jax.lax.scan(em_step, init_one(key, use_sticky), None,
+                            length=n_iters)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_init)
-    (log_pis, log_As, log_Bms), lls = jax.vmap(run_one)(keys)  # lls (R, I)
+    flags = (jnp.arange(n_init) % 2) == 0  # even restarts sticky (if set)
+    (log_pis, log_As, log_Bms), lls = jax.vmap(run_one)(keys, flags)
     best = jnp.argmax(lls[:, -1])
     log_pi = log_pis[best]
     log_A = log_As[best]

@@ -21,6 +21,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..core.masking import length_mask
 from ..ops import nn as ops
@@ -46,6 +47,11 @@ class VQVAELoss(NamedTuple):
     recon: jnp.ndarray
     commitment: jnp.ndarray
     codebook: jnp.ndarray
+    # per-code assignment histogram over VALID positions, (num_codes,)
+    # i32 — free from the loss's own quantization; the training loop
+    # uses it to detect and restart dead codes (gradient VQ only ever
+    # updates assigned codes, so a code that starts dead stays dead)
+    counts: jnp.ndarray
 
 
 class VQVAEHMM:
@@ -133,7 +139,13 @@ class VQVAEHMM:
         else:
             recon = jnp.mean((x_hat - x) ** 2)
         total = recon + res.commitment_loss + res.codebook_loss
-        return VQVAELoss(total, recon, res.commitment_loss, res.codebook_loss)
+        onehot = jax.nn.one_hot(res.indices, self.cfg.num_codes,
+                                dtype=jnp.int32)          # (B,T,K)
+        if vmask is not None:
+            onehot = onehot * vmask[..., None].astype(jnp.int32)
+        counts = lax.stop_gradient(onehot.sum((0, 1)))
+        return VQVAELoss(total, recon, res.commitment_loss,
+                         res.codebook_loss, counts)
 
     def fit_hmm(self, params: Params, x: jnp.ndarray,
                 lengths: Optional[jnp.ndarray] = None,

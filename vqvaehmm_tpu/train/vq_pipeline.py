@@ -85,15 +85,43 @@ def make_vq_epoch_step(model: VQVAEHMM, tx, donate: bool = True):
             x, l = batch
 
             def loss_fn(p):
-                return model.compute_loss(p, x, l).total
+                parts = model.compute_loss(p, x, l)
+                return parts.total, parts.counts
 
-            loss, grads = jax.value_and_grad(loss_fn)(st.params)
-            return _apply_grads(tx, st, grads), loss
+            (loss, counts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            return _apply_grads(tx, st, grads), (loss, counts)
 
-        state, losses = jax.lax.scan(body, state, (xs, lens))
-        return state, losses.mean()
+        state, (losses, counts) = jax.lax.scan(body, state, (xs, lens))
+        # epoch-total per-code usage rides the same dispatch as the loss
+        return state, losses.mean(), counts.sum(0)
 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+def make_code_reinit(model: VQVAEHMM):
+    """Jitted dead-code restart: replace codebook rows flagged in
+    `dead` with encoder latents of the given VALID (row, t) positions —
+    the standard revival move for gradient-VQ collapse (a dead code
+    receives exactly zero gradient, so nothing else can ever move it).
+    Also used for data-dependent init (dead = all ones)."""
+
+    @jax.jit
+    def reinit(params, x, rows, ts, dead):
+        z_e = model.encode(params, x)                  # (B, D, T)
+        samples = z_e[rows, :, ts]                     # (num_codes, D)
+        cb = jnp.where(dead[:, None], samples.astype(params["codebook"].dtype),
+                       params["codebook"])
+        return {**params, "codebook": cb}
+
+    return reinit
+
+
+def _sample_valid_positions(rng, lens_np, n):
+    """n random (row, t) pairs with t < lens[row] (host-side)."""
+    rows = rng.integers(0, len(lens_np), size=n)
+    ts = (rng.random(n) * lens_np[rows]).astype(np.int32)
+    return rows.astype(np.int32), ts
 
 
 class VQStack(NamedTuple):
@@ -220,6 +248,9 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
         sampler = DeviceEpochSampler(dataset)
     num_batches = len(dataset) // t.batch_size
 
+    reinit = make_code_reinit(model)
+    rng = np.random.default_rng(t.seed + 1)
+
     history = []
     for ep in range(t.num_epochs):
         if sampler is not None:
@@ -232,7 +263,34 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
             from ..data.dataset import epoch_arrays
 
             xs, _, lens = epoch_arrays(dataset, t.batch_size)
-        state, mean_loss = epoch_step(state, xs, lens)
+        if ep == 0 and v.data_init:
+            # data-dependent codebook init: codes start ON the latent
+            # manifold (random-normal init left 7/8 codes dead on the
+            # market fixture — nothing revives a code that never wins
+            # an assignment)
+            rows, ts = _sample_valid_positions(
+                rng, np.asarray(lens[0]), v.num_codes)
+            state = state._replace(params=reinit(
+                state.params, xs[0], jnp.asarray(rows), jnp.asarray(ts),
+                jnp.ones((v.num_codes,), bool)))
+        state, mean_loss, counts = epoch_step(state, xs, lens)
+        if v.dead_code_reinit and ep < t.num_epochs - 1:
+            # per-epoch host fetch of (num_codes,) counts; restart codes
+            # below dead_code_min_usage of a uniform share.  This
+            # serializes dispatch between epochs — the VQ family trades
+            # that for codebook health (document: ~ms/epoch here).
+            c = np.asarray(counts)
+            dead = c < max(1.0, v.dead_code_min_usage * c.sum()
+                           / v.num_codes)
+            if dead.any():
+                rows, ts = _sample_valid_positions(
+                    rng, np.asarray(lens[0]), v.num_codes)
+                state = state._replace(params=reinit(
+                    state.params, xs[0], jnp.asarray(rows),
+                    jnp.asarray(ts), jnp.asarray(dead)))
+                if log_fn is not None:
+                    log_fn(f"  restarted {int(dead.sum())} dead codes "
+                           f"(usage {np.array2string(c, precision=0)})")
         if log_fn is not None:
             loss = float(mean_loss)
             history.append(loss)
@@ -250,7 +308,7 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
     em = fit_categorical_em(codes, K=cfg.model.K, V=v.num_codes,
                             n_iters=v.hmm_iters, seed=t.seed,
                             lengths=jnp.asarray(lw),
-                            n_init=v.hmm_restarts)
+                            n_init=v.hmm_restarts, sticky=v.hmm_sticky)
     if log_fn:
         log_fn(f"code-HMM EM: final loglik "
                f"{float(np.asarray(em.log_likelihoods)[-1]):.2f} "
