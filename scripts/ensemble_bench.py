@@ -116,9 +116,15 @@ def main():
                   f"({step_us / base:.2f}x n=1), "
                   f"{n * B / (step_us * 1e-6):,.0f} member-seqs/s",
                   file=sys.stderr)
-    print(json.dumps({"backend": jax.default_backend(),
-                      "B": B, "T": T, "steps": STEPS,
-                      "results": results}))
+    out = {"backend": jax.default_backend(),
+           "device": jax.devices()[0].device_kind,
+           "B": B, "T": T, "steps": STEPS, "results": results}
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "ensemble_bench.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
