@@ -48,7 +48,7 @@ def make_ensemble_epoch_step(model: VAEHMM, tx, donate: bool = True,
     (states, per-member mean loss (N,)).
 
     fused=False (default) vmaps the XLA update over members.  Measured
-    on-chip this scales SUPER-linearly (n=8 costs ~12.6x n=1 at the
+    on-chip this scales SUPER-linearly (n=8 costs 11.6x n=1 at the
     benchmark shape — the batched convs XLA builds for the member axis
     are less efficient than the solo lowering, BENCH_NOTES "Ensemble
     member-axis marginal").  fused=True instead lax.map's the members,
@@ -121,8 +121,9 @@ def train_ensemble(model: VAEHMM, dataset: RandomChunkDataset,
 
     fused mirrors train_model's flag: each member's update runs the
     single-kernel Pallas loss+grads path (members lax.map'd — measured
-    ~2.4x the vmapped-XLA ensemble's total throughput on-chip at n=8,
-    BENCH_NOTES "Ensemble member-axis marginal").
+    3.2x the vmapped-XLA ensemble's total throughput on-chip at n=8,
+    and sub-linear in n: 7.52x for 8 members, BENCH_NOTES "Ensemble
+    member-axis marginal").
 
     Returns (stacked TrainState, per-member loss history (N, epochs),
     index of the member with the best final loss).  Pull the winner out
