@@ -285,6 +285,22 @@ class TrainPipeline:
         profile_ep = (min(start_epoch + 1, t.num_epochs - 1)
                       if profile_dir else None)
 
+        # Device-input epochs prefetch the NEXT epoch's index triples
+        # right after dispatching the current one, so the host rng draw
+        # and the three (batches, B) int32 transfers (~10 MB/epoch at
+        # bench shapes — ~0.2 s through a remote-tunnel link) overlap
+        # device compute instead of serializing after the loss sync.
+        # The rng call order is unchanged (one sample_indices_fast per
+        # epoch, in epoch order), so the sample stream and the
+        # trajectory-exact resume fast-forward above are untouched; a
+        # draw prefetched past an early stop or preemption is simply
+        # dropped with the process's rng.
+        def _device_indices():
+            si, st_, ln = sampler.sample_indices_fast(
+                t.batch_size, num_batches)
+            return (jnp.asarray(si), jnp.asarray(st_), jnp.asarray(ln))
+
+        prefetched = None
         history = []
         with _sigterm_flag() as preempted:
             for ep in range(start_epoch, t.num_epochs):
@@ -293,12 +309,11 @@ class TrainPipeline:
                 with _trace(profile_dir) if profiling \
                         else contextlib.nullcontext():
                     if device_input:
-                        si, st_, ln = sampler.sample_indices_fast(
-                            t.batch_size, num_batches)
+                        args = (prefetched if prefetched is not None
+                                else _device_indices())
+                        prefetched = None
                         state, mean_loss = run_epoch(
-                            state, gstep,
-                            (jnp.asarray(si), jnp.asarray(st_),
-                             jnp.asarray(ln)),
+                            state, gstep, args,
                             jnp.float32(beta), num_batches)
                     else:
                         xs, us, lens = epoch_arrays(dataset, t.batch_size)
@@ -309,6 +324,12 @@ class TrainPipeline:
                         # the epoch step is async; sync INSIDE the trace
                         # so the device work lands in the captured window
                         mean_loss.block_until_ready()
+                if device_input and ep + 1 < t.num_epochs:
+                    # overlap the next epoch's host draw + transfer with
+                    # the (async, still running) epoch just dispatched;
+                    # kept outside the profiler window so traces show
+                    # only device work
+                    prefetched = _device_indices()
                 at_save = t.save_freq and (ep + 1) % t.save_freq == 0
                 if log_fn is not None or at_save or patience > 0:
                     # the host sync is only needed for live logging,
