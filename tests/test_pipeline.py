@@ -507,6 +507,20 @@ def test_train_pipeline_device_input(tiny_config):
     assert any("Resumed" in s for s in logs2)
     assert int(state2.step) == 3 * (32 // 8)
 
+    # trajectory-exact on the device path: the two-process
+    # (2-epoch run, then resume-to-3) trajectory must match an
+    # uninterrupted 3-epoch run leaf-for-leaf — the resume fast-forward
+    # and the index-prefetch must keep the per-epoch draw alignment.
+    import jax
+
+    cfg_solo = apply_overrides(cfg3, [f"training.checkpoint_dir="
+                                      f"{tmp / 'ckpt_solo_dev'}"])
+    solo = TrainPipeline(cfg_solo).train(log_fn=None, resume=False)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state2.params),
+            jax.tree_util.tree_leaves_with_path(solo.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_pipeline_no_sync_path_matches_logged_path(tiny_config):
     """With log_fn=None (and off save_freq epochs) TrainPipeline keeps
@@ -670,10 +684,18 @@ def test_gmm_feature_alignment_and_stat_persistence(rng, tmp_path):
         SimpleRegimeDetector().predict_proba(new_feats)
 
 
-def test_sigterm_checkpoints_and_resumes(tiny_config):
+@pytest.mark.parametrize("input_pipeline", ["host", "device"])
+def test_sigterm_checkpoints_and_resumes(tiny_config, input_pipeline):
     """SIGTERM (preemptible-VM / k8s eviction) checkpoints at the next
     epoch boundary and returns; a rerun auto-resumes and ends with the
-    same step count and final checkpoint as an uninterrupted run."""
+    same step count and final checkpoint as an uninterrupted run.
+
+    The device-input variant additionally pins the index-prefetch
+    design: when the preempting process dies at the epoch-2 boundary it
+    has ALREADY prefetched epoch 3's index draw, and that extra draw
+    must die with its rng — the resumed process replays exactly one
+    draw per completed epoch, so its epoch 3 sees the same indices the
+    uninterrupted run's epoch 3 does (asserted leaf-for-leaf below)."""
     import json as _json
     import os as _os
     import signal as _signal
@@ -687,6 +709,7 @@ def test_sigterm_checkpoints_and_resumes(tiny_config):
     cfg_path, tmp = tiny_config
     raw = _json.loads(open(cfg_path).read())
     raw["training"]["epochs"] = 5
+    raw["training"]["input_pipeline"] = input_pipeline
     raw["training"]["checkpoint_dir"] = str(tmp / "ckpt_sig")
     p = tmp / "cfg_sig.json"
     p.write_text(_json.dumps(raw))
