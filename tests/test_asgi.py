@@ -125,6 +125,53 @@ def test_fastapi_app_builds_and_serves(cfg_path):
     assert client.get("/metrics").text == before  # scrapes not recorded
 
 
+def test_fastapi_app_serves_via_stub(cfg_path):
+    """create_app's full wiring (routes, pydantic request models, the
+    metrics/body-bound middleware, HTTPException mapping) executes in
+    every environment: against the real fastapi when installed, else a
+    faithful in-repo double over the REAL pydantic (tests/fastapi_stub.py
+    — the dev image forbids installs, VERDICT r3 item 6; CI runs
+    test_fastapi_app_builds_and_serves against the genuine library)."""
+    import fastapi_stub
+
+    fastapi_stub.install_stub()
+    try:
+        # create_app imports fastapi inside its body, so it resolves the
+        # stub (or the real library) from sys.modules at call time — no
+        # module reload needed.
+        import vqvaehmm_tpu.serve.app as app_mod
+
+        client = fastapi_stub.TestClient(app_mod.create_app(cfg_path))
+        assert client.get("/health").json() == {"status": "ok"}
+        x = np.random.default_rng(0).normal(size=(5, 20)).tolist()
+        r = client.post("/infer", json={"x": x})
+        assert r.status_code == 200 and "regime_probs" in r.json()
+        # app-level validation error -> 400 (wrong feature count)
+        assert client.post("/infer", json={"x": x[:2]}).status_code == 400
+        # pydantic-level validation error -> 422 (missing required field)
+        assert client.post("/infer", json={}).status_code == 422
+        r = client.post("/predict", json={"x": x})
+        assert r.status_code == 200 and "weights" in r.json()
+        # declared-oversized body refused by the middleware before read
+        r = client.post("/infer", json={"x": x},
+                        headers={"content-length": str(app_mod.MAX_BODY + 1)})
+        assert r.status_code == 413
+        assert client.get("/nope").status_code == 404
+        # /metrics text exposition via the same middleware the real
+        # fastapi app registers; scrapes are not self-recorded
+        r = client.get("/metrics")
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/plain")
+        assert ('vqhmm_requests_total{endpoint="/infer",status="200"}'
+                in r.text)
+        assert ('vqhmm_requests_total{endpoint="/infer",status="400"}'
+                in r.text)
+        assert client.get("/metrics").text.count(
+            'endpoint="/metrics"') == r.text.count('endpoint="/metrics"')
+    finally:
+        fastapi_stub.uninstall_stub()
+
+
 def test_gradio_demo_builds(cfg_path):
     """Constructs build_demo (VERDICT r1 #9); skipped without gradio."""
     pytest.importorskip("gradio")

@@ -14,7 +14,13 @@ does not exist — SURVEY.md section 4.1); /predict here is a working
 equivalent returning portfolio weights when a head checkpoint is configured.
 """
 
-from __future__ import annotations
+# NO `from __future__ import annotations` here, deliberately: FastAPI
+# resolves STRING annotations against fn.__globals__, so postponed
+# annotations break route registration for the pydantic request models
+# and the Request param, which are create_app locals (NameError at
+# decoration time under the real fastapi).  Eager annotations evaluate
+# to the actual objects, which FastAPI accepts regardless of scope.
+# Caught by tests/test_asgi.py::test_fastapi_app_serves_via_stub.
 
 import hmac
 import json
