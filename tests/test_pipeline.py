@@ -488,10 +488,19 @@ def test_train_pipeline_device_input(tiny_config):
     from vqvaehmm_tpu.core.config import apply_overrides, load_config
     from vqvaehmm_tpu.train.pipeline import TrainPipeline
 
+    # beta_warmup=false because the trajectory pin below EXTENDS the run
+    # (2 epochs, then resume under epochs=3): the default warmup beta
+    # min(1, 2(ep+1)/E) depends on the TOTAL epoch count, so epoch 0
+    # trains under beta=1.0 when E=2 but beta=2/3 when E=3 — extending
+    # a finished run is schedule-identical to the uninterrupted run only
+    # when the schedule is independent of E.  Preemption-resume under
+    # ONE config (the advertised leaf-exact invariant) keeps warmup and
+    # is pinned by test_sigterm_checkpoints_and_resumes[device].
     cfg_path, tmp = tiny_config
     cfg = apply_overrides(load_config(cfg_path),
                           ["training.input_pipeline=device",
-                           "training.save_freq=1"])
+                           "training.save_freq=1",
+                           "training.beta_warmup=false"])
     logs = []
     state = TrainPipeline(cfg).train(log_fn=logs.append)
     assert int(state.step) == 2 * (32 // 8)
@@ -511,6 +520,8 @@ def test_train_pipeline_device_input(tiny_config):
     # (2-epoch run, then resume-to-3) trajectory must match an
     # uninterrupted 3-epoch run leaf-for-leaf — the resume fast-forward
     # and the index-prefetch must keep the per-epoch draw alignment.
+    # (Valid only because beta_warmup=false above makes the schedule
+    # independent of the total epoch count; see the fixture comment.)
     import jax
 
     cfg_solo = apply_overrides(cfg3, [f"training.checkpoint_dir="

