@@ -593,6 +593,13 @@ def main():
         "unit": "seqs/sec",
         "train_spread_seqs_per_sec": [round(jax_lo, 2), round(jax_hi, 2)],
         "vs_baseline": round(vs, 2) if vs else None,
+        # the anchor that produced vs_baseline, recorded alongside it so
+        # the multiplier is always interpretable across rounds: the
+        # r03->r04 jump 664x->1009x was an anchor-METHODOLOGY change
+        # (best-window -> median of 5 process-fresh runs), not a speedup
+        # (round-4 VERDICT item 7; BENCH_NOTES "anchor methodology")
+        "torch_cpu_anchor_seqs_per_sec":
+            round(torch_sps, 1) if torch_sps else None,
         # Second half of BASELINE.json's metric: Viterbi decode p50.  The
         # reference has no Viterbi (argmax decode, backtesting.py:155), so
         # this number IS the baseline being established.  _spread fields

@@ -594,11 +594,65 @@ def stage_walkforward(outdir):
                      "n_periods": int(len(r.returns)) + 1}
             for k, r in res_k.items()}
 
-    payload = {"walk_forward": wf_out, "per_regime": per_regime}
+    # What does missing the crash regime COST?  (round-4 VERDICT item 8)
+    # Same head, two regime inputs over the whole panel: the model's
+    # smoothed posterior vs the ground-truth one-hot (an oracle regime
+    # detector).  Identical mechanics (daily reweight, 10bp cost on
+    # turnover); the gap during ground-truth crash episodes prices the
+    # model's measured regime-2 blindness (artifacts/crash_regime.json)
+    # in the money metric the backtester exists to compute.
+    z_panel = _np(os.path.join(d, "z_panel.npy"))
+    gamma = np.asarray(model.smoothed_posterior(
+        params, jnp.asarray(data), jnp.asarray(u_data)))[0]   # (K, T)
+    Tp = min(gamma.shape[1], len(rets), len(z_panel))
+    q_model = gamma.T[:Tp]                                    # (T, K)
+    q_oracle = np.eye(3, dtype=np.float32)[z_panel[:Tp].astype(int)]
+    tx_cost = 0.001
+
+    def arm_returns(q_daily):
+        w = np.asarray(head_apply(state["hp"], jnp.asarray(q_daily)))
+        r = (w[:-1] * rets[1:Tp]).sum(axis=1)
+        turns = np.abs(np.diff(w, axis=0)).sum(axis=1)
+        return r - tx_cost * turns
+
+    r_model, r_oracle = arm_returns(q_model), arm_returns(q_oracle)
+    crash = z_panel[1:Tp].astype(int) == 2
+
+    def maxdd(r):
+        eq = np.cumprod(1.0 + r)
+        return float((1.0 - eq / np.maximum.accumulate(eq)).max())
+
+    def arm_stats(r):
+        rc = r[crash]
+        return {
+            "total_return": round(float(np.prod(1 + r) - 1), 4),
+            "max_drawdown": round(maxdd(r), 4),
+            "crash_days_total_return":
+                round(float(np.prod(1 + rc) - 1), 4),
+            "crash_days_mean_daily_return":
+                round(float(rc.mean()), 6),
+            "max_drawdown_within_crash_episodes": round(maxdd(rc), 4),
+        }
+
+    crash_cost = {
+        "method": "same head, daily reweight, 10bp cost on turnover; "
+                  "model arm = smoothed posterior, oracle arm = "
+                  "ground-truth one-hot regimes",
+        "n_crash_days": int(crash.sum()),
+        "model_decode": arm_stats(r_model),
+        "oracle_decode": arm_stats(r_oracle),
+        "oracle_minus_model_crash_days_return": round(
+            float(np.prod(1 + r_oracle[crash])
+                  - np.prod(1 + r_model[crash])), 4),
+    }
+
+    payload = {"walk_forward": wf_out, "per_regime": per_regime,
+               "crash_cost": crash_cost}
     with open(os.path.join(outdir, "walkforward_metrics.json"), "w") as f:
         json.dump(payload, f, indent=2)
     print("walk-forward:", json.dumps(wf_out))
     print("per-regime:", json.dumps(per_regime))
+    print("crash-cost:", json.dumps(crash_cost))
 
 
 def stage_montecarlo(outdir):

@@ -266,6 +266,43 @@ def test_vq_pipeline_sigterm_resume_trajectory_exact(trained_stack,
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_vq_codebook_lr_scale():
+    """vq.codebook_lr_scale multiplies the codebook gradient only:
+    scale=0 freezes the codebook while the rest of the model trains
+    (scale=1 is the unchanged default path)."""
+    import optax
+
+    from vqvaehmm_tpu.models.vqvae_hmm import VQVAEConfig, VQVAEHMM
+    from vqvaehmm_tpu.train.trainer import TrainState
+    from vqvaehmm_tpu.train.vq_pipeline import make_vq_epoch_step
+
+    model = VQVAEHMM(VQVAEConfig(input_dim=5, hidden_dim=8, hidden_dim2=4,
+                                 num_codes=4, latent_dim=4))
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-2)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(2, 8, 5, 16)).astype(np.float32))
+    lens = jnp.full((2, 8), 16, jnp.int32)
+
+    def run(scale):
+        step = make_vq_epoch_step(model, tx, donate=False,
+                                  codebook_lr_scale=scale)
+        st = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        st, _, _ = step(st, xs, lens)
+        return st.params
+
+    frozen = run(0.0)
+    np.testing.assert_array_equal(np.asarray(frozen["codebook"]),
+                                  np.asarray(params["codebook"]))
+    # the encoder still moved
+    assert not np.array_equal(
+        np.asarray(frozen["encoder"]["conv1"]["weight"]),
+        np.asarray(params["encoder"]["conv1"]["weight"]))
+    # scale=2 moves the codebook differently than scale=1
+    assert not np.array_equal(np.asarray(run(2.0)["codebook"]),
+                              np.asarray(run(1.0)["codebook"]))
+
+
 def test_vq_requires_checkpoint_env(trained_stack, monkeypatch):
     """VQHMM_REQUIRE_CHECKPOINT=1 fails a vq serving build with a
     missing archive instead of warning (production parity with the VAE

@@ -65,6 +65,9 @@ class VQConfig:
     num_codes: int = 8
     latent_dim: int = 16
     commitment_beta: float = 0.25
+    # multiplies the codebook gradient before the optimizer (a separate
+    # effective codebook lr without a second optimizer)
+    codebook_lr_scale: float = 1.0
     # Baum-Welch over code indices (models/hmm.fit_categorical_em)
     hmm_iters: int = 50
     hmm_restarts: int = 4

@@ -75,10 +75,16 @@ def panel_windows(x_seqs, max_len: int,
     return np.stack(xs), np.asarray(lens, np.int32)
 
 
-def make_vq_epoch_step(model: VQVAEHMM, tx, donate: bool = True):
+def make_vq_epoch_step(model: VQVAEHMM, tx, donate: bool = True,
+                       codebook_lr_scale: float = 1.0):
     """Whole-epoch VQ update: lax.scan over a stacked epoch of batches,
     one dispatch + one host sync per epoch (the same execution model as
-    the VAE family's make_epoch_step)."""
+    the VAE family's make_epoch_step).
+
+    codebook_lr_scale: multiplies the codebook gradient before the
+    optimizer (vq.codebook_lr_scale) — the standard separate-codebook-lr
+    knob without a second optimizer; applied pre-clip so the effective
+    codebook step scales with it."""
 
     def epoch(state: TrainState, xs, lens):
         def body(st, batch):
@@ -90,6 +96,9 @@ def make_vq_epoch_step(model: VQVAEHMM, tx, donate: bool = True):
 
             (loss, counts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(st.params)
+            if codebook_lr_scale != 1.0:
+                grads = {**grads,
+                         "codebook": grads["codebook"] * codebook_lr_scale}
             return _apply_grads(tx, st, grads), (loss, counts)
 
         state, (losses, counts) = jax.lax.scan(body, state, (xs, lens))
@@ -255,7 +264,9 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
     tx = make_optimizer(t.learning_rate, t.gradient_clip)
     params = model.init(jax.random.PRNGKey(t.seed))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    epoch_step = make_vq_epoch_step(model, tx)
+    epoch_step = make_vq_epoch_step(
+        model, tx,
+        codebook_lr_scale=float(getattr(v, "codebook_lr_scale", 1.0)))
 
     device_input = resolve_input_pipeline(
         getattr(t, "input_pipeline", "auto")) == "device"
