@@ -619,19 +619,45 @@ def stage_walkforward(outdir):
     crash = z_panel[1:Tp].astype(int) == 2
 
     def maxdd(r):
-        eq = np.cumprod(1.0 + r)
+        """Max drawdown with the unit STARTING equity included — a
+        window that only declines still reports its fall from entry
+        (essential for short crash episodes, where the first day's
+        drop IS the drawdown)."""
+        if len(r) == 0:
+            return 0.0
+        eq = np.concatenate([[1.0], np.cumprod(1.0 + r)])
         return float((1.0 - eq / np.maximum.accumulate(eq)).max())
+
+    def episodes(mask):
+        """Contiguous True runs of `mask` as (start, stop) slices."""
+        out, t = [], 0
+        while t < len(mask):
+            if mask[t]:
+                t2 = t
+                while t2 < len(mask) and mask[t2]:
+                    t2 += 1
+                out.append((t, t2))
+                t = t2
+            else:
+                t += 1
+        return out
 
     def arm_stats(r):
         rc = r[crash]
+        # per-episode drawdown, NOT drawdown of the concatenated crash
+        # days: splicing disjoint episodes would let a peak in one
+        # episode and a trough in a later one fabricate a
+        # peak-to-trough that never occurred inside any episode
+        dd_eps = [maxdd(r[a:b]) for a, b in episodes(crash)]
         return {
             "total_return": round(float(np.prod(1 + r) - 1), 4),
             "max_drawdown": round(maxdd(r), 4),
             "crash_days_total_return":
                 round(float(np.prod(1 + rc) - 1), 4),
             "crash_days_mean_daily_return":
-                round(float(rc.mean()), 6),
-            "max_drawdown_within_crash_episodes": round(maxdd(rc), 4),
+                round(float(rc.mean()), 6) if len(rc) else 0.0,
+            "max_drawdown_within_crash_episodes":
+                round(max(dd_eps), 4) if dd_eps else 0.0,
         }
 
     crash_cost = {

@@ -91,11 +91,21 @@ def score_stack(stack, x, z_w):
     return out
 
 
+_POINT_CACHE = {}
+
+
 def run_point(epochs, num_codes, commitment, lr_scale, tag):
     import jax.numpy as jnp
 
     from vqvaehmm_tpu.train.pipeline import TrainPipeline
     from vqvaehmm_tpu.train.vq_pipeline import train_vq_stack
+
+    # the default operating point appears in the sweep grid AND as the
+    # joint stage's base (once per lam value) — train it once
+    key = (epochs, num_codes, commitment, lr_scale)
+    if key in _POINT_CACHE:
+        log(f"[{tag}] reusing already-trained point {key}")
+        return _POINT_CACHE[key]
 
     cfg = base_config(epochs, num_codes, commitment, lr_scale, tag)
     dataset = TrainPipeline(cfg).load_data()
@@ -111,6 +121,7 @@ def run_point(epochs, num_codes, commitment, lr_scale, tag):
            "final_vq_loss": round(stack.history[-1], 4),
            **score_stack(stack, x, z_w)}
     log(f"[{tag}] {json.dumps(row)}")
+    _POINT_CACHE[key] = (row, stack, state, cfg, dataset)
     return row, stack, state, cfg, dataset
 
 

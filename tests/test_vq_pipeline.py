@@ -267,9 +267,13 @@ def test_vq_pipeline_sigterm_resume_trajectory_exact(trained_stack,
 
 
 def test_vq_codebook_lr_scale():
-    """vq.codebook_lr_scale multiplies the codebook gradient only:
-    scale=0 freezes the codebook while the rest of the model trains
-    (scale=1 is the unchanged default path)."""
+    """vq.codebook_lr_scale scales the codebook's post-optimizer UPDATE
+    (a per-leaf learning rate): scale=0 freezes the codebook while the
+    rest of the model trains, and after a single step from identical
+    init the scale=2 codebook step is exactly 2x the scale=1 step.  The
+    knob must act post-Adam — Adam normalizes each parameter's step by
+    its own gradient scale, so a pre-optimizer gradient multiplier
+    cancels to eps-level noise (the bug this test pins against)."""
     import optax
 
     from vqvaehmm_tpu.models.vqvae_hmm import VQVAEConfig, VQVAEHMM
@@ -283,24 +287,72 @@ def test_vq_codebook_lr_scale():
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.normal(size=(2, 8, 5, 16)).astype(np.float32))
     lens = jnp.full((2, 8), 16, jnp.int32)
+    # one-batch epoch for the exact-2x relation (after the first step
+    # the trajectories diverge and the relation is no longer linear)
+    xs1, lens1 = xs[:1], lens[:1]
 
-    def run(scale):
+    def run(scale, xs_, lens_):
         step = make_vq_epoch_step(model, tx, donate=False,
                                   codebook_lr_scale=scale)
         st = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-        st, _, _ = step(st, xs, lens)
+        st, _, _ = step(st, xs_, lens_)
         return st.params
 
-    frozen = run(0.0)
+    frozen = run(0.0, xs, lens)
     np.testing.assert_array_equal(np.asarray(frozen["codebook"]),
                                   np.asarray(params["codebook"]))
     # the encoder still moved
     assert not np.array_equal(
         np.asarray(frozen["encoder"]["conv1"]["weight"]),
         np.asarray(params["encoder"]["conv1"]["weight"]))
-    # scale=2 moves the codebook differently than scale=1
-    assert not np.array_equal(np.asarray(run(2.0)["codebook"]),
-                              np.asarray(run(1.0)["codebook"]))
+    # after ONE step, the scale=2 codebook update is exactly double the
+    # scale=1 update (and therefore far outside eps-level noise)
+    cb0 = np.asarray(params["codebook"], np.float64)
+    d1 = np.asarray(run(1.0, xs1, lens1)["codebook"], np.float64) - cb0
+    d2 = np.asarray(run(2.0, xs1, lens1)["codebook"], np.float64) - cb0
+    assert np.abs(d1).max() > 0
+    np.testing.assert_allclose(d2, 2.0 * d1, rtol=1e-4, atol=1e-7)
+
+
+def test_vq_rerun_of_completed_command_republishes_same_archive(
+        trained_stack, tmp_path):
+    """Re-running a completed VQ training command (resume default,
+    periodic checkpointing on) republishes a bit-identical archive.
+    The config forces the final-polish path (dead_code_min_usage above
+    a uniform share, so some code is always below the shipping
+    threshold), pinning the historical failure: a rerun used to resume
+    from the PRE-polish periodic checkpoint, skip the polish (no epoch
+    counts), and overwrite vq_stack.npz with different, unpolished
+    params.  The post-polish checkpoint (metadata `polished`) plus the
+    panel-usage polish criterion make the rerun idempotent."""
+    from vqvaehmm_tpu.core.config import apply_overrides, load_config
+    from vqvaehmm_tpu.train.pipeline import TrainPipeline
+
+    cfg_path, _ = trained_stack
+    cfg = apply_overrides(
+        load_config(cfg_path),
+        [f"training.checkpoint_dir={tmp_path / 'ck_rerun'}",
+         "training.save_freq=2", "training.epochs=4",
+         "vq.dead_code_min_usage=2.0", "vq.final_polish_epochs=1"])
+    logs1 = []
+    TrainPipeline(cfg).train(log_fn=logs1.append)
+    assert any("final polish" in s for s in logs1)  # polish really ran
+    ar = tmp_path / "ck_rerun" / "vq_stack.npz"
+
+    def arrays(path):
+        with np.load(path) as z:
+            return {k: z[k].copy() for k in z.files}
+
+    a1 = arrays(ar)
+    logs2 = []
+    pipe2 = TrainPipeline(cfg)
+    pipe2.train(log_fn=logs2.append)
+    assert not pipe2.preempted
+    assert not any("final polish" in s for s in logs2)  # skipped: done
+    a2 = arrays(ar)
+    assert set(a1) == set(a2)
+    for k in a1:
+        np.testing.assert_array_equal(a1[k], a2[k], err_msg=k)
 
 
 def test_vq_requires_checkpoint_env(trained_stack, monkeypatch):

@@ -33,6 +33,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..core.config import Config
 from ..data.dataset import RandomChunkDataset
@@ -81,10 +82,15 @@ def make_vq_epoch_step(model: VQVAEHMM, tx, donate: bool = True,
     one dispatch + one host sync per epoch (the same execution model as
     the VAE family's make_epoch_step).
 
-    codebook_lr_scale: multiplies the codebook gradient before the
-    optimizer (vq.codebook_lr_scale) — the standard separate-codebook-lr
-    knob without a second optimizer; applied pre-clip so the effective
-    codebook step scales with it."""
+    codebook_lr_scale: multiplies the codebook's post-optimizer UPDATE
+    (vq.codebook_lr_scale) — the separate-codebook-lr knob without a
+    second optimizer.  It must act on the update, not the gradient:
+    Adam normalizes each parameter's step by its own gradient scale
+    (m_hat/sqrt(v_hat)), so a constant pre-optimizer gradient scale
+    cancels to eps-level noise.  Scaling the update is exactly
+    `optax.scale` applied to one leaf: 0.0 freezes the codebook,
+    0.5/2.0 genuinely halve/double its effective learning rate while
+    the moment estimates stay those of the unscaled gradient."""
 
     def epoch(state: TrainState, xs, lens):
         def body(st, batch):
@@ -96,10 +102,14 @@ def make_vq_epoch_step(model: VQVAEHMM, tx, donate: bool = True,
 
             (loss, counts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(st.params)
-            if codebook_lr_scale != 1.0:
-                grads = {**grads,
-                         "codebook": grads["codebook"] * codebook_lr_scale}
-            return _apply_grads(tx, st, grads), (loss, counts)
+            if codebook_lr_scale == 1.0:
+                return _apply_grads(tx, st, grads), (loss, counts)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            updates = {**updates,
+                       "codebook": updates["codebook"] * codebook_lr_scale}
+            params = optax.apply_updates(st.params, updates)
+            return (TrainState(params, opt_state, st.step + 1),
+                    (loss, counts))
 
         state, (losses, counts) = jax.lax.scan(body, state, (xs, lens))
         # epoch-total per-code usage rides the same dispatch as the loss
@@ -190,13 +200,19 @@ class VQStack(NamedTuple):
             "K": int(self.hmm.K),
             "codebook_usage": self.usage,
         }
-        np.savez(path,
+        # write-then-rename so a kill mid-write can never leave a
+        # truncated archive at the published path (np.savez appends
+        # .npz when missing, so normalize first)
+        final = path if path.endswith(".npz") else path + ".npz"
+        tmp = final + ".tmp.npz"
+        np.savez(tmp,
                  meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
                  hmm_log_pi=np.asarray(self.hmm.log_pi),
                  hmm_log_A=np.asarray(self.hmm.log_A),
                  hmm_log_B=np.asarray(self.hmm.emission.logits),
                  history=np.asarray(self.history, np.float64),
                  **arrays)
+        os.replace(tmp, final)
 
     @classmethod
     def load(cls, path: str) -> "VQStack":
@@ -342,6 +358,25 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
 
     counts = None
     preempted = False
+    already_polished = bool(meta.get("polished")) if meta else False
+    xs = lens = None
+
+    def panel_codes_and_counts(params):
+        """Codes + per-code assignment counts over the VALID timesteps
+        of the full panel — the same criterion the archive's usage
+        audit ships with, so polish and the final warning agree."""
+        xw, lw = panel_windows(dataset.x_seqs, dataset.max_len)
+        codes = model.codes(params, jnp.asarray(xw))
+        codes_np = np.asarray(codes)
+        pmask = (np.arange(codes_np.shape[1])[None, :]
+                 < np.asarray(lw)[:, None])
+        pc = np.bincount(codes_np[pmask].reshape(-1),
+                         minlength=v.num_codes)
+        return lw, codes, pc
+
+    # The SIGTERM window covers the whole run INCLUDING the polish tail
+    # (a spot-VM reclaim during the post-training stages must not
+    # hard-kill the process mid-write).
     with _sigterm_flag() as sig:
         for ep in range(start_epoch, t.num_epochs):
             xs, _, lens = draw_epoch()
@@ -362,14 +397,21 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
                 # This serializes dispatch between epochs — the VQ family
                 # trades that for codebook health (~ms/epoch here).
                 state, _ = restart_dead(state, counts, xs, lens, "")
-            loss = float(mean_loss)
-            history.append(loss)
-            if log_fn is not None:
-                log_fn(f"Epoch {ep + 1}/{t.num_epochs}, Loss: {loss:.4f}")
             at_save = save_freq and (ep + 1) % save_freq == 0
+            if log_fn is not None or at_save or sig:
+                loss = float(mean_loss)
+                history.append(loss)
+                if log_fn is not None:
+                    log_fn(f"Epoch {ep + 1}/{t.num_epochs}, "
+                           f"Loss: {loss:.4f}")
+            else:
+                # device scalar: epochs pipeline (a per-epoch float()
+                # fetch serializes dispatch through the tunnel)
+                history.append(mean_loss)
             if (at_save or sig) and periodic is not None:
                 save_checkpoint(periodic, state, metadata={
-                    "epoch": ep + 1, "loss": loss, "history": history,
+                    "epoch": ep + 1, "loss": loss,
+                    "history": [float(l) for l in history],
                     "rng_state": rng.bit_generator.state,
                     "preempted": bool(sig)})
             if sig:
@@ -378,55 +420,78 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
                            f"{t.num_epochs}; rerun to auto-resume")
                 preempted = True
                 break
-    if preempted:
-        return None, state, True
+        if preempted:
+            return None, state, True
 
-    # Final-epoch codebook polish: the in-loop restarts deliberately
-    # skip the last epoch (a freshly reinitialized code would ship
-    # untrained), but skipping silently can ship a near-dead code
-    # instead.  If the final usage still has sub-threshold codes,
-    # restart them and train up to `final_polish_epochs` extra epochs so
-    # the archive's codebook is healthy either way; remaining dead codes
-    # are recorded (and warned about) below via `codebook_usage`.
-    polish_done = 0
-    max_polish = int(getattr(v, "final_polish_epochs", 1) or 0)
-    if v.dead_code_reinit and counts is not None:
-        xs_last, lens_last = xs, lens
-        for _ in range(max_polish):
-            state2, n = restart_dead(state, counts, xs_last, lens_last,
-                                     " (final polish)")
-            if n == 0:
-                break
-            xs_last, _, lens_last = draw_epoch()
-            state2, mean_loss, counts = epoch_step(state2, xs_last,
-                                                   lens_last)
-            state, polish_done = state2, polish_done + 1
-            loss = float(mean_loss)
-            history.append(loss)
-            if log_fn is not None:
-                log_fn(f"Polish epoch {polish_done}/{max_polish}, "
-                       f"Loss: {loss:.4f}")
+        # Final-epoch codebook polish: the in-loop restarts deliberately
+        # skip the last epoch (a freshly reinitialized code would ship
+        # untrained), but skipping silently can ship a near-dead code
+        # instead.  The polish criterion is the PANEL usage — the number
+        # the archive ships with — so it is well-defined on every path,
+        # including a resume that lands past the last training epoch.
+        # If the shipping usage has sub-threshold codes, restart them
+        # and train up to `final_polish_epochs` extra epochs; remaining
+        # dead codes are recorded (and warned about) via
+        # `codebook_usage`.
+        polish_done = 0
+        max_polish = int(getattr(v, "final_polish_epochs", 1) or 0)
+        lw, codes, pc = panel_codes_and_counts(state.params)
+        if v.dead_code_reinit and max_polish and not already_polished:
+            if xs is None:
+                # resumed past the last epoch: draw a batch stream for
+                # the restart latents / polish training
+                xs, _, lens = draw_epoch()
+            for _ in range(max_polish):
+                state2, n = restart_dead(state, pc, xs, lens,
+                                         " (final polish)")
+                if n == 0:
+                    break
+                xs, _, lens = draw_epoch()
+                state2, mean_loss, _ = epoch_step(state2, xs, lens)
+                state, polish_done = state2, polish_done + 1
+                history.append(float(mean_loss))
+                if log_fn is not None:
+                    log_fn(f"Polish epoch {polish_done}/{max_polish}, "
+                           f"Loss: {float(history[-1]):.4f}")
+                lw, codes, pc = panel_codes_and_counts(state.params)
+                if sig:
+                    break
+            if polish_done and periodic is not None \
+                    and os.path.exists(periodic):
+                # the periodic checkpoint now predates the polish;
+                # overwrite it with the post-polish state so a rerun of
+                # the completed command republishes the SAME archive
+                # (idempotent) instead of an unpolished one
+                save_checkpoint(periodic, state, metadata={
+                    "epoch": t.num_epochs,
+                    "history": [float(l) for l in history],
+                    "rng_state": rng.bit_generator.state,
+                    "preempted": bool(sig), "polished": not sig})
+            if sig:
+                if log_fn:
+                    log_fn("SIGTERM during final polish: checkpointed; "
+                           "rerun to finish the polish and publish")
+                return None, state, True
 
-    # Baum-Welch over the code indices of the full pool
-    # (pseudocode.txt:26-27), K regimes x num_codes symbols
-    from ..models.hmm import fit_categorical_em
+        # Baum-Welch over the code indices of the full pool
+        # (pseudocode.txt:26-27), K regimes x num_codes symbols — still
+        # inside the SIGTERM window: a reclaim during the (expensive)
+        # multi-restart fit must not hard-kill the process; the fit
+        # completes and the caller publishes atomically.
+        from ..models.hmm import fit_categorical_em
 
-    xw, lw = panel_windows(dataset.x_seqs, dataset.max_len)
-    codes = model.codes(state.params, jnp.asarray(xw))
-    em = fit_categorical_em(codes, K=cfg.model.K, V=v.num_codes,
-                            n_iters=v.hmm_iters, seed=t.seed,
-                            lengths=jnp.asarray(lw),
-                            n_init=v.hmm_restarts, sticky=v.hmm_sticky)
+        em = fit_categorical_em(codes, K=cfg.model.K, V=v.num_codes,
+                                n_iters=v.hmm_iters, seed=t.seed,
+                                lengths=jnp.asarray(lw),
+                                n_init=v.hmm_restarts,
+                                sticky=v.hmm_sticky)
     if log_fn:
         log_fn(f"code-HMM EM: final loglik "
                f"{float(np.asarray(em.log_likelihoods)[-1]):.2f} "
                f"({v.hmm_restarts} restarts, {v.hmm_iters} iters)")
-    # final codebook health, measured on the VALID timesteps of the full
-    # panel (the number the archive ships with — padding excluded)
-    codes_np = np.asarray(codes)
-    mask = np.arange(codes_np.shape[1])[None, :] < np.asarray(lw)[:, None]
-    usage = (np.bincount(codes_np[mask].reshape(-1),
-                         minlength=v.num_codes) / mask.sum())
+    # final codebook health: the panel usage share the archive ships
+    # with (padding excluded) — pc comes from the post-polish params
+    usage = pc / max(1, pc.sum())
     thresh = v.dead_code_min_usage / v.num_codes
     low = [i for i, s in enumerate(usage) if s < thresh]
     if low and log_fn:
@@ -435,6 +500,7 @@ def train_vq_stack(cfg: Config, dataset: RandomChunkDataset,
                f"{[(i, round(float(usage[i]), 4)) for i in low]} — "
                f"consider raising vq.final_polish_epochs or lowering "
                f"vq.num_codes")
+    history = [float(l) for l in history]  # may hold device scalars
     stack = VQStack(model, state.params, em.model, history,
                     usage=[round(float(s), 4) for s in usage])
     return stack, state, False
