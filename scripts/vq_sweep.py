@@ -51,7 +51,7 @@ def log(msg):
 
 
 def base_config(epochs, num_codes=8, commitment=0.25, lr_scale=1.0,
-                tag="pt"):
+                tag="pt", seed=42):
     from vqvaehmm_tpu.core.config import (Config, DataConfig, ModelConfig,
                                           TrainConfig, VQConfig)
 
@@ -66,7 +66,7 @@ def base_config(epochs, num_codes=8, commitment=0.25, lr_scale=1.0,
                         x_sequences_path=os.path.join(d, "x_sequences.npy"),
                         u_sequences_path=os.path.join(d, "u_sequences.npy")),
         training=TrainConfig(batch_size=64, num_epochs=epochs,
-                             learning_rate=3e-3, seed=42, save_freq=0,
+                             learning_rate=3e-3, seed=seed, save_freq=0,
                              checkpoint_dir=os.path.join("/tmp",
                                                          f"vqsw_{tag}")),
     )
@@ -94,7 +94,7 @@ def score_stack(stack, x, z_w):
 _POINT_CACHE = {}
 
 
-def run_point(epochs, num_codes, commitment, lr_scale, tag):
+def run_point(epochs, num_codes, commitment, lr_scale, tag, seed=42):
     import jax.numpy as jnp
 
     from vqvaehmm_tpu.train.pipeline import TrainPipeline
@@ -102,12 +102,12 @@ def run_point(epochs, num_codes, commitment, lr_scale, tag):
 
     # the default operating point appears in the sweep grid AND as the
     # joint stage's base (once per lam value) — train it once
-    key = (epochs, num_codes, commitment, lr_scale)
+    key = (epochs, num_codes, commitment, lr_scale, seed)
     if key in _POINT_CACHE:
         log(f"[{tag}] reusing already-trained point {key}")
         return _POINT_CACHE[key]
 
-    cfg = base_config(epochs, num_codes, commitment, lr_scale, tag)
+    cfg = base_config(epochs, num_codes, commitment, lr_scale, tag, seed)
     dataset = TrainPipeline(cfg).load_data()
     t0 = time.time()
     stack, state, _ = train_vq_stack(cfg, dataset, log_fn=None,
@@ -117,7 +117,8 @@ def run_point(epochs, num_codes, commitment, lr_scale, tag):
     x = jnp.asarray(np.load(os.path.join(d, "x_sequences.npy")))
     z_w = np.load(os.path.join(d, "z_windows.npy"))
     row = {"num_codes": num_codes, "commitment_beta": commitment,
-           "codebook_lr_scale": lr_scale, "wall_seconds": round(wall, 1),
+           "codebook_lr_scale": lr_scale, "seed": seed,
+           "wall_seconds": round(wall, 1),
            "final_vq_loss": round(stack.history[-1], 4),
            **score_stack(stack, x, z_w)}
     log(f"[{tag}] {json.dumps(row)}")
@@ -142,7 +143,7 @@ def stage_sweep(epochs):
 
 
 def stage_joint(epochs, outer_iters=2, finetune_epochs=10,
-                lam=1.0):
+                lam=1.0, seed=42):
     """Joint-finetune: does letting the HMM talk back to the encoder
     move the quality ceiling?"""
     import jax
@@ -155,7 +156,7 @@ def stage_joint(epochs, outer_iters=2, finetune_epochs=10,
 
     # stage 1: the standard two-stage run (default operating point)
     row0, stack, state, cfg, dataset = run_point(
-        epochs, 8, 0.25, 1.0, "joint_base")
+        epochs, 8, 0.25, 1.0, f"joint_base_s{seed}", seed=seed)
     model, v, t = stack.model, cfg.vq, cfg.training
 
     xw_np, lw_np = panel_windows(dataset.x_seqs, dataset.max_len)
@@ -230,14 +231,75 @@ def stage_joint(epochs, outer_iters=2, finetune_epochs=10,
         log(f"[joint iter {it}] {json.dumps(row)}")
         iters_log.append(row)
     return {"base": row0, "lam": lam, "tau": "median d^2 per iter",
-            "outer_iters": outer_iters,
+            "outer_iters": outer_iters, "seed": seed,
             "finetune_epochs": finetune_epochs, "iterations": iters_log}
+
+
+def stage_seeds(epochs, seeds=(42, 43, 44, 45, 46)):
+    """Multi-seed the sweep's single-seed headline: does the balanced-acc
+    headroom of n8/c0.5 and the joint finetune (lam=0.3) over the default
+    operating point survive the fixture's seed lottery?  Same standard the
+    round-5 throughput/parity A/B applied: per-seed PAIRED deltas, not one
+    draw per arm."""
+    arms = {"default": (8, 0.25), "n8_c0.5": (8, 0.5)}
+    per_seed = []
+    for seed in seeds:
+        row = {"seed": seed}
+        for name, (nc, cb) in arms.items():
+            r, *_ = run_point(epochs, nc, cb, 1.0,
+                              f"seed{seed}_{name}", seed=seed)
+            row[name] = {k: r[k] for k in
+                         ("acc_smoothed", "bal_acc_smoothed",
+                          "switch_smoothed", "acc_viterbi",
+                          "bal_acc_viterbi", "switch_viterbi")}
+            row[name]["min_usage"] = round(min(r["codebook_usage"]), 4)
+        j = stage_joint(epochs, lam=0.3, seed=seed)
+        last = j["iterations"][-1]
+        row["joint_lam0.3"] = {k: last[k] for k in
+                               ("acc_smoothed", "bal_acc_smoothed",
+                                "switch_smoothed", "acc_viterbi",
+                                "bal_acc_viterbi", "switch_viterbi")}
+        log(f"[seeds] {json.dumps(row)}")
+        per_seed.append(row)
+
+    def dist(arm, key):
+        vals = sorted(r[arm][key] for r in per_seed)
+        return {"values": vals, "median": vals[len(vals) // 2]}
+
+    def paired(arm, key):
+        ds = sorted(round(r[arm][key] - r["default"][key], 4)
+                    for r in per_seed)
+        return {"deltas": ds, "median": ds[len(ds) // 2]}
+
+    keys = ("bal_acc_smoothed", "bal_acc_viterbi", "acc_smoothed",
+            "acc_viterbi", "switch_smoothed", "switch_viterbi")
+    return {"epochs": epochs, "seeds": list(seeds), "per_seed": per_seed,
+            "distributions": {a: {k: dist(a, k) for k in keys}
+                              for a in ("default", "n8_c0.5",
+                                        "joint_lam0.3")},
+            "paired_vs_default": {a: {k: paired(a, k) for k in keys}
+                                  for a in ("n8_c0.5", "joint_lam0.3")}}
+
+
+def stage_lrscale(epochs):
+    """Re-measure ONLY the codebook_lr_scale grid points and patch them
+    into the existing sweep artifact.  Needed once: the original grid ran
+    with the pre-2709fa0 knob, which scaled the gradient BEFORE Adam and
+    was therefore a no-op beyond eps-level trajectory noise — those two
+    rows were effectively different-seed draws of the default, not
+    measurements of the knob."""
+    rows = []
+    for lr_scale in (0.5, 2.0):
+        tag = f"n8_c0.25_s{lr_scale}_fixed"
+        row, *_ = run_point(epochs, 8, 0.25, lr_scale, tag)
+        rows.append(row)
+    return rows
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
-                    choices=["sweep", "joint", "all"])
+                    choices=["sweep", "joint", "seeds", "lrscale", "all"])
     ap.add_argument("--epochs", type=int,
                     default=int(os.environ.get("VQHMM_VQ_EPOCHS", "40")))
     ap.add_argument("--lam", type=float, nargs="+", default=[0.3, 1.0],
@@ -256,6 +318,26 @@ def main():
         if s == "sweep":
             out[s] = stage_sweep(args.epochs)
             summary[s] = out[s]["best_by_bal_acc_smoothed"]
+        elif s == "seeds":
+            out[s] = stage_seeds(args.epochs)
+            summary[s] = out[s]["paired_vs_default"]
+        elif s == "lrscale":
+            new_rows = stage_lrscale(args.epochs)
+            grid = out["sweep"]["grid"]
+            for nr in new_rows:
+                for i, r in enumerate(grid):
+                    if (r["num_codes"] == nr["num_codes"]
+                            and r["commitment_beta"] == nr["commitment_beta"]
+                            and r["codebook_lr_scale"]
+                            == nr["codebook_lr_scale"]):
+                        grid[i] = nr
+            out["sweep"]["best_by_bal_acc_smoothed"] = max(
+                grid, key=lambda r: r["bal_acc_smoothed"])
+            out["sweep"]["lrscale_note"] = (
+                "s0.5/s2.0 rows re-measured with the post-2709fa0 knob "
+                "(true post-optimizer update scale); the original rows "
+                "were eps-level no-ops of the default")
+            summary[s] = new_rows
         else:
             for lam in args.lam:
                 key = f"joint_lam{lam}"
