@@ -235,14 +235,15 @@ def stage_joint(epochs, outer_iters=2, finetune_epochs=10,
             "finetune_epochs": finetune_epochs, "iterations": iters_log}
 
 
-def stage_seeds(epochs, seeds=(42, 43, 44, 45, 46)):
+def stage_seeds(epochs, seeds=(42, 43, 44, 45, 46), prior_per_seed=()):
     """Multi-seed the sweep's single-seed headline: does the balanced-acc
     headroom of n8/c0.5 and the joint finetune (lam=0.3) over the default
     operating point survive the fixture's seed lottery?  Same standard the
     round-5 throughput/parity A/B applied: per-seed PAIRED deltas, not one
-    draw per arm."""
+    draw per arm.  `prior_per_seed`: rows from a previous invocation to
+    merge (new seeds extend the study; re-run seeds supersede)."""
     arms = {"default": (8, 0.25), "n8_c0.5": (8, 0.5)}
-    per_seed = []
+    per_seed = [r for r in prior_per_seed if r["seed"] not in set(seeds)]
     for seed in seeds:
         row = {"seed": seed}
         for name, (nc, cb) in arms.items():
@@ -261,6 +262,7 @@ def stage_seeds(epochs, seeds=(42, 43, 44, 45, 46)):
                                 "bal_acc_viterbi", "switch_viterbi")}
         log(f"[seeds] {json.dumps(row)}")
         per_seed.append(row)
+    per_seed.sort(key=lambda r: r["seed"])
 
     def dist(arm, key):
         vals = sorted(r[arm][key] for r in per_seed)
@@ -273,7 +275,9 @@ def stage_seeds(epochs, seeds=(42, 43, 44, 45, 46)):
 
     keys = ("bal_acc_smoothed", "bal_acc_viterbi", "acc_smoothed",
             "acc_viterbi", "switch_smoothed", "switch_viterbi")
-    return {"epochs": epochs, "seeds": list(seeds), "per_seed": per_seed,
+    return {"epochs": epochs,
+            "seeds": sorted(r["seed"] for r in per_seed),
+            "per_seed": per_seed,
             "distributions": {a: {k: dist(a, k) for k in keys}
                               for a in ("default", "n8_c0.5",
                                         "joint_lam0.3")},
@@ -305,6 +309,10 @@ def main():
     ap.add_argument("--lam", type=float, nargs="+", default=[0.3, 1.0],
                     help="HMM-consistency weights for the joint stage "
                          "(one self-contained run per value)")
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=[42, 43, 44, 45, 46],
+                    help="seeds for --stage seeds; results merge with "
+                         "(and supersede) any already in the artifact")
     args = ap.parse_args()
 
     out = {}
@@ -319,7 +327,9 @@ def main():
             out[s] = stage_sweep(args.epochs)
             summary[s] = out[s]["best_by_bal_acc_smoothed"]
         elif s == "seeds":
-            out[s] = stage_seeds(args.epochs)
+            prior = out.get("seeds", {}).get("per_seed", [])
+            out[s] = stage_seeds(args.epochs, tuple(args.seeds),
+                                 prior_per_seed=prior)
             summary[s] = out[s]["paired_vs_default"]
         elif s == "lrscale":
             new_rows = stage_lrscale(args.epochs)
